@@ -1,0 +1,100 @@
+"""Table-maintenance operators (reference SURVEY.md §2.4 J2-J5, §2.1 S12-S15).
+
+The reference's Snowflake MERGE/DELETE statements become pure
+DataFrame->DataFrame relational algebra: each function takes
+(target, batch) and returns the post-maintenance relation.  This keeps
+the semantics testable against a DuckDB oracle and independent of any
+table format; at production scale the same semantics swap in Delta
+`MERGE INTO` via ``foreachBatch`` without change (SURVEY §4.3).
+
+Scale notes: join keys drive the shuffle; broadcast the batch side when
+it is a trailing-window increment (the reference re-pulls only 16/30
+days — small relative to the target), which these helpers do by hint.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_broadcast(batch: DataFrame, hint: bool) -> DataFrame:
+    return F.broadcast(batch) if hint else batch
+
+
+def merge_insert_only(
+    target: DataFrame, batch: DataFrame, keys: Sequence[str], broadcast_batch: bool = False
+) -> DataFrame:
+    """J2: MERGE ... WHEN NOT MATCHED THEN INSERT (Update...sql:36-53,62-79).
+
+    Insert-only merge == target ∪ (batch anti-join target on keys).
+    Rows already present keep their target version unchanged.
+    """
+    new_rows = batch.join(
+        _maybe_broadcast(target.select(*keys), broadcast_batch), list(keys), "left_anti"
+    )
+    return target.unionByName(new_rows.select(*target.columns))
+
+
+def merge_upsert(
+    target: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """J3/J4: MERGE ... WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT
+    (Update...sql:97-134, 217-227).
+
+    ``update_cols`` restricts which columns the batch overwrites on
+    match (the reference deliberately keeps the old ``evaluated_date``,
+    Update...sql:128-130); None means full-row replace.
+    """
+    cols = target.columns
+    if update_cols is None:
+        update_cols = [c for c in cols if c not in keys]
+    keep_cols = [c for c in cols if c not in keys and c not in update_cols]
+
+    b = _maybe_broadcast(batch, broadcast_batch)
+    matched = target.alias("t").join(b.alias("b"), list(keys), "inner").select(
+        *[F.col(f"t.{k}").alias(k) for k in keys],
+        *[F.col(f"b.{c}").alias(c) for c in update_cols],
+        *[F.col(f"t.{c}").alias(c) for c in keep_cols],
+    ).select(*cols)
+    unmatched_target = target.join(b.select(*keys), list(keys), "left_anti")
+    inserted = batch.join(target.select(*keys), list(keys), "left_anti").select(*cols)
+    return unmatched_target.unionByName(matched).unionByName(inserted)
+
+
+def delete_semi_anti(
+    target: DataFrame,
+    scope: DataFrame,
+    scope_keys: Sequence[str],
+    keep: DataFrame,
+    keep_keys: Sequence[str],
+) -> DataFrame:
+    """J5: DELETE WHERE k1 IN (scope) AND k2 NOT IN (keep)
+    (Update...sql:88-92,143-146,179-182).
+
+    Identifies victims via semi-join on ``scope_keys`` + anti-join on
+    ``keep_keys`` and returns target minus victims.  Uses anti-join
+    semantics, NOT SQL `NOT IN`: a NULL in ``keep`` must not void the
+    whole delete (SURVEY §2.4 J5 caution — regression fixture in tests).
+    """
+    victims = (
+        target.join(F.broadcast(scope.select(*scope_keys).distinct()), list(scope_keys), "left_semi")
+        .join(F.broadcast(keep.select(*keep_keys).distinct()), list(keep_keys), "left_anti")
+    )
+    return target.exceptAll(victims)
+
+
+def overwrite(df: DataFrame, path: str) -> None:
+    """S12/S14: TRUNCATE+load / CREATE OR REPLACE TABLE AS SELECT."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def append(df: DataFrame, path: str) -> None:
+    """S15: INSERT INTO ... SELECT."""
+    df.write.mode("append").parquet(path)

@@ -1,0 +1,256 @@
+"""Similarity search over embedding columns (array<float>).
+
+Physical strategy: dense vector math is the one place where built-in
+expression folds lose badly to vectorized kernels, so the hot paths are
+Arrow-batched numpy GEMMs inside ``mapInPandas`` (one matrix multiply
+per Arrow batch — no per-row Python, no shuffle added):
+
+  - ``nearest_broadcast``: stream the big side, broadcast the small
+    reference matrix (queries / centroids); per batch compute
+    B x R^T and take per-row top-k.  This is the scale shape: the
+    streamed side is unbounded, the broadcast side bounded.
+  - brute-force top-k: stream *candidates*, broadcast *queries*,
+    emit per-batch partial top-k per query, then a tiny global
+    top-k reduce — exact ANN baseline that survives an unbounded
+    corpus.
+  - pair mining (cosine >= threshold): broadcast the normalized
+    corpus matrix and stream it against itself (upper triangle).
+    Bounded-corpus operator; at 100 TB swap in the block-id
+    cross-join variant (same kernel per block pair).
+
+Expression-level ``dot``/``l2_norm`` (zip_with + aggregate) are kept
+for row-at-a-time composition in other plans.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qaapi_spark.operators.windows import topk_per_group
+
+_PAIR_SCHEMA = "query_id long, cand_id long, cosine double"
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays in double precision (sequential
+    left fold => deterministic, engine-portable result)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def with_unit_vector(df: DataFrame, vec_col: str, out_col: str = "unit_vec") -> DataFrame:
+    """Pre-normalize so cosine == dot of unit vectors (normalize once,
+    not once per pair)."""
+    n = l2_norm(F.col(vec_col))
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / n),
+    )
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, L2-normalized float64 matrix) for a broadcast-sized side."""
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def nearest_broadcast(
+    stream: DataFrame,
+    ref: DataFrame,
+    k: int,
+    stream_id: str = "vec_id",
+    stream_vec: str = "embedding",
+    ref_id: str = "vec_id",
+    ref_vec: str = "embedding",
+    round_to: int = 4,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """For every streamed row, its k nearest reference rows by cosine.
+
+    The reference side is collected + broadcast (bounded: query sets,
+    centroid codebooks); the streamed side is unbounded.  Output
+    (query_id=stream id, cand_id=ref id, cosine), ranked
+    deterministically on (rounded cosine desc, cand_id asc).
+    """
+    r_ids, r_mat = _collect_matrix(ref, ref_id, ref_vec)
+    spark = stream.sparkSession
+    b = spark.sparkContext.broadcast((r_ids, r_mat))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = b.value
+        for pdf in batches:
+            s = np.stack(pdf[stream_vec].to_numpy()).astype(np.float64)
+            s /= np.linalg.norm(s, axis=1, keepdims=True)
+            sims = np.round(s @ mat.T, round_to)  # (batch, n_ref)
+            s_ids = pdf[stream_id].to_numpy(dtype=np.int64)
+            if exclude_self:
+                mask = s_ids[:, None] == ids[None, :]
+                sims[mask] = -np.inf
+            kk = min(k, sims.shape[1])
+            # rank by (-cosine, cand_id): lexsort is stable + deterministic
+            order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)[:, :kk]
+            out_q = np.repeat(s_ids, kk)
+            out_c = ids[order].ravel()
+            out_s = np.take_along_axis(sims, order, axis=1).ravel()
+            keep = np.isfinite(out_s)
+            yield pd.DataFrame(
+                {"query_id": out_q[keep], "cand_id": out_c[keep], "cosine": out_s[keep]}
+            )
+
+    return stream.select(stream_id, stream_vec).mapInPandas(gen, _PAIR_SCHEMA)
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine: stream candidates, broadcast queries.
+
+    Per Arrow batch: GEMM + per-query partial top-k (at most k rows per
+    query per batch leave the executor), then a global top-k reduce.
+    Candidates can be arbitrarily large; queries must fit in a broadcast.
+    """
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    spark = candidates.sparkSession
+    b = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = b.value
+        for pdf in batches:
+            c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            sims = np.round(mat @ c.T, round_to)  # (n_query, batch)
+            sims[q_ids[:, None] == c_ids[None, :]] = -np.inf  # self-match
+            kk = min(k, sims.shape[1])
+            order = np.lexsort((np.broadcast_to(c_ids, sims.shape), -sims), axis=1)[:, :kk]
+            out_q = np.repeat(ids, kk)
+            out_c = c_ids[order].ravel()
+            out_s = np.take_along_axis(sims, order, axis=1).ravel()
+            keep = np.isfinite(out_s)
+            yield pd.DataFrame(
+                {"query_id": out_q[keep], "cand_id": out_c[keep], "cosine": out_s[keep]}
+            )
+
+    partial = candidates.select(id_col, vec_col).mapInPandas(gen, _PAIR_SCHEMA)
+    return topk_per_group(partial, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold (exact).
+
+    Streams the corpus against a broadcast of itself (upper-triangle
+    GEMM).  Bounded-corpus shape: for an unbounded corpus, grid the
+    ids into blocks and run the same kernel per block pair.
+    """
+    a_ids, a_mat = _collect_matrix(df, id_col, vec_col)
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast((a_ids, a_mat))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = b.value
+        for pdf in batches:
+            s = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            s /= np.linalg.norm(s, axis=1, keepdims=True)
+            s_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            sims = np.round(s @ mat.T, round_to)
+            ii, jj = np.nonzero((sims >= threshold) & (s_ids[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {"query_id": s_ids[ii], "cand_id": ids[jj], "cosine": sims[ii, jj]}
+            )
+
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(gen, _PAIR_SCHEMA)
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("cand_id").alias("id_b"),
+            "cosine",
+        )
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_centroids_mod: int = 37,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: probe only the nprobe nearest
+    centroid buckets per query.
+
+    Centroids are a deterministic sample of the corpus (vec_id %
+    n_centroids_mod == 0), a stand-in for a k-means codebook that keeps
+    the operator seed-free.  Plan: (1) assign candidates to nearest
+    centroid (broadcast codebook GEMM, map-only), (2) probe top-nprobe
+    centroids per query, (3) shuffle-join probes x assignments on
+    centroid_id and score only those pairs.  Approximate => rows-only
+    driver check.
+    """
+    cents = candidates.filter(F.col(id_col) % n_centroids_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    assigned = nearest_broadcast(
+        candidates, cents, 1, stream_id=id_col, stream_vec=vec_col,
+        ref_id="centroid_id", ref_vec="cvec", round_to=round_to,
+    ).select(F.col("query_id").alias("cand_id"), F.col("cand_id").alias("centroid_id"))
+    probes = nearest_broadcast(
+        queries, cents, nprobe, stream_id=id_col, stream_vec=vec_col,
+        ref_id="centroid_id", ref_vec="cvec", round_to=round_to,
+    ).select(F.col("query_id"), F.col("cand_id").alias("centroid_id"))
+
+    cand_vecs = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    pairs = (
+        probes.join(assigned, "centroid_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .join(cand_vecs, "cand_id")
+    )
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    spark = candidates.sparkSession
+    b = spark.sparkContext.broadcast({int(i): v for i, v in zip(q_ids, q_mat)})
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qmap = b.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c = np.stack(pdf["cvec"].to_numpy()).astype(np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            q = np.stack([qmap[int(x)] for x in pdf["query_id"]])
+            sims = np.round(np.einsum("ij,ij->i", q, c), round_to)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "cand_id": pdf["cand_id"], "cosine": sims}
+            )
+
+    scored = pairs.select("query_id", "cand_id", "cvec").mapInPandas(score, _PAIR_SCHEMA)
+    return topk_per_group(scored, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k)

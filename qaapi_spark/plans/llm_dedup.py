@@ -1,0 +1,113 @@
+"""Deduplication queries over `documents` / `embeddings` (extended
+surface): exact, ngram-Jaccard, MinHash-LSH, SimHash, embedding-cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qaapi_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from qaapi_spark.operators.similarity import embedding_near_dup_pairs
+from qaapi_spark.plans.catalog import query, t
+
+_DD_WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+_JACCARD_THRESHOLD = 0.8
+_COSINE_THRESHOLD = 0.4
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text ORDER BY keep_id
+    """,
+    doc="exact dedup: hash groupBy on text, min-id keeper (extension)",
+)
+def dedup_exact_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return exact_dedup(d).orderBy("keep_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id AS id, {_DD_WORDS} AS w FROM documents
+    ),
+    sets AS (
+        SELECT id,
+               list_distinct(CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS sh
+        FROM words
+    ),
+    sizes AS (SELECT id, len(sh) AS set_size FROM sets),
+    posting AS (SELECT id, unnest(sh) AS shingle FROM sets),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.id_a = sa.id
+    JOIN sizes sb ON i.id_b = sb.id
+    WHERE ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4) >= {_JACCARD_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+    doc="near-dup via bigram-shingle inverted-index Jaccard join (extension)",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, _JACCARD_THRESHOLD, n=2).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # approximate (LSH banding) => rows-only driver check
+    doc="near-dup via MinHashLSH (pyspark.ml), seeded deterministic (extension)",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.8, num_hashes=32, n_bands=4).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 not available in DuckDB => rows-only check
+    doc="near-dup via 63-bit SimHash + band join + hamming filter (extension)",
+)
+def dedup_simhash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH u AS (
+        SELECT vec_id AS id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
+                            list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                            list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS uv
+        FROM embeddings
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(list_dot_product(a.uv, b.uv), 4) AS cosine
+    FROM u a JOIN u b ON a.id < b.id
+    WHERE ROUND(list_dot_product(a.uv, b.uv), 4) >= {_COSINE_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+    doc="near-dup via exact pairwise embedding cosine >= threshold (extension)",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, _COSINE_THRESHOLD).orderBy("id_a", "id_b")

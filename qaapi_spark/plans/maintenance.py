@@ -1,0 +1,101 @@
+"""Table-maintenance semantics as queries (reference J2/J3/J5,
+SURVEY.md §2.4) — the MERGE/DELETE statements of Update...sql expressed
+as (target, batch) -> resulting relation over the `orders` table, so
+the DuckDB oracle can verify the post-maintenance state.
+
+The batch is a trailing-window increment (the reference re-extracts the
+last 16/30 days and reconciles — Start.py:19,39); these queries split
+`orders` by o_orderdate the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qaapi_spark.operators.maintain import delete_semi_anti, merge_insert_only, merge_upsert
+from qaapi_spark.plans.catalog import query, t
+
+_CUT_TARGET = "2000-01-01"  # target := orders strictly before this date
+_CUT_BATCH = "1999-01-01"  # batch  := orders on/after this date (overlaps target)
+
+_ORDER_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+
+def _split(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderdate") < F.lit(_CUT_TARGET).cast("timestamp"))
+    batch = o.filter(F.col("o_orderdate") >= F.lit(_CUT_BATCH).cast("timestamp"))
+    return target, batch
+
+
+@query(
+    "j2_merge_insert_only_orders",
+    oracle=f"""
+    WITH target AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT_TARGET}'),
+         batch  AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUT_BATCH}')
+    SELECT {_ORDER_COLS} FROM target
+    UNION ALL
+    SELECT {_ORDER_COLS} FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = b.o_orderkey)
+    """,
+    doc="J2 MERGE WHEN NOT MATCHED INSERT (anti-join+append); ref Update...sql:36-53",
+)
+def j2_merge_insert_only_orders(spark, sf_dir):
+    target, batch = _split(spark, sf_dir)
+    return merge_insert_only(target, batch, ["o_orderkey"])
+
+
+@query(
+    "j3_merge_upsert_orders",
+    oracle=f"""
+    WITH target AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT_TARGET}'),
+         batch AS (
+            SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                   o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUT_BATCH}'
+         )
+    SELECT t.o_orderkey, t.o_custkey, b.o_orderstatus, b.o_totalprice, t.o_orderdate, t.o_orderpriority
+    FROM target t JOIN batch b ON t.o_orderkey = b.o_orderkey
+    UNION ALL
+    SELECT {_ORDER_COLS} FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.o_orderkey = t.o_orderkey)
+    UNION ALL
+    SELECT {_ORDER_COLS} FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = b.o_orderkey)
+    """,
+    doc="J3 MERGE upsert updating a column subset (o_orderdate preserved on match, "
+    "like evaluated_date at Update...sql:128-130); ref Update...sql:97-134",
+)
+def j3_merge_upsert_orders(spark, sf_dir):
+    target, batch = _split(spark, sf_dir)
+    # +1000.0 instead of *1.1: identical IEEE op in Spark and DuckDB,
+    # no rounding boundary to disagree on.
+    batch = batch.withColumn("o_orderstatus", F.lit("U")).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    return merge_upsert(
+        target, batch, ["o_orderkey"], update_cols=["o_orderstatus", "o_totalprice"]
+    )
+
+
+@query(
+    "j5_delete_semi_anti_orders",
+    oracle=f"""
+    WITH batch AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUT_BATCH}')
+    SELECT {_ORDER_COLS} FROM orders o
+    WHERE NOT (o.o_custkey IN (SELECT o_custkey FROM batch)
+               AND o.o_orderkey NOT IN (SELECT o_orderkey FROM batch))
+    """,
+    doc="J5 DELETE WHERE k IN scope AND k2 NOT IN keep (semi+anti, null-safe); "
+    "ref Update...sql:88-92",
+)
+def j5_delete_semi_anti_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    batch = o.filter(F.col("o_orderdate") >= F.lit(_CUT_BATCH).cast("timestamp"))
+    return delete_semi_anti(
+        o,
+        scope=batch.select(F.col("o_custkey")),
+        scope_keys=["o_custkey"],
+        keep=batch.select(F.col("o_orderkey")),
+        keep_keys=["o_orderkey"],
+    )

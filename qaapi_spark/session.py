@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the local[32] test harness.
+
+The settings mirror what a production cluster deployment would set per
+job (AQE on, shuffle partitions sized to cores, UTC session timezone so
+timestamp semantics are engine-independent).  The driver harness passes
+its own session to the entry points; ``tune_session`` applies the
+runtime-settable subset to any session we are handed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Runtime-settable conf that query correctness/perf relies on.
+
+    Safe and idempotent on a session we did not create.
+    """
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    return spark
+
+
+def get_spark(app_name: str = "qaapi-spark") -> SparkSession:
+    n = cpu_count()
+    spark = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    return tune_session(spark)

@@ -1,0 +1,51 @@
+"""Readers for the driver-provided parquet tables (TESTDATA.md).
+
+Parquet scans go through Spark's vectorized reader; Catalyst pushes
+filters and prunes columns into the scan, so callers should express
+projections/filters declaratively rather than materializing wide reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at any realistic scale
+# factor (region=5, nation=25 rows; fixed-size lookup tables in TPC-H).
+BROADCAST_TABLES = {"region", "nation"}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; read nanos as long and convert
+        # (sub-microsecond part is zero in the generated data, so the
+        # integer division is exact and matches DuckDB's ns->us cast).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose all tables as temp views for spark.sql() entry points."""
+    for name in TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
