@@ -86,6 +86,9 @@ def delete_semi_anti(
     victims = (
         target.join(F.broadcast(scope.select(*scope_keys).distinct()), list(scope_keys), "left_semi")
         .join(F.broadcast(keep.select(*keep_keys).distinct()), list(keep_keys), "left_anti")
+        # USING-joins hoist key columns to the front; exceptAll is
+        # positional, so restore the target's column order explicitly
+        .select(*target.columns)
     )
     return target.exceptAll(victims)
 

@@ -1,0 +1,179 @@
+"""The reference's curated-layer DAG (Update...sql, 7 statements) as
+Catalyst plans over the Calabrio-shaped JSON fixtures, each with a
+DuckDB `read_json` oracle.
+
+These queries ignore ``sf_dir``: the Calabrio entities are a fixed
+fixture corpus (tools/gen_fixtures.py — deterministic, committed at
+fixtures/), because the driver's test tables don't carry the nested
+document shapes this pipeline exists for.
+
+Curated output shapes and column order are contractual
+(FIXTURES.md A6; positional INSERT VALUES at Update...sql:52,78,132).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from qaapi_spark import transforms as T
+from qaapi_spark.plans.catalog import query
+from qaapi_spark.sources.landing import read_entity
+
+FIXTURES_DIR = "/root/repo/fixtures"
+
+_URL_PREFIX = T.URL_PREFIX
+
+# DuckDB fragment: epoch-ms -> Denver wall time (naive), mirroring
+# transforms.denver_ntz with session tz UTC.
+_DD_DENVER = "timezone('America/Denver', timezone('UTC', epoch_ms({col})))"
+
+
+@query(
+    "calabrio_forms_flatten",
+    oracle=f"""
+    WITH f AS (SELECT * FROM read_json('{FIXTURES_DIR}/forms.json')),
+    s AS (SELECT id AS form_id, name AS form_name, unnest(sections) AS sec FROM f),
+    q AS (SELECT form_id, form_name, sec.id AS section_id, sec.name AS section_name,
+                 sec.weight AS section_weight, unnest(sec.questions) AS que FROM s),
+    o AS (SELECT form_id, form_name, section_id, section_name, section_weight,
+                 que.id AS question_id, que.text AS question_text,
+                 que.weight AS question_weight, unnest(que.options) AS opt FROM q)
+    SELECT form_id, form_name, section_id, section_name, section_weight,
+           question_id, question_text, question_weight,
+           opt.id AS option_id, opt.label AS option_label,
+           opt.points AS option_points, opt.type AS option_type
+    FROM o
+    ORDER BY form_id, section_id, question_id, option_id
+    """,
+    doc="t_qa_forms: 3-level inner LATERAL FLATTEN (L1); ref Update...sql:6-27",
+)
+def calabrio_forms_flatten(spark, sf_dir):
+    f = read_entity(spark, f"{FIXTURES_DIR}/forms.json", "forms")
+    return T.forms_flatten(f).orderBy("form_id", "section_id", "question_id", "option_id")
+
+
+@query(
+    "calabrio_contacts_curated",
+    oracle=f"""
+    SELECT DISTINCT id AS contact_id,
+           {_DD_DENVER.format(col="startTime")} AS contact_start_time,
+           '{_URL_PREFIX}' || CAST(id AS VARCHAR) || '/review' AS contact_url,
+           assocCallId AS cjp_session_id
+    FROM read_json('{FIXTURES_DIR}/all_contacts_*.json')
+    ORDER BY contact_id
+    """,
+    doc="t_contacts: glob-union batches + insert-only dedup + epoch->Denver + "
+    "URL concat (S11,J2,F2,F3,F11); ref Update...sql:36-79",
+)
+def calabrio_contacts_curated(spark, sf_dir):
+    c = read_entity(spark, f"{FIXTURES_DIR}/all_contacts_*.json", "all_contacts")
+    return T.contacts_curated(c).distinct().orderBy("contact_id")
+
+
+@query(
+    "calabrio_evaluations_curated",
+    oracle=f"""
+    WITH e AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY evaluated DESC) AS rn
+        FROM read_json('{FIXTURES_DIR}/fix_eval_raw.json')
+        WHERE state.text = 'SCORED'
+    )
+    SELECT id AS evaluation_id,
+           evalForm.evalFormId AS form_id,
+           CAST(regexp_extract(qualityRef, '([0-9]+)$', 1) AS BIGINT) AS contact_id,
+           agent.id AS agent_id,
+           evaluator.id AS evaluator_id,
+           CASE WHEN isScoreCounted THEN 'Evaluation' ELSE 'Calibration' END AS eval_type,
+           {_DD_DENVER.format(col="evaluated")} AS evaluated_date,
+           responseState.text AS response_state,
+           additiveScore AS raw_score,
+           totalScore AS final_score
+    FROM e WHERE rn = 1
+    ORDER BY evaluation_id
+    """,
+    doc="t_qa_evaluations: SCORED filter (P4) + W1 dedup + regex contact id (F5) + "
+    "IFF eval type (F9); ref Update...sql:97-134",
+)
+def calabrio_evaluations_curated(spark, sf_dir):
+    e = read_entity(spark, f"{FIXTURES_DIR}/fix_eval_raw.json", "evaluations")
+    return T.evaluations_curated(e).orderBy("evaluation_id")
+
+
+@query(
+    "calabrio_scores_flatten",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT id, qualityRef, sections
+        FROM read_json('{FIXTURES_DIR}/fix_eval_raw.json')
+        WHERE state.text = 'SCORED'
+    ),
+    s AS (SELECT id, qualityRef, unnest(sections) AS sec FROM e),
+    q AS (SELECT id, qualityRef, sec.id AS section_id, unnest(sec.questions) AS que FROM s)
+    SELECT DISTINCT id AS evaluation_id,
+           CAST(regexp_extract(qualityRef, '([0-9]+)$', 1) AS BIGINT) AS contact_id,
+           section_id,
+           que.id AS question_id,
+           que.selectedOption AS option_id
+    FROM q
+    ORDER BY evaluation_id, section_id, question_id
+    """,
+    doc="t_qa_evaluation_scores: 2-level flatten of scored evals (L2); "
+    "ref Update...sql:149-170",
+)
+def calabrio_scores_flatten(spark, sf_dir):
+    e = read_entity(spark, f"{FIXTURES_DIR}/fix_eval_raw.json", "evaluations")
+    return T.scores_flatten(e).orderBy("evaluation_id", "section_id", "question_id")
+
+
+@query(
+    "calabrio_comments_curated",
+    oracle=f"""
+    WITH c AS (SELECT * FROM read_json('{FIXTURES_DIR}/fix_comments_raw.json')),
+    h AS (SELECT "$ref" AS cref, unnest(history) AS he FROM c),
+    joined AS (
+        SELECT c."$ref", c.sectionFK, c.questionFK, c.created, c.commentor, c.text,
+               h.he.created AS h_created, h.he.commentor."$ref" AS h_commentor_ref
+        FROM c LEFT JOIN h ON c."$ref" = h.cref
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY "$ref" ORDER BY h_created DESC NULLS LAST) AS rn
+        FROM joined
+    )
+    SELECT CAST(regexp_extract_all("$ref", '[0-9]+')[3] AS BIGINT) AS comment_id,
+           CAST(regexp_extract_all("$ref", '[0-9]+')[1] AS BIGINT) AS contact_id,
+           CAST(regexp_extract_all("$ref", '[0-9]+')[2] AS BIGINT) AS evaluation_id,
+           sectionFK AS section_id,
+           questionFK AS question_id,
+           {_DD_DENVER.format(col="COALESCE(h_created, created)")} AS created_date,
+           CAST(regexp_extract(COALESCE(h_commentor_ref, commentor."$ref"), '([0-9]+)', 1) AS BIGINT) AS commentor_id,
+           text
+    FROM ranked
+    WHERE rn = 1 AND regexp_matches(text, '[0-9A-Za-z]')
+    ORDER BY comment_id
+    """,
+    doc="t_qa_evaluation_comments: $ref 3-id parse (F7) + history explode_outer "
+    "default (L3) + keep-latest (W2) + alnum filter (P6); ref Update...sql:185-215",
+)
+def calabrio_comments_curated(spark, sf_dir):
+    c = read_entity(spark, f"{FIXTURES_DIR}/fix_comments_raw.json", "comments")
+    return T.comments_curated(c).orderBy("comment_id")
+
+
+@query(
+    "calabrio_transcripts_flatten",
+    oracle=f"""
+    WITH t AS (SELECT * FROM read_json('{FIXTURES_DIR}/fix_transcript_raw.json')
+               WHERE len(segments) > 0),
+    s AS (SELECT ccrid, unnest(segments) AS seg FROM t)
+    SELECT ccrid, seg.start_ms AS start_ms, seg.end_ms AS end_ms,
+           seg.speaker AS speaker, seg.text AS text
+    FROM s ORDER BY ccrid, start_ms
+    """,
+    doc="transcripts: empty-response skip (S5) + segment flatten; "
+    "ref modules/qa_api_handler.py:163-200",
+)
+def calabrio_transcripts_flatten(spark, sf_dir):
+    t = read_entity(spark, f"{FIXTURES_DIR}/fix_transcript_raw.json", "transcripts")
+    return T.transcripts_flatten(t).orderBy("ccrid", "start_ms")
