@@ -14,5 +14,6 @@ from qaapi_spark.plans import calabrio  # noqa: E402,F401
 from qaapi_spark.plans import llm_text  # noqa: E402,F401
 from qaapi_spark.plans import llm_dedup  # noqa: E402,F401
 from qaapi_spark.plans import llm_similarity  # noqa: E402,F401
+from qaapi_spark.plans import llm_multimodal  # noqa: E402,F401
 
 __all__ = ["CATALOG", "QuerySpec", "query"]

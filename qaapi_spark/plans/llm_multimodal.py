@@ -1,0 +1,100 @@
+"""Multimodal-column queries (extended surface): binary payloads +
+typed metadata, decode/feature-extract/frame-sample plumbing, and the
+streaming windowed aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qaapi_spark.operators.multimodal import decode_features, sample_frames, synthesize_media
+from qaapi_spark.plans.catalog import query, t
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+           CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+           CAST(length(text) * 40 AS BIGINT) AS duration_ms
+    FROM documents ORDER BY media_id
+    """,
+    doc="multimodal: binary payload + typed metadata projection (extension)",
+)
+def multimodal_metadata(spark, sf_dir):
+    m = synthesize_media(t(spark, sf_dir, "documents"))
+    return m.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    ).orderBy("media_id")
+
+
+@query(
+    "multimodal_decode_features",
+    oracle=None,  # fake-decode byte-histogram kernel => rows-only check
+    doc="multimodal: Arrow-batched decode/feature-extract stub over binary "
+    "payloads (real codecs gated behind import-try) (extension)",
+)
+def multimodal_decode_features(spark, sf_dir):
+    m = synthesize_media(t(spark, sf_dir, "documents"))
+    f = decode_features(m)
+    # project the vector to scalars so the rows-only hash is stable
+    return f.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+    ).orderBy("media_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id AS media_id,
+               CAST(length(text) % 240 + 8 AS INTEGER) AS n_frames
+        FROM documents WHERE (doc_id % 3) + 1 = 3
+    )
+    SELECT media_id, n_frames, unnest(range(0, n_frames, 10)) AS frame_idx
+    FROM v ORDER BY media_id, frame_idx
+    """,
+    doc="multimodal: video frame-sampling plumbing (sequence+explode over "
+    "typed metadata, payload untouched) (extension)",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    m = synthesize_media(t(spark, sf_dir, "documents"))
+    return (
+        sample_frames(m, stride=10)
+        .select("media_id", "n_frames", F.col("frame_idx").cast("long").alias("frame_idx"))
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@query(
+    "stream_windowed_event_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    doc="Structured Streaming: watermarked tumbling-window agg over the event "
+    "stream, complete-mode replay == batch group-by (extension, SURVEY §2.9)",
+)
+def stream_windowed_event_counts(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import events_windowed_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return events_windowed_counts(spark, f"{sf_dir}/events.parquet").orderBy(
+        "window_start", "event_type"
+    )

@@ -1,0 +1,127 @@
+"""Structured-Streaming variants of the batch surface (SURVEY.md §2.9
+extension: the reference is strictly batch; this is the incremental
+upgrade path).
+
+Two shapes:
+  - windowed aggregation over an event stream with watermarked late-
+    data handling (`events_windowed_counts`)
+  - the landing-directory reconcile: stream JSON batches out of a
+    directory and apply the same maintenance semantics via
+    foreachBatch (`stream_landing_reconcile`)
+
+Both run the bounded test data through a real streaming query
+(availableNow trigger + memory sink), so the plumbing is the same one
+an unbounded source (Kafka, autoloader directory) would use.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_windowed_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window counts per event_type over a parquet-backed
+    stream; returns the final (complete-mode) result as a batch DF.
+
+    complete output mode => bounded replay produces exactly the batch
+    group-by result, so the query is DuckDB-oracle checkable while
+    still exercising watermark + window state machinery.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from qaapi_spark.sources.tables import read_table
+
+    # schema must be known up-front for a streaming source; take the
+    # batch reader's schema but keep ts in its RAW on-disk shape
+    # (INT64 nanos read as long via nanosAsLong) and convert in-stream
+    sf_dir = events_path.rsplit("/", 1)[0]
+    batch_df = read_table(spark, sf_dir, "events")
+    raw_schema = StructType(
+        [
+            StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
+            for f in batch_df.schema.fields
+        ]
+    )
+    # FileStreamSource wants a directory; stage the single parquet file
+    # behind a symlink dir (zero-copy)
+    import os
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, "part-0.parquet"))
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(stage_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    name = "events_windowed_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def stream_landing_reconcile(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_dir: str,
+) -> dict[str, int]:
+    """Reference EP1 as a stream: watch the landing directory for
+    contact batch files and merge each micro-batch insert-only into
+    the curated contacts table (foreachBatch => exactly-once per
+    epoch against an idempotent merge).
+    """
+    from qaapi_spark import transforms as T
+    from qaapi_spark.pipeline import CalabrioPipeline
+    from qaapi_spark.schemas import ENTITY_SCHEMAS
+
+    pipe = CalabrioPipeline(spark, warehouse_dir)
+
+    stream = (
+        spark.readStream.schema(ENTITY_SCHEMAS["all_contacts"])
+        .option("multiLine", "true")
+        .json(landing_dir)
+    )
+
+    from qaapi_spark.operators.maintain import merge_insert_only
+
+    def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        new = T.contacts_curated(batch_df).dropDuplicates(["contact_id"])
+        tgt = pipe.read("t_contacts")
+        merged = new if tgt is None else merge_insert_only(tgt, new, ["contact_id"])
+        pipe._swap_write(merged, "t_contacts")
+
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", warehouse_dir + "/_checkpoints/contacts")
+        .start()
+    )
+    q.awaitTermination()
+    out = pipe.read("t_contacts")
+    return {"t_contacts": out.count() if out is not None else 0}

@@ -1,0 +1,70 @@
+"""Streaming reconcile + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+from pyspark.sql import functions as F
+
+from qaapi_spark.operators.multimodal import decode_features, resize_stub, sample_frames, synthesize_media
+from qaapi_spark.sources.tables import read_table
+from qaapi_spark.streaming.incremental import stream_landing_reconcile
+
+FIX = "/root/repo/fixtures"
+
+
+def test_stream_landing_reconcile_insert_only(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(f"{FIX}/all_contacts_1.json", landing / "all_contacts_1.json")
+    shutil.copy(f"{FIX}/all_contacts_2.json", landing / "all_contacts_2.json")
+    wh = str(tmp_path / "wh")
+
+    out = stream_landing_reconcile(spark, str(landing), wh)
+    assert out["t_contacts"] == 40  # 30 + 16 with 6 cross-file dups
+
+    # a later micro-batch with one new + one duplicate contact
+    (landing / "all_contacts_3.json").write_text(
+        json.dumps(
+            [
+                {"id": 1, "startTime": 999, "assocCallId": "DUP"},
+                {"id": 77, "startTime": 1_709_300_000_000, "assocCallId": "CALL-00077"},
+            ]
+        )
+    )
+    out2 = stream_landing_reconcile(spark, str(landing), wh)
+    assert out2["t_contacts"] == 41  # insert-only: dup id 1 ignored
+
+    t = spark.read.parquet(wh + "/t_contacts")
+    # existing row kept its original value (insert-only semantics)
+    assert t.filter(F.col("contact_id") == 1).collect()[0]["cjp_session_id"] == "CALL-00001"
+
+
+def test_multimodal_feature_shape(spark, sf_dir):
+    m = synthesize_media(read_table(spark, sf_dir, "documents"))
+    f = decode_features(m)
+    rows = f.collect()
+    assert len(rows) == 500
+    assert all(len(r["features"]) == 8 for r in rows)
+    # histogram is L1-normalized (each bucket rounded to 6dp => sum
+    # can drift by up to 8 * 5e-7)
+    assert all(abs(sum(r["features"]) - 1.0) < 1e-5 for r in rows)
+    # deterministic across runs
+    again = decode_features(m).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_multimodal_frame_sample_bounds(spark, sf_dir):
+    m = synthesize_media(read_table(spark, sf_dir, "documents"))
+    s = sample_frames(m, stride=10)
+    bad = s.filter((F.col("frame_idx") < 0) | (F.col("frame_idx") >= F.col("n_frames")))
+    assert bad.count() == 0
+
+
+def test_multimodal_resize_passthrough(spark, sf_dir):
+    m = synthesize_media(read_table(spark, sf_dir, "documents"))
+    r = resize_stub(m, 224, 224)
+    row = r.filter(F.col("media_id") == 0).collect()[0]
+    assert row["width"] == 224 and row["height"] == 224
+    assert isinstance(row["payload"], (bytes, bytearray)) and len(row["payload"]) > 0
