@@ -1,0 +1,73 @@
+"""Tests for the stage runner (X2), concatenated-JSON repair (S9),
+filename routing (X4), and as-of join edges."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from qaapi_spark.operators.joins import as_of_join
+from qaapi_spark.runner import run_stages
+from qaapi_spark.sources.landing import repair_concatenated_json, route_files
+
+
+def test_repair_concatenated_json_merges_fragments():
+    # reference S9: appended responses create `[...]\n[...]` on disk
+    raw = '[{"id": 1}, {"id": 2}]\n[{"id": 3}]\n[{"id": 4}]'
+    fixed = repair_concatenated_json(raw)
+    assert [d["id"] for d in json.loads(fixed)] == [1, 2, 3, 4]
+
+
+def test_repair_noop_on_valid_array():
+    raw = '[{"a": "x]\\n[y"}]'  # the pattern inside a string is untouched
+    assert json.loads(repair_concatenated_json(raw)) == [{"a": "x]\n[y"}]
+
+
+def test_route_files_collapses_batches():
+    routed = route_files(
+        ["all_contacts_1.json", "all_contacts_2.json", "forms.json", "fix_eval_raw.json", "junk.txt"]
+    )
+    assert routed == {
+        "all_contacts*.json": "all_contacts",
+        "forms*.json": "forms",
+        "fix_eval_raw.json": "evaluations",
+    }
+
+
+def test_run_stages_skips_recursive_and_none():
+    calls = []
+
+    def a():
+        calls.append("a")
+
+    def b():
+        calls.append("b")
+
+    # the reference's guard printed but did not skip (X2 bug); ours skips
+    res = run_stages([a, None, run_stages, b])
+    assert calls == ["a", "b"]
+    assert res["a"]["status"] == "ok"
+    assert res["None"]["status"] == "skipped_none"
+    assert res["run_stages"]["status"] == "skipped_recursive"
+
+
+def test_as_of_join_no_match_keeps_left_row(spark):
+    left = spark.createDataFrame([(1, 100), (2, 5)], "id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 50, "old"), (1, 90, "new"), (2, 50, "late")], "k long, rts long, v string"
+    )
+    out = as_of_join(left, right, "id", "k", "ts", "rts", right_cols=["v"])
+    got = {r["id"]: (r["v"], r["__rts"] if "__rts" in r else None) for r in out.collect()}
+    # id=1 matches the latest rts<=100 ('new'); id=2 has no rts<=5 -> NULL
+    assert got[1][0] == "new"
+    assert got[2][0] is None
+
+
+def test_as_of_join_tiebreak(spark):
+    left = spark.createDataFrame([(1, 100)], "id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 90, 7, "a"), (1, 90, 9, "b")], "k long, rts long, pick long, v string"
+    )
+    out = as_of_join(left, right, "id", "k", "ts", "rts", right_cols=["pick", "v"], tiebreak=["pick"])
+    assert out.collect()[0]["v"] == "b"  # highest tiebreak wins deterministically
