@@ -137,6 +137,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("sh"),
     )
+    # cache: the shingle arrays feed both the driver-side corpus build
+    # and the streamed mapInPandas pass — don't shingle twice
+    sets = sets.persist()
     pdf_corpus = sets.toPandas()
     ids = pdf_corpus["id"].to_numpy(dtype=np.int64)
     flat = (
