@@ -1,0 +1,40 @@
+"""Skew mitigation: salted joins (pyspark_guide 'Partitioning &
+shuffle').
+
+AQE's skew-join splitting handles most cases at runtime
+(`spark.sql.adaptive.skewJoin.enabled=true`, on in `session`); salting
+is the explicit fallback when one side must be replicated — e.g. a
+fact-to-dim join where one dim key covers 30% of the fact table and
+the dim is too big to broadcast outright.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot keys: salt the skewed side
+    with a random-free deterministic bucket (hash of the full row via
+    monotonically spread key) and replicate ``other`` across salts.
+
+    Result == skewed.join(other, on, how) exactly; the shuffle key
+    becomes (on, salt) so a hot key spreads over n_salts reducers.
+    Replication multiplies the other side n_salts x — use only when
+    other is small-ish but above the broadcast threshold.
+    """
+    salted = skewed.withColumn(
+        "__salt", (F.xxhash64(*[F.col(c) for c in skewed.columns]) % n_salts + n_salts) % n_salts
+    )
+    replicated = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted.join(replicated, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -98,3 +98,19 @@ def stream_windowed_event_counts(spark, sf_dir):
     return events_windowed_counts(spark, f"{sf_dir}/events.parquet").orderBy(
         "window_start", "event_type"
     )
+
+
+@query(
+    "stream_sessionize_closed",
+    oracle=None,  # stateful streaming (open tails withheld) => rows-only;
+    # batch-equivalence is asserted in tests/test_scale_ops.py
+    doc="custom stateful streaming operator: per-user sessionization via "
+    "applyInPandasWithState, emitting closed sessions (extension, SURVEY §2.9)",
+)
+def stream_sessionize_closed(spark, sf_dir):
+    from qaapi_spark.streaming.stateful import stream_sessionize
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return stream_sessionize(spark, f"{sf_dir}/events.parquet").orderBy(
+        "user_id", "session_start"
+    )

@@ -1,0 +1,133 @@
+"""Custom stateful streaming operator: sessionization with
+``applyInPandasWithState`` (pyspark_guide 'Structured Streaming' —
+the Spark-native way to express per-key custom state machines).
+
+The batch analog (`plans/relational2.sessionization_gap30`) computes
+the same sessions with lag+cumsum; this operator maintains per-user
+open-session state across micro-batches and emits one row per CLOSED
+session, which is what an unbounded deployment needs (the batch window
+formulation would require reprocessing all history each run).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_GAP_S = 1800
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = None
+        n = 0
+
+    closed: list[tuple[Any, ...]] = []
+    for pdf in pdfs:
+        for ts in sorted(pdf["ts"]):
+            us = int(ts.value // 1000)  # pandas Timestamp ns -> us
+            if start_us is None:
+                start_us, last_us, n = us, us, 1
+            elif us - last_us > SESSION_GAP_S * 1_000_000:
+                closed.append((user_id, start_us, last_us, n))
+                start_us, last_us, n = us, us, 1
+            else:
+                last_us, n = us, n + 1
+    state.update((start_us, last_us, n))
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                "n_events": [c[3] for c in closed],
+            }
+        )
+
+
+def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
+    """Run the bounded event table through the stateful sessionizer and
+    return the closed sessions as a batch DataFrame.
+
+    Note: sessions still open at end-of-input are (correctly) not
+    emitted — an unbounded stream would close them via the processing-
+    time timeout path.
+    """
+    from pyspark.sql.types import LongType as _L
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    from qaapi_spark.sources.tables import read_table
+
+    sf_dir = events_path.rsplit("/", 1)[0]
+    batch_df = read_table(spark, sf_dir, "events")
+    raw_schema = _ST(
+        [
+            _SF("ts", _L(), f.nullable) if f.name == "ts" else f
+            for f in batch_df.schema.fields
+        ]
+    )
+    stage_dir = tempfile.mkdtemp(prefix="events_sess_")
+    os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, "part-0.parquet"))
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(stage_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .select("user_id", "ts")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = "sessions_" + uuid.uuid4().hex[:8]
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,76 @@
+"""Scale-oriented operators: stateful streaming sessionization,
+salted joins, bucketed co-located joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qaapi_spark.operators.skew import salted_join
+from qaapi_spark.sources.tables import read_table
+
+from tests.conftest import SF_SMOKE
+
+
+def test_stateful_sessionization_matches_batch(spark):
+    """Closed sessions from the stateful streaming operator must agree
+    with the batch lag+cumsum formulation (minus still-open tails)."""
+    from qaapi_spark.streaming.stateful import SESSION_GAP_S, stream_sessionize
+    from pyspark.sql import Window
+
+    streamed = stream_sessionize(spark, f"{SF_SMOKE}/events.parquet")
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in streamed.collect()
+    }
+
+    e = read_table(spark, SF_SMOKE, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(prev)
+    sess = (
+        e.withColumn("new", F.when(prev.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0))
+        .withColumn("sid", F.sum("new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"), F.count("*").alias("n_events"))
+    )
+    # drop each user's LAST session (still open in the streaming view)
+    wlast = Window.partitionBy("user_id").orderBy(F.col("sid").desc())
+    closed_batch = sess.withColumn("rn", F.row_number().over(wlast)).filter(F.col("rn") > 1)
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in closed_batch.collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    e = read_table(spark, SF_SMOKE, "events").select("user_id", "event_id", "value")
+    c = read_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = e.join(c, "user_id").select("event_id", "c_mktsegment")
+    salted = salted_join(e, c, "user_id", n_salts=4).select("event_id", "c_mktsegment")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """bucketBy co-located join: both sides bucketed on the key =>
+    SortMergeJoin with NO Exchange in the plan."""
+    o = read_table(spark, SF_SMOKE, "orders")
+    c = read_table(spark, SF_SMOKE, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bo, bc = spark.table("b_orders"), spark.table("b_customer")
+        j = bo.join(bc, bo.o_custkey == bc.c_custkey).select("o_orderkey", "c_name")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
