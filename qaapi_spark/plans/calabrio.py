@@ -177,3 +177,80 @@ def calabrio_comments_curated(spark, sf_dir):
 def calabrio_transcripts_flatten(spark, sf_dir):
     t = read_entity(spark, f"{FIXTURES_DIR}/fix_transcript_raw.json", "transcripts")
     return T.transcripts_flatten(t).orderBy("ccrid", "start_ms")
+
+
+@query(
+    "calabrio_form_max_scores",
+    oracle=f"""
+    WITH f AS (SELECT * FROM read_json('{FIXTURES_DIR}/forms.json')),
+    s AS (SELECT id AS form_id, name AS form_name, unnest(sections) AS sec FROM f),
+    q AS (SELECT form_id, form_name, sec.id AS section_id, sec.weight AS section_weight,
+                 unnest(sec.questions) AS que FROM s),
+    o AS (SELECT form_id, form_name, section_id, section_weight,
+                 que.id AS question_id, que.weight AS question_weight,
+                 unnest(que.options) AS opt FROM q),
+    qmax AS (
+        SELECT form_id, form_name, section_id, section_weight, question_id, question_weight,
+               MAX(CASE WHEN opt.type = 'ADDITIVE' THEN opt.points ELSE 0 END) AS max_points
+        FROM o GROUP BY ALL
+    ),
+    smax AS (
+        SELECT form_id, form_name, section_id,
+               ROUND(section_weight * SUM(question_weight * max_points), 4) AS section_max
+        FROM qmax GROUP BY form_id, form_name, section_id, section_weight
+    )
+    SELECT form_id, form_name, ROUND(SUM(section_max), 4) AS form_max_score
+    FROM smax GROUP BY form_id, form_name ORDER BY form_id
+    """,
+    doc="derived analytic over the forms hierarchy: weighted max-attainable "
+    "score per form (nested flatten + two-level re-aggregation; the scoring "
+    "semantics the reference's totalScore implies, Update...sql:111-114 + "
+    "PDF pp.119-124)",
+)
+def calabrio_form_max_scores(spark, sf_dir):
+    f = read_entity(spark, f"{FIXTURES_DIR}/forms.json", "forms")
+    flat = T.forms_flatten(f)
+    qmax = flat.groupBy(
+        "form_id", "form_name", "section_id", "section_weight", "question_id", "question_weight"
+    ).agg(
+        F.max(
+            F.when(F.col("option_type") == "ADDITIVE", F.col("option_points")).otherwise(0)
+        ).alias("max_points")
+    )
+    smax = qmax.groupBy("form_id", "form_name", "section_id", "section_weight").agg(
+        F.round(
+            F.col("section_weight") * F.sum(F.col("question_weight") * F.col("max_points")), 4
+        ).alias("section_max")
+    )
+    return (
+        smax.groupBy("form_id", "form_name")
+        .agg(F.round(F.sum("section_max"), 4).alias("form_max_score"))
+        .orderBy("form_id")
+    )
+
+
+@query(
+    "calabrio_null_evaluator_probe",
+    oracle=f"""
+    WITH e AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY evaluated DESC) AS rn
+        FROM read_json('{FIXTURES_DIR}/fix_eval_raw.json')
+        WHERE state.text = 'SCORED'
+    )
+    SELECT id AS evaluation_id,
+           CAST(regexp_extract(qualityRef, '([0-9]+)$', 1) AS BIGINT) AS contact_id,
+           agent.id AS agent_id
+    FROM e WHERE rn = 1 AND evaluator.id IS NULL
+    ORDER BY evaluation_id
+    """,
+    doc="data-quality probe: evaluations with NULL evaluator (P5 orphan-row "
+    "check); ref sql_templates/trouble_children.sql:1-8",
+)
+def calabrio_null_evaluator_probe(spark, sf_dir):
+    e = read_entity(spark, f"{FIXTURES_DIR}/fix_eval_raw.json", "evaluations")
+    cur = T.evaluations_curated(e)
+    return (
+        cur.filter(F.col("evaluator_id").isNull())
+        .select("evaluation_id", "contact_id", "agent_id")
+        .orderBy("evaluation_id")
+    )

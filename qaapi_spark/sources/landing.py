@@ -50,6 +50,25 @@ def read_entity(spark: SparkSession, pattern_or_path: str, entity: str) -> DataF
     )
 
 
+def clean_landing(landing_dir: str, keep: set[str] | None = None) -> list[str]:
+    """X3/S13: purge landed files before a re-land cycle (reference
+    temp-dir purge `modules/qa_api_handler.py:304,314,319-324` and
+    `remove @stage` `:288`).  Returns the removed filenames."""
+    import os
+
+    removed = []
+    if not os.path.isdir(landing_dir):
+        return removed
+    for fn in sorted(os.listdir(landing_dir)):
+        if keep and fn in keep:
+            continue
+        p = os.path.join(landing_dir, fn)
+        if os.path.isfile(p):
+            os.remove(p)
+            removed.append(fn)
+    return removed
+
+
 def route_files(filenames: list[str]) -> dict[str, str]:
     """X4: landed filename -> entity, collapsing batch files to one
     glob entry (first match wins, like the reference routing dict)."""

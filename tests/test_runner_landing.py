@@ -71,3 +71,13 @@ def test_as_of_join_tiebreak(spark):
     )
     out = as_of_join(left, right, "id", "k", "ts", "rts", right_cols=["pick", "v"], tiebreak=["pick"])
     assert out.collect()[0]["v"] == "b"  # highest tiebreak wins deterministically
+
+
+def test_clean_landing(tmp_path):
+    from qaapi_spark.sources.landing import clean_landing
+
+    for fn in ["a.json", "b.json", "keep.json"]:
+        (tmp_path / fn).write_text("[]")
+    removed = clean_landing(str(tmp_path), keep={"keep.json"})
+    assert removed == ["a.json", "b.json"]
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["keep.json"]
