@@ -1,13 +1,15 @@
 """Deduplication operators for training-data pipelines.
 
 Four families, by exactness/scale trade-off:
-  - exact:       hash groupBy on the full text (one shuffle on text hash)
-  - ngram-jaccard: shingle inverted-index join — candidate pairs only
-                   where shingles collide (scales with collisions, not n^2)
-  - minhash-LSH: pyspark.ml MinHashLSH banding (sub-quadratic, seedable)
-  - simhash:     64-bit fingerprint + band join + hamming filter
+  - exact:         hash groupBy on the full text (one shuffle)
+  - ngram-jaccard: exact pairs — bitset/GEMM kernel for dense vocab,
+                   inverted-index join for open vocab
+  - minhash-LSH:   xxhash64 minhash signatures + banded candidate join
+                   (sub-quadratic, deterministic, no fitted model)
+  - simhash:       63-bit fingerprint + band join + hamming filter
 
-Everything except MinHashLSH is pure Catalyst expressions.
+Candidate generation and signatures are Catalyst expressions; only the
+exact-Jaccard intersection kernel uses an Arrow/numpy batch kernel.
 """
 
 from __future__ import annotations
@@ -137,6 +139,10 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("sh"),
     )
+    # single-file inputs arrive as ONE partition; spread the streamed
+    # GEMM across the cluster before caching (the kernel cost is
+    # corpus_rows x batch_rows — it must parallelize over batches)
+    sets = sets.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # cache: the shingle arrays feed both the driver-side corpus build
     # and the streamed mapInPandas pass — don't shingle twice
     sets = sets.persist()
@@ -240,7 +246,7 @@ def minhash_lsh_pairs(
     # signatures via ONE hash-aggregate with num_hashes min() columns
     # (partial agg map-side, single shuffle on the doc id) rather than
     # num_hashes array traversals per document
-    posting = df.select(
+    posting = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
     )
@@ -306,26 +312,40 @@ def simhash_fingerprints(
     """(id, fp): SimHash over distinct ws tokens using xxhash64.
 
     bit_j(doc) = majority over tokens of hash-bit j, packed into a
-    non-negative 63-bit long.  Plan: explode distinct tokens, hash once
-    (JVM-side), then ONE hash-aggregate with 63 vectorized sum
-    expressions — single shuffle on the doc id, partial aggregation
-    map-side, no per-bit array re-traversal.
+    non-negative 63-bit long.  Token hashing stays JVM-side (xxhash64
+    inside the scan stage); the bit-vote majority is a vectorized
+    Arrow kernel — per batch one (tokens x bits) matrix and a reduceat
+    per document.  Map-only: no shuffle at all.
     """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     toks = F.array_distinct(ws_tokens(F.lower(F.col(text_col))))
-    posting = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok")).withColumn(
-        "h", F.xxhash64("tok")
+    hashed = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda w: F.xxhash64(w)).alias("hs"),
     )
-    votes = [
-        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
-        for j in range(bits)
-    ]
-    voted = posting.groupBy("id").agg(*votes)
-    packed = F.lit(0).cast("long")
-    for j in range(bits):
-        packed = packed + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return voted.select("id", packed.alias("fp"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(bits, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts).astype(np.int64)
+        for pdf in batches:
+            lens = np.array([len(a) for a in pdf["hs"]], dtype=np.int64)
+            keep = lens > 0
+            if not keep.any():
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)[keep]
+            arrs = [np.asarray(a, dtype=np.int64) for a, k in zip(pdf["hs"], keep) if k]
+            flat = np.concatenate(arrs).astype(np.uint64)
+            offsets = np.concatenate(([0], np.cumsum(lens[keep])[:-1]))
+            bit_votes = (((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1)
+            sums = np.add.reduceat(bit_votes, offsets, axis=0)  # (docs, bits)
+            fp = ((sums > 0).astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame({"id": ids, "fp": fp})
+
+    return hashed.mapInPandas(gen, "id long, fp long")
 
 
 def simhash_near_dup_pairs(
@@ -341,11 +361,16 @@ def simhash_near_dup_pairs(
     max_hamming < n_bands, a qualifying pair is *guaranteed* to agree
     exactly on >=1 band (pigeonhole) => full recall.  Band join avoids
     the n^2 cross product at scale.
+
+    The banded join runs over DISTINCT fingerprints (duplicate docs
+    collapse into one representative), then expands back to doc pairs:
+    near-dup corpora cluster onto few fingerprints, and the expansion
+    is output-bound instead of candidate-bound.
     """
-    fp = simhash_fingerprints(df, text_col, id_col)
+    fp = simhash_fingerprints(df, text_col, id_col).persist()
+    ufp = fp.select("fp").distinct()
     band_width = 64 // n_bands
-    bands = fp.select(
-        "id",
+    bands = ufp.select(
         "fp",
         F.explode(
             F.array(
@@ -360,25 +385,34 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "fp", "bk.band", "bk.key")
-    cand = (
+    ).select("fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    fp_pairs = (
         bands.alias("a")
         .join(
             bands.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.fp") < F.col("b.fp")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .dropDuplicates(["fp_a", "fp_b"])
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+    # expand distinct-fp pairs to doc pairs
+    cross_fp = (
+        fp_pairs.join(fp.withColumnRenamed("fp", "fp_a").withColumnRenamed("id", "id_a"), "fp_a")
+        .join(fp.withColumnRenamed("fp", "fp_b").withColumnRenamed("id", "id_b"), "fp_b")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "hamming",
+        )
+    )
+    # identical-fingerprint doc pairs (hamming 0) within each fp group
+    same_fp = (
+        fp.alias("a")
+        .join(fp.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.lit(0).alias("hamming"))
+    )
+    return cross_fp.unionByName(same_fp).select("id_a", "id_b", "hamming")

@@ -11,6 +11,13 @@ from __future__ import annotations
 
 import os
 
+# Arrow/pandas kernels run in up to `cores` parallel python workers;
+# multi-threaded BLAS inside each would oversubscribe the box (n^2
+# threads) and serialize on contention.  Workers inherit this env from
+# the driver process in local mode — set before any worker spawns.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 from pyspark.sql import SparkSession
 
 

@@ -51,25 +51,49 @@ STATE_SCHEMA = StructType(
 def _sessionize_group(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     (user_id,) = key
+    gap_us = SESSION_GAP_S * 1_000_000
+
+    # vectorized: concatenate the micro-batch's timestamps (plus the
+    # carried open-session tail), sort, find gap boundaries with diff
+    ts_us = np.sort(
+        np.concatenate(
+            [pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64) for pdf in pdfs]
+            or [np.array([], dtype=np.int64)]
+        )
+    )
     if state.exists:
-        start_us, last_us, n = state.get
+        start_us, last_us, n_prev = state.get
     else:
         start_us = last_us = None
-        n = 0
+        n_prev = 0
+
+    if ts_us.size == 0:
+        state.update((start_us, last_us, n_prev))
+        return
+
+    boundaries = np.nonzero(np.diff(ts_us) > gap_us)[0] + 1  # session starts
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [ts_us.size]))
 
     closed: list[tuple[Any, ...]] = []
-    for pdf in pdfs:
-        for ts in sorted(pdf["ts"]):
-            us = int(ts.value // 1000)  # pandas Timestamp ns -> us
-            if start_us is None:
-                start_us, last_us, n = us, us, 1
-            elif us - last_us > SESSION_GAP_S * 1_000_000:
-                closed.append((user_id, start_us, last_us, n))
-                start_us, last_us, n = us, us, 1
-            else:
-                last_us, n = us, n + 1
-    state.update((start_us, last_us, n))
+    # merge the carried open session with the first chunk if contiguous
+    first_start, first_end = int(starts[0]), int(ends[0])
+    if start_us is not None and ts_us[0] - last_us <= gap_us:
+        seg_start, seg_n = start_us, n_prev + (first_end - first_start)
+    else:
+        if start_us is not None:
+            closed.append((user_id, start_us, last_us, n_prev))
+        seg_start, seg_n = int(ts_us[first_start]), first_end - first_start
+    seg_last = int(ts_us[first_end - 1])
+
+    for s, e in zip(starts[1:], ends[1:]):
+        closed.append((user_id, seg_start, seg_last, seg_n))
+        seg_start, seg_last, seg_n = int(ts_us[s]), int(ts_us[e - 1]), int(e - s)
+
+    state.update((seg_start, seg_last, seg_n))
 
     if closed:
         yield pd.DataFrame(
