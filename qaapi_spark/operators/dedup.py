@@ -153,7 +153,6 @@ def ngram_jaccard_pairs(
         if len(pdf_corpus)
         else np.array([], dtype=np.int64)
     )
-    lens = np.array([len(a) for a in pdf_corpus["sh"]], dtype=np.int64)
     vocab = np.unique(flat)
     nv = max(len(vocab), 1)
     dense = nv <= 4096

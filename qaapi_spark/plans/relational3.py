@@ -98,6 +98,42 @@ def setops_customer_segments(spark, sf_dir):
 
 
 @query(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM customer c
+    JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+      ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+      AND n_orders > (SELECT AVG(cnt) FROM
+                      (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_custkey))
+    ORDER BY c.c_custkey
+    """,
+    doc="scalar subqueries (uncorrelated) through the SQL API — Catalyst "
+    "rewrites to broadcast joins; extension beyond the reference's IN/NOT IN",
+)
+def scalar_subquery_above_avg(spark, sf_dir):
+    from qaapi_spark.sources.tables import register_temp_views
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal,
+               n_orders
+        FROM customer c
+        JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+          ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+          AND n_orders > (SELECT AVG(cnt) FROM
+                          (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_custkey))
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@query(
     "w4_ranking_functions",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice,
