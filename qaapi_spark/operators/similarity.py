@@ -196,6 +196,71 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    n_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Blocked exact pair mining — the unbounded-corpus shape.
+
+    Grid the ids into n_blocks by hash; each row is replicated to every
+    block-pair it participates in (factor n_blocks), then one
+    applyInPandas GEMM per (block_i, block_j) group.  No broadcast of
+    the corpus: memory per task is two blocks, shuffle is keyed on the
+    block pair.  Output identical to ``embedding_near_dup_pairs``.
+    """
+    from typing import Iterator  # noqa: F401
+
+    blk = (F.col(id_col) % n_blocks).cast("int")
+    tagged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), blk.alias("blk"))
+    # replicate each row to all block pairs (min(bi,bj), max(bi,bj))
+    pairs_of = F.array(
+        *[
+            F.struct(
+                F.least("blk", F.lit(o)).alias("bi"),
+                F.greatest("blk", F.lit(o)).alias("bj"),
+            )
+            for o in range(n_blocks)
+        ]
+    )
+    replicated = tagged.select(
+        "id", "vec", "blk", F.explode(F.array_distinct(pairs_of)).alias("bp")
+    ).select("id", "vec", "blk", F.col("bp.bi").alias("bi"), F.col("bp.bj").alias("bj"))
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        left = pdf[pdf["blk"] == bi]
+        right = pdf[pdf["blk"] == bj]
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        lm = np.stack(left["vec"].to_numpy()).astype(np.float64)
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm = np.stack(right["vec"].to_numpy()).astype(np.float64)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        l_ids = left["id"].to_numpy(dtype=np.int64)
+        r_ids = right["id"].to_numpy(dtype=np.int64)
+        sims = np.round(lm @ rm.T, round_to)
+        if bi == bj:
+            # same-block: matrix holds both orderings; count each once
+            ii, jj = np.nonzero((sims >= threshold) & (l_ids[:, None] < r_ids[None, :]))
+            return pd.DataFrame({"id_a": l_ids[ii], "id_b": r_ids[jj], "cosine": sims[ii, jj]})
+        # cross-block: each unordered pair appears once; normalize order
+        ii, jj = np.nonzero(sims >= threshold)
+        a, b = l_ids[ii], r_ids[jj]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "cosine": sims[ii, jj]}
+        )
+
+    return replicated.groupBy("bi", "bj").applyInPandas(
+        score, "id_a long, id_b long, cosine double"
+    )
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     candidates: DataFrame,

@@ -17,5 +17,6 @@ from qaapi_spark.plans import llm_text  # noqa: E402,F401
 from qaapi_spark.plans import llm_dedup  # noqa: E402,F401
 from qaapi_spark.plans import llm_similarity  # noqa: E402,F401
 from qaapi_spark.plans import llm_multimodal  # noqa: E402,F401
+from qaapi_spark.plans import llm_sketches  # noqa: E402,F401
 
 __all__ = ["CATALOG", "QuerySpec", "query"]

@@ -12,7 +12,10 @@ from qaapi_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
-from qaapi_spark.operators.similarity import embedding_near_dup_pairs
+from qaapi_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_blocked,
+)
 from qaapi_spark.plans.catalog import query, t
 
 _DD_WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -111,3 +114,34 @@ def dedup_simhash(spark, sf_dir):
 def dedup_embedding_cosine(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(e, _COSINE_THRESHOLD).orderBy("id_a", "id_b")
+
+
+_COSINE_ORACLE_BLOCKED = f"""
+    WITH u AS (
+        SELECT vec_id AS id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
+                            list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                            list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS uv
+        FROM embeddings
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(list_dot_product(a.uv, b.uv), 4) AS cosine
+    FROM u a JOIN u b ON a.id < b.id
+    WHERE ROUND(list_dot_product(a.uv, b.uv), 4) >= {_COSINE_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "dedup_embedding_cosine_blocked",
+    oracle=_COSINE_ORACLE_BLOCKED,
+    doc="blocked (grid of block pairs) exact cosine pair mining — the "
+    "unbounded-corpus variant of dedup_embedding_cosine; identical output, "
+    "no corpus broadcast (extension, SCALE.md)",
+)
+def dedup_embedding_cosine_blocked(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_blocked(e, _COSINE_THRESHOLD, n_blocks=4).orderBy(
+        "id_a", "id_b"
+    )

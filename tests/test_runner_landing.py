@@ -81,3 +81,16 @@ def test_clean_landing(tmp_path):
     removed = clean_landing(str(tmp_path), keep={"keep.json"})
     assert removed == ["a.json", "b.json"]
     assert sorted(p.name for p in tmp_path.iterdir()) == ["keep.json"]
+
+
+def test_read_entity_drops_malformed_file(spark, tmp_path):
+    """S11 ON_ERROR='skip_file' parity: a corrupt landing file drops at
+    file granularity; good files still load."""
+    import shutil
+
+    shutil.copy("/root/repo/fixtures/all_contacts_1.json", tmp_path / "all_contacts_1.json")
+    (tmp_path / "all_contacts_2.json").write_text('[{"id": 1, "startTime": ')  # truncated
+    from qaapi_spark.sources.landing import read_entity
+
+    df = read_entity(spark, f"{tmp_path}/all_contacts_*.json", "all_contacts")
+    assert df.count() == 30  # only the intact batch file's rows

@@ -74,3 +74,41 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_cms_overestimate_bound(spark):
+    from qaapi_spark.operators.sketches import cms_build, cms_point_estimates
+
+    e = read_table(spark, SF_SMOKE, "events")
+    sketch = cms_build(e, "user_id", depth=4, width=1024)
+    est = {r["key"]: r["est"] for r in cms_point_estimates(e, sketch, "user_id").collect()}
+    exact = {
+        r["user_id"]: r["cnt"]
+        for r in e.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    n = sum(exact.values())
+    assert set(est) == set(exact)
+    for k, true in exact.items():
+        assert est[k] >= true  # CMS never underestimates
+        assert est[k] <= true + (2.0 / 1024) * n + 1  # eps*N bound (loose)
+
+
+def test_blocked_embedding_pairs_equal_broadcast(spark):
+    from qaapi_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_blocked,
+    )
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    broad = sorted(map(tuple, embedding_near_dup_pairs(emb, 0.35).collect()))
+    blocked = sorted(map(tuple, embedding_near_dup_pairs_blocked(emb, 0.35, n_blocks=3).collect()))
+    assert broad == blocked and len(broad) > 0
+
+
+def test_sparse_jaccard_equals_dense(spark):
+    from qaapi_spark.operators.dedup import ngram_jaccard_pairs, ngram_jaccard_pairs_sparse
+
+    d = read_table(spark, SF_SMOKE, "documents").limit(200)
+    dense = sorted(map(tuple, ngram_jaccard_pairs(d, 0.8).collect()))
+    sparse = sorted(map(tuple, ngram_jaccard_pairs_sparse(d, 0.8).collect()))
+    assert dense == sparse and len(dense) > 0
