@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from qaapi_spark.plans import CATALOG  # noqa: E402
-from qaapi_spark.session import get_spark  # noqa: E402
+from qaapi_spark.session import get_spark, release_kernel_caches  # noqa: E402
 
 # Headline suite: every catalog query (correctness surface == bench
 # surface), ordered roughly cheap->expensive for readable output.
@@ -33,12 +33,35 @@ def main() -> None:
 
     # warmup: JVM + parquet footer caches
     CATALOG["a1_orders_by_priority"].fn(spark, sf_dir).collect()
+    # warmup: Arrow python-worker pool (first mapInPandas pays cold start)
+    spark.range(32).mapInPandas(lambda it: it, "id long").collect()
+    # warmup: streaming engine + state-store class load (one micro-batch
+    # over a 10-row self-contained stream; ~7s one-time cost otherwise
+    # billed to the first streaming query)
+    import tempfile
+    import uuid
+
+    warm_dir = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    spark.range(10).write.mode("overwrite").parquet(warm_dir)
+    wq = (
+        spark.readStream.schema("id long")
+        .parquet(warm_dir)
+        .groupBy()
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("warm_" + uuid.uuid4().hex[:6])
+        .trigger(availableNow=True)
+        .start()
+    )
+    wq.awaitTermination()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
         n = len(CATALOG[name].fn(spark, sf_dir).collect())
         timings[name] = round(time.time() - t0, 3)
+        release_kernel_caches()  # queries must not lean on a predecessor's cache
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -120,9 +120,10 @@ def ngram_jaccard_pairs(
     most documents) the inverted-index join degenerates to ~n^2 joined
     rows; instead: build a shingle dictionary, pack each document's
     shingle set into a uint64 bitmask, broadcast the packed corpus, and
-    stream documents against it computing AND+popcount per Arrow batch
-    (numpy, no per-row Python).  Exact same Jaccard spec as the sparse
-    variant => identical output, DuckDB-oracle checkable.
+    GEMM row-slices of the broadcast against itself — one slice per
+    partition index, so the quadratic kernel parallelizes without
+    caching or re-scanning the input.  Exact same Jaccard spec as the
+    sparse variant => identical output, DuckDB-oracle checkable.
 
     Bounded-corpus shape (like embedding pair mining); for unbounded
     corpora use ngram_jaccard_pairs_sparse or block the id grid.
@@ -134,18 +135,13 @@ def ngram_jaccard_pairs(
 
     # Shingles are hashed to int64 JVM-side (xxhash64) so only fixed-
     # width ints cross the Arrow boundary; 64-bit collisions are
-    # negligible at any realistic shingle-vocabulary size.
-    sets = df.select(
+    # negligible at any realistic shingle-vocabulary size.  Repartition
+    # first: single-file inputs arrive as ONE partition and the shingle
+    # explode should use every core.
+    sets = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("id"),
         F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("sh"),
     )
-    # single-file inputs arrive as ONE partition; spread the streamed
-    # GEMM across the cluster before caching (the kernel cost is
-    # corpus_rows x batch_rows — it must parallelize over batches)
-    sets = sets.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    # cache: the shingle arrays feed both the driver-side corpus build
-    # and the streamed mapInPandas pass — don't shingle twice
-    sets = sets.persist()
     pdf_corpus = sets.toPandas()
     ids = pdf_corpus["id"].to_numpy(dtype=np.int64)
     flat = (
@@ -187,35 +183,44 @@ def ngram_jaccard_pairs(
     )
 
     spark = df.sparkSession
-    b = spark.sparkContext.broadcast((ids, corpus, sizes, vocab))
+    b = spark.sparkContext.broadcast((ids, corpus, sizes))
+
+    # Parallelize the quadratic kernel over row-slices of the broadcast
+    # corpus itself (slice index = partition) — no cached intermediate,
+    # no second scan of the input.
+    npart = max(1, min(spark.sparkContext.defaultParallelism, len(ids)))
+    rows_per = -(-max(len(ids), 1) // npart)  # ceil
+    slices = spark.range(0, npart, 1, npart)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c_ids, c_corpus, c_sizes, _vocab = b.value
+        c_ids, c_corpus, c_sizes = b.value
         for pdf in batches:
-            s_ids = pdf["id"].to_numpy(dtype=np.int64)
-            s_mat, _ = _pack(list(pdf["sh"]))
-            if dense:
-                s_sizes = s_mat.sum(axis=1).astype(np.int64)
-                inter = (s_mat @ c_corpus.T).astype(np.int64)
-            else:
-                s_sizes = _popcount_u64(s_mat).sum(axis=1).astype(np.int64)
-                inter = np.empty((len(s_ids), len(c_ids)), dtype=np.int64)
-                chunk = max(1, (32 << 20) // max(len(c_ids) * nwords * 8, 1))
-                for lo in range(0, len(s_ids), chunk):
-                    hi = min(lo + chunk, len(s_ids))
-                    inter[lo:hi] = (
-                        _popcount_u64(s_mat[lo:hi, None, :] & c_corpus[None, :, :])
-                        .sum(axis=2)
-                        .astype(np.int64)
-                    )
-            union = s_sizes[:, None] + c_sizes[None, :] - inter
-            jac = np.round(inter / np.maximum(union, 1), 4)
-            ii, jj = np.nonzero((jac >= threshold) & (s_ids[:, None] < c_ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": s_ids[ii], "id_b": c_ids[jj], "jaccard": jac[ii, jj]}
-            )
+            for pid in pdf["id"].to_numpy(dtype=np.int64):
+                lo, hi = int(pid) * rows_per, min((int(pid) + 1) * rows_per, len(c_ids))
+                if hi <= lo:
+                    continue
+                s_ids, s_mat = c_ids[lo:hi], c_corpus[lo:hi]
+                s_sizes = c_sizes[lo:hi]
+                if dense:
+                    inter = (s_mat @ c_corpus.T).astype(np.int64)
+                else:
+                    inter = np.empty((hi - lo, len(c_ids)), dtype=np.int64)
+                    chunk = max(1, (32 << 20) // max(len(c_ids) * nwords * 8, 1))
+                    for clo in range(0, hi - lo, chunk):
+                        chi = min(clo + chunk, hi - lo)
+                        inter[clo:chi] = (
+                            _popcount_u64(s_mat[clo:chi, None, :] & c_corpus[None, :, :])
+                            .sum(axis=2)
+                            .astype(np.int64)
+                        )
+                union = s_sizes[:, None] + c_sizes[None, :] - inter
+                jac = np.round(inter / np.maximum(union, 1), 4)
+                ii, jj = np.nonzero((jac >= threshold) & (s_ids[:, None] < c_ids[None, :]))
+                yield pd.DataFrame(
+                    {"id_a": s_ids[ii], "id_b": c_ids[jj], "jaccard": jac[ii, jj]}
+                )
 
-    return sets.mapInPandas(gen, "id_a long, id_b long, jaccard double")
+    return slices.mapInPandas(gen, "id_a long, id_b long, jaccard double")
 
 
 def minhash_lsh_pairs(
@@ -366,7 +371,12 @@ def simhash_near_dup_pairs(
     near-dup corpora cluster onto few fingerprints, and the expansion
     is output-bound instead of candidate-bound.
     """
-    fp = simhash_fingerprints(df, text_col, id_col).persist()
+    from qaapi_spark.session import register_kernel_cache
+
+    # fp feeds four consumers of the one returned plan (band build, two
+    # expansion joins, same-fp self-join) — persist so fingerprints are
+    # computed once; registry lets the harness release it post-query.
+    fp = register_kernel_cache(simhash_fingerprints(df, text_col, id_col).persist())
     ufp = fp.select("fp").distinct()
     band_width = 64 // n_bands
     bands = ufp.select(

@@ -38,6 +38,33 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# --- kernel cache registry ---------------------------------------------
+# Operators that persist() an intermediate feeding multiple consumers of
+# ONE returned plan (e.g. simhash fingerprints) register it here; the
+# harness (bench, oracle checker, tests) releases between queries so
+# executor storage memory is not leaked across a long-lived session.
+_KERNEL_CACHES: list = []
+
+
+def register_kernel_cache(df):
+    """Track a persisted DataFrame for later bulk release; returns df."""
+    _KERNEL_CACHES.append(df)
+    return df
+
+
+def release_kernel_caches() -> int:
+    """Unpersist every registered kernel cache; returns how many."""
+    n = 0
+    while _KERNEL_CACHES:
+        df = _KERNEL_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n
+
+
 def get_spark(app_name: str = "qaapi-spark") -> SparkSession:
     n = cpu_count()
     spark = (

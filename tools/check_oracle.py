@@ -21,7 +21,7 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 from qaapi_spark.plans import CATALOG  # noqa: E402
-from qaapi_spark.session import get_spark  # noqa: E402
+from qaapi_spark.session import get_spark, release_kernel_caches  # noqa: E402
 from qaapi_spark.sources.tables import TABLES  # noqa: E402
 
 
@@ -60,6 +60,7 @@ def main():
             sdf = spec.fn(spark, sf_dir)
             s_rows = sdf.collect()
             s_cols = sdf.columns
+            release_kernel_caches()
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc()
