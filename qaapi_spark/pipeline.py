@@ -33,9 +33,19 @@ CURATED = ["t_qa_forms", "t_contacts", "t_qa_evaluations", "t_qa_evaluation_scor
 
 
 class CalabrioPipeline:
-    def __init__(self, spark: SparkSession, warehouse_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        output_partitions: int | None = None,
+    ):
+        """``output_partitions``: coalesce curated tables to this many
+        files on write.  Set it when batches are small (fixtures, tests:
+        1 file beats 32 near-empty ones); leave None at scale so the
+        write keeps the plan's parallelism."""
         self.spark = spark
         self.warehouse_dir = warehouse_dir
+        self.output_partitions = output_partitions
         os.makedirs(warehouse_dir, exist_ok=True)
 
     # -- table io --------------------------------------------------------
@@ -53,13 +63,15 @@ class CalabrioPipeline:
         overwritten in the same plan (self-overwrite corruption)."""
         final = self._path(table)
         tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        if self.output_partitions is not None:
+            df = df.coalesce(self.output_partitions)
         df.write.mode("overwrite").parquet(tmp)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
 
     # -- one incremental batch ------------------------------------------
-    def run_batch(self, landing_dir: str) -> dict[str, int]:
+    def run_batch(self, landing_dir: str, collect_counts: bool = True) -> dict[str, int]:
         spark = self.spark
         forms = read_entity(spark, f"{landing_dir}/forms.json", "forms")
         contacts = read_entity(spark, f"{landing_dir}/all_contacts_*.json", "all_contacts")
@@ -131,4 +143,6 @@ class CalabrioPipeline:
             merged = batch_comments
         self._swap_write(merged, "t_qa_evaluation_comments")
 
+        if not collect_counts:
+            return {}
         return {t: self.read(t).count() for t in CURATED}

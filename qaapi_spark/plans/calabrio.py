@@ -229,6 +229,87 @@ def calabrio_form_max_scores(spark, sf_dir):
     )
 
 
+# DuckDB fragment: the evaluations_curated transform over one landed
+# eval file (SCORED filter + W1 keep-latest dedup + extractions).
+def _dd_evals_curated(path: str) -> str:
+    return f"""
+        SELECT id AS evaluation_id,
+               evalForm.evalFormId AS form_id,
+               CAST(regexp_extract(qualityRef, '([0-9]+)$', 1) AS BIGINT) AS contact_id,
+               agent.id AS agent_id,
+               evaluator.id AS evaluator_id,
+               CASE WHEN isScoreCounted THEN 'Evaluation' ELSE 'Calibration' END AS eval_type,
+               {_DD_DENVER.format(col="evaluated")} AS evaluated_date,
+               responseState.text AS response_state,
+               additiveScore AS raw_score,
+               totalScore AS final_score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY evaluated DESC) AS rn
+              FROM read_json('{path}') WHERE state.text = 'SCORED')
+        WHERE rn = 1
+    """
+
+
+@query(
+    "calabrio_pipeline_incremental",
+    oracle=f"""
+    WITH b1 AS ({_dd_evals_curated(FIXTURES_DIR + "/fix_eval_raw.json")}),
+    b2 AS ({_dd_evals_curated(FIXTURES_DIR + "/batch2/fix_eval_raw.json")}),
+    -- J5: delete target evals whose contact is in batch 2 but whose
+    -- eval id vanished upstream
+    survivors AS (
+        SELECT * FROM b1 WHERE NOT (
+            contact_id IN (SELECT contact_id FROM b2)
+            AND evaluation_id NOT IN (SELECT evaluation_id FROM b2))
+    ),
+    -- J3: matched rows take batch values for the update-column subset,
+    -- but keep the target's evaluated_date (Update...sql:128-130)
+    merged AS (
+        SELECT s.evaluation_id,
+               CASE WHEN b2.evaluation_id IS NULL THEN s.form_id ELSE b2.form_id END AS form_id,
+               CASE WHEN b2.evaluation_id IS NULL THEN s.contact_id ELSE b2.contact_id END AS contact_id,
+               CASE WHEN b2.evaluation_id IS NULL THEN s.agent_id ELSE b2.agent_id END AS agent_id,
+               CASE WHEN b2.evaluation_id IS NULL THEN s.evaluator_id ELSE b2.evaluator_id END AS evaluator_id,
+               CASE WHEN b2.evaluation_id IS NULL THEN s.eval_type ELSE b2.eval_type END AS eval_type,
+               s.evaluated_date,
+               CASE WHEN b2.evaluation_id IS NULL THEN s.response_state ELSE b2.response_state END AS response_state,
+               CASE WHEN b2.evaluation_id IS NULL THEN s.raw_score ELSE b2.raw_score END AS raw_score,
+               CASE WHEN b2.evaluation_id IS NULL THEN s.final_score ELSE b2.final_score END AS final_score
+        FROM survivors s LEFT JOIN b2 ON s.evaluation_id = b2.evaluation_id
+    ),
+    inserted AS (
+        SELECT * FROM b2
+        WHERE evaluation_id NOT IN (SELECT evaluation_id FROM survivors)
+    )
+    SELECT * FROM merged UNION ALL SELECT * FROM inserted
+    ORDER BY evaluation_id
+    """,
+    doc="EP1/EP2 end-to-end: two trailing-window batches through the full "
+    "pipeline (full-replace, insert-only merge, delete-vanished + upsert, "
+    "delete-then-insert), returning the final t_qa_evaluations; the oracle "
+    "reconstructs the same reconciliation in SQL; ref SURVEY §3 + "
+    "Update...sql:85-134",
+)
+def calabrio_pipeline_incremental(spark, sf_dir):
+    import tempfile
+
+    from qaapi_spark.pipeline import CalabrioPipeline
+
+    # fixture batches are tiny: single-file tables and few shuffle
+    # partitions (the pipeline runs eagerly inside this fn, so the
+    # session conf can be restored before returning)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        pipe = CalabrioPipeline(
+            spark, tempfile.mkdtemp(prefix="calabrio_e2e_"), output_partitions=1
+        )
+        pipe.run_batch(FIXTURES_DIR, collect_counts=False)
+        pipe.run_batch(f"{FIXTURES_DIR}/batch2", collect_counts=False)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return pipe.read("t_qa_evaluations").orderBy("evaluation_id")
+
+
 @query(
     "calabrio_null_evaluator_probe",
     oracle=f"""

@@ -28,55 +28,19 @@ def _load(name):
 
 
 @pytest.fixture(scope="module")
-def batch2_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("batch2")
-    # window covers contacts 5..9 plus the new contact 99
-    win = lambda c: 5 <= c["id"] <= 9  # noqa: E731
-    contacts = [c for c in _load("all_contacts_1.json") if win(c)]
-    contacts.append({"id": 99, "startTime": 1_709_900_000_000, "assocCallId": "CALL-00099"})
+def batch2_dir():
+    """The committed batch-2 fixtures (tools/gen_batch2.py); assert the
+    committed files still equal the deterministic generator output."""
+    sys_path_root = "/root/repo"
+    import sys
 
-    evals = []
-    for e in _load("fix_eval_raw.json"):
-        cid = int(e["qualityRef"].rsplit("/", 1)[-1])
-        if not (5 <= cid <= 9):
-            continue
-        if e["id"] == 1071:
-            continue  # deleted upstream
-        if e["id"] == 1070:
-            e = dict(e, totalScore=91.25, evaluated=e["evaluated"] + 86_400_000)
-        evals.append(e)
-    evals.append(
-        {
-            "id": 1990,
-            "qualityRef": "/api/rest/recording/contact/99",
-            "evalForm": {"evalFormId": 1},
-            "agent": {"id": 201},
-            "evaluator": {"id": 301},
-            "isScoreCounted": True,
-            "evaluated": 1_709_950_000_000,
-            "responseState": {"text": "AGREED"},
-            "state": {"text": "SCORED"},
-            "additiveScore": 50,
-            "totalScore": 77.0,
-            "sections": [{"id": 100, "questions": [{"id": 1000, "selectedOption": 10000}]}],
-            "comments": "/api/rest/recording/contact/99/eval/1990/comment/",
-        }
-    )
+    if sys_path_root not in sys.path:
+        sys.path.insert(0, sys_path_root)
+    from tools.gen_batch2 import build_batch2
 
-    comments = []
-    for c in _load("fix_comments_raw.json"):
-        cid = int(c["$ref"].split("/")[5])
-        if not (5 <= cid <= 9):
-            continue
-        if cid == 5:
-            c = dict(c, text=c["text"] + " (edited)")
-        comments.append(c)
-
-    (d / "forms.json").write_text(json.dumps(_load("forms.json")))
-    (d / "all_contacts_1.json").write_text(json.dumps(contacts))
-    (d / "fix_eval_raw.json").write_text(json.dumps(evals))
-    (d / "fix_comments_raw.json").write_text(json.dumps(comments))
-    return str(d)
+    for name, docs in build_batch2(FIX).items():
+        assert _load(f"batch2/{name}") == docs, f"stale fixture: batch2/{name}"
+    return f"{FIX}/batch2"
 
 
 def test_two_batch_reconciliation(spark, tmp_path, batch2_dir):
