@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from qaapi_spark import transforms as _T
 from qaapi_spark.operators.multimodal import decode_features, sample_frames, synthesize_media
 from qaapi_spark.plans.catalog import query, t
 
@@ -114,3 +115,37 @@ def stream_sessionize_closed(spark, sf_dir):
     return stream_sessionize(spark, f"{sf_dir}/events.parquet").orderBy(
         "user_id", "session_start"
     )
+
+
+@query(
+    "stream_landing_reconcile_contacts",
+    oracle=f"""
+    SELECT DISTINCT id AS contact_id,
+           timezone('America/Denver', timezone('UTC', epoch_ms(startTime))) AS contact_start_time,
+           '{_T.URL_PREFIX}' || CAST(id AS VARCHAR) || '/review' AS contact_url,
+           assocCallId AS cjp_session_id
+    FROM read_json('/root/repo/fixtures/all_contacts_*.json')
+    ORDER BY contact_id
+    """,
+    doc="streaming landing reconcile (EP1 as a stream): contact batch files "
+    "through readStream + foreachBatch insert-only merge into the curated "
+    "table — final state equals the batch DISTINCT because duplicate ids "
+    "carry identical documents (extension, SURVEY §2.9)",
+)
+def stream_landing_reconcile_contacts(spark, sf_dir):
+    import glob as _glob
+    import os
+    import tempfile
+
+    from qaapi_spark.streaming.incremental import stream_landing_reconcile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # stage only the contact batch files (the fixtures dir also holds
+    # other entities and the batch2 subdir — a directory stream must
+    # see just this entity's files)
+    land = tempfile.mkdtemp(prefix="stream_land_")
+    for p in sorted(_glob.glob("/root/repo/fixtures/all_contacts_*.json")):
+        os.symlink(p, os.path.join(land, os.path.basename(p)))
+    wh = tempfile.mkdtemp(prefix="stream_wh_")
+    stream_landing_reconcile(spark, land, wh)
+    return spark.read.parquet(f"{wh}/t_contacts").orderBy("contact_id")

@@ -23,6 +23,65 @@ def sketch_heavy_hitters_exact(spark, sf_dir):
 
 
 @query(
+    "a5_count_distinct_users_by_type",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="distinct aggregate (exact ground truth for the HLL sketch); "
+    "Catalyst plans it as a two-phase expand+agg (extension, SURVEY §2.5)",
+)
+def a5_count_distinct_users_by_type(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "sketch_hll_distinct_users",
+    oracle=None,  # HyperLogLog++ estimates are engine-specific => rows-only;
+    # the relative-error bound vs exact is asserted in tests
+    doc="HyperLogLog++ approximate distinct (bounded-memory, mergeable — the "
+    "100TB path for distinct counting); rsd=0.02 (extension)",
+)
+def sketch_hll_distinct_users(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_est"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "sketch_approx_percentiles",
+    oracle=None,  # approx_percentile's quantile-sketch picks engine-specific
+    # sample points => rows-only; accuracy bound asserted in tests
+    doc="approximate percentiles per event_type via Spark's quantile sketch "
+    "(single pass, mergeable; exact companion: a4_exact_percentiles) "
+    "(extension)",
+)
+def sketch_approx_percentiles(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts")
+        )
+        .select(
+            "event_type",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p95"),
+            F.col("pcts")[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "sketch_cms_user_counts",
     oracle=None,  # xxhash64 hash family not reproducible in DuckDB => rows-only
     doc="count-min sketch: d x w hash-aggregate build + broadcast point "

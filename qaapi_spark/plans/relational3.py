@@ -167,3 +167,35 @@ def w4_ranking_functions(spark, sf_dir):
         ).alias("delta_prev"),
         F.round(F.first("o_totalprice").over(w), 2).alias("status_max"),
     ).orderBy("o_orderstatus", "rnk", "o_orderkey")
+
+
+@query(
+    "skew_salted_revenue_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment, ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    doc="explicit skew mitigation: the orders->customer join executed as a "
+    "salted join (hot custkeys spread over 8 reducers, dim replicated per "
+    "salt) — output identical to the plain equi-join, which is the oracle "
+    "(extension, SCALE.md skew notes)",
+)
+def skew_salted_revenue_by_segment(spark, sf_dir):
+    from qaapi_spark.operators.skew import salted_join
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    return (
+        salted_join(o, c, "o_custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -90,6 +90,7 @@ def stream_landing_reconcile(
     spark: SparkSession,
     landing_dir: str,
     warehouse_dir: str,
+    pattern: str = "all_contacts_*.json",
 ) -> dict[str, int]:
     """Reference EP1 as a stream: watch the landing directory for
     contact batch files and merge each micro-batch insert-only into
@@ -105,6 +106,7 @@ def stream_landing_reconcile(
     stream = (
         spark.readStream.schema(ENTITY_SCHEMAS["all_contacts"])
         .option("multiLine", "true")
+        .option("pathGlobFilter", pattern)
         .json(landing_dir)
     )
 

@@ -112,3 +112,41 @@ def test_sparse_jaccard_equals_dense(spark):
     dense = sorted(map(tuple, ngram_jaccard_pairs(d, 0.8).collect()))
     sparse = sorted(map(tuple, ngram_jaccard_pairs_sparse(d, 0.8).collect()))
     assert dense == sparse and len(dense) > 0
+
+
+def test_hll_distinct_within_rsd(spark):
+    e = read_table(spark, SF_SMOKE, "events")
+    est = {
+        r["event_type"]: r["est"]
+        for r in e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(0.1 * n, 3)  # 5 sigma of rsd=2%
+
+
+def test_approx_percentile_accuracy(spark):
+    e = read_table(spark, SF_SMOKE, "events")
+    approx = {
+        r["event_type"]: r["p"]
+        for r in e.groupBy("event_type")
+        .agg(F.percentile_approx("value", 0.5, 10000).alias("p"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["p"]
+        for r in e.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("p"))
+        .collect()
+    }
+    for k, p in exact.items():
+        # accuracy=10000 => rank error <= N/10000; values are dense, so
+        # the value error stays within a tight relative band
+        assert abs(approx[k] - p) <= max(abs(p) * 0.05, 0.5)
