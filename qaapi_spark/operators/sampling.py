@@ -1,0 +1,85 @@
+"""Deterministic sampling / dataset-splitting operators.
+
+Training-data pipelines need *reproducible* splits and samples: the
+same document must land in the same split on every run, on any engine,
+at any parallelism.  `df.sample()` / `sampleBy()` are seeded per
+partition-order and not portable across engines, so these operators
+derive the randomness from a content hash instead:
+
+    bucket(doc) = first 4 hex chars of md5(cast(id as string))
+
+md5 hex is identical in Spark, DuckDB, Python, etc., so thresholds are
+plain lexicographic comparisons on the hex prefix — a pure map-side
+projection/filter (no shuffle, fully pushdown-friendly) that scales to
+any corpus size and is exactly reproducible.
+
+Thresholds are hex strings: a fraction f maps to the prefix
+``format(int(f * 16**4), '04x')`` (granularity 1/65536).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_prefix(id_col: Column, nchars: int = 4) -> Column:
+    """Portable uniform hash bucket: hex prefix of md5(id as string)."""
+    return F.substring(F.md5(id_col.cast("string")), 1, nchars)
+
+
+def frac_to_hex(f: float, nchars: int = 4) -> str:
+    """Fraction -> hex threshold (rows with prefix < threshold are
+    'inside' the fraction)."""
+    return format(min(int(round(f * 16**nchars)), 16**nchars - 1), f"0{nchars}x")
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, float]],
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with the given fractions.
+
+    ``splits`` is an ordered list of (name, fraction); fractions must
+    sum to 1.  E.g. [("train", .8), ("val", .1), ("test", .1)].
+    Map-only; the same row always lands in the same split.
+    """
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    h = hash_prefix(F.col(id_col))
+    expr = F.lit(splits[-1][0])
+    cum = 0.0
+    arms = []
+    for name, frac in splits[:-1]:
+        cum += frac
+        arms.append((name, frac_to_hex(cum)))
+    for name, bound in reversed(arms):
+        expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows.
+
+    The Spark-native analog of ``sampleBy`` but reproducible across
+    engines and runs: keep row iff hash_prefix(id) < threshold(stratum).
+    Map-only filter — pushes down to the scan.
+    """
+    h = hash_prefix(F.col(id_col))
+    cond = h < F.lit(frac_to_hex(default_fraction)) if default_fraction else F.lit(False)
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.when(
+            F.col(strata_col) == stratum, h < F.lit(frac_to_hex(frac))
+        ).otherwise(cond)
+    return df.filter(cond)

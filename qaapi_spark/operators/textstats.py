@@ -73,6 +73,39 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Positional (non-distinct) n-grams over lowercase ws tokens —
+    the counting variant behind repetition metrics (Gopher-style
+    quality signals need every occurrence, not the set)."""
+    toks = ws_tokens(F.lower(text))
+    if n == 1:
+        return toks
+    acc = toks
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, k + 1, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.filter(acc, lambda x: x.isNotNull())
+
+
+# Portable patterns (same semantics in Java regex and DuckDB RE2).
+REDACT_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "number": "[0-9]+",
+}
+
+
+def redact(text: Column, pattern: str, token: str) -> tuple[Column, Column]:
+    """(redacted_text, n_matches): replace every match with ``token``.
+
+    Map-only regexp work inside codegen — the PII-scrub shape for
+    training corpora (emails, phone numbers, numeric ids)."""
+    n = F.size(F.regexp_extract_all(text, F.lit(f"({pattern})"), F.lit(1)))
+    return F.regexp_replace(text, pattern, token), n
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Marker-word hit counts per language over lowercase ws tokens."""
     toks = ws_tokens(F.lower(text))

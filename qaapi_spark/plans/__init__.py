@@ -11,6 +11,7 @@ from qaapi_spark.plans.catalog import CATALOG, QuerySpec, query
 from qaapi_spark.plans import relational  # noqa: E402,F401
 from qaapi_spark.plans import relational2  # noqa: E402,F401
 from qaapi_spark.plans import relational3  # noqa: E402,F401
+from qaapi_spark.plans import relational4  # noqa: E402,F401
 from qaapi_spark.plans import maintenance  # noqa: E402,F401
 from qaapi_spark.plans import calabrio  # noqa: E402,F401
 from qaapi_spark.plans import llm_text  # noqa: E402,F401
@@ -18,5 +19,6 @@ from qaapi_spark.plans import llm_dedup  # noqa: E402,F401
 from qaapi_spark.plans import llm_similarity  # noqa: E402,F401
 from qaapi_spark.plans import llm_multimodal  # noqa: E402,F401
 from qaapi_spark.plans import llm_sketches  # noqa: E402,F401
+from qaapi_spark.plans import llm_sampling  # noqa: E402,F401
 
 __all__ = ["CATALOG", "QuerySpec", "query"]

@@ -145,3 +145,71 @@ def dedup_embedding_cosine_blocked(spark, sf_dir):
     return embedding_near_dup_pairs_blocked(e, _COSINE_THRESHOLD, n_blocks=4).orderBy(
         "id_a", "id_b"
     )
+
+
+# Shared DuckDB fragment: exact bigram-Jaccard near-dup pairs at the
+# module threshold (same spec as dedup_ngram_jaccard's oracle).
+_DD_JACCARD_PAIRS = f"""
+    words AS (
+        SELECT doc_id AS id, {_DD_WORDS} AS w FROM documents
+    ),
+    sets AS (
+        SELECT id,
+               list_distinct(CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS sh
+        FROM words
+    ),
+    sizes AS (SELECT id, len(sh) AS set_size FROM sets),
+    posting AS (SELECT id, unnest(sh) AS shingle FROM sets),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes sa ON i.id_a = sa.id
+        JOIN sizes sb ON i.id_b = sb.id
+        WHERE ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4)
+              >= {_JACCARD_THRESHOLD}
+    )
+"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_DD_JACCARD_PAIRS},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS doc_id, MIN(r) AS comp FROM reach GROUP BY node
+    ORDER BY doc_id
+    """,
+    doc="near-dup pairs -> dedup groups: connected components by "
+    "iterative min-label propagation (operators/graph.py) over the "
+    "exact-Jaccard edge set; comp = keeper id per group; the oracle "
+    "mirrors it with a recursive CTE (extension: iterative algorithm)",
+)
+def dedup_connected_components(spark, sf_dir):
+    from qaapi_spark.operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, _JACCARD_THRESHOLD, n=2)
+    comp = connected_components(
+        d.select("doc_id"),
+        pairs,
+        node_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    return comp.select(F.col("node").alias("doc_id"), "comp").orderBy("doc_id")

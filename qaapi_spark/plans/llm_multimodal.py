@@ -149,3 +149,20 @@ def stream_landing_reconcile_contacts(spark, sf_dir):
     wh = tempfile.mkdtemp(prefix="stream_wh_")
     stream_landing_reconcile(spark, land, wh)
     return spark.read.parquet(f"{wh}/t_contacts").orderBy("contact_id")
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events ORDER BY event_id
+    """,
+    doc="streaming exact dedup: events land twice, watermark + "
+    "dropDuplicates state recovers one row per event_id — bounded-state "
+    "streaming dedup (extension, SURVEY §2.9)",
+)
+def stream_dedup_events_q(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import stream_dedup_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return stream_dedup_events(spark, f"{sf_dir}/events.parquet").orderBy("event_id")

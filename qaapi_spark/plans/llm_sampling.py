@@ -1,0 +1,84 @@
+"""Deterministic sampling / splitting queries over `documents`
+(extended training-data surface): reproducible train/val/test
+assignment and per-language stratified sampling, both derived from an
+md5 content hash so the same row lands in the same bucket on every
+engine, every run, at any parallelism (see operators/sampling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qaapi_spark.operators.sampling import (
+    deterministic_split,
+    frac_to_hex,
+    stratified_sample,
+)
+from qaapi_spark.plans.catalog import query, t
+
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+_STRATA = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.1, "zh": 0.1}
+
+
+def _bounds() -> list[str]:
+    cum, out = 0.0, []
+    for _, f in _SPLITS[:-1]:
+        cum += f
+        out.append(frac_to_hex(cum))
+    return out
+
+
+@query(
+    "sample_split_train_val_test",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_bounds()[0]}' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_bounds()[1]}' THEN 'val'
+                ELSE 'test' END AS split,
+           lang
+    FROM documents ORDER BY doc_id
+    """,
+    doc="deterministic 80/10/10 train/val/test assignment from an md5 "
+    "hash prefix — map-only, reproducible across engines/runs/parallelism "
+    "(extension: dataset splitting)",
+)
+def sample_split_train_val_test(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        deterministic_split(d, "doc_id", _SPLITS)
+        .select("doc_id", "split", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _strata_case() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{s}' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{frac_to_hex(f)}'"
+        for s, f in sorted(_STRATA.items())
+    )
+    return f"CASE {arms} ELSE FALSE END"
+
+
+@query(
+    "sample_stratified_by_lang",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents WHERE {_strata_case()}
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="deterministic per-stratum (language) sampling at different "
+    "rates — the reproducible sampleBy; filter pushes to the scan "
+    "(extension: stratified sampling)",
+)
+def sample_stratified_by_lang(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, "lang", _STRATA, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )

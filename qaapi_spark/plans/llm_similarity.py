@@ -55,3 +55,99 @@ def ann_topk_ivf(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
     return cosine_topk_ivf(qs, e, _K).orderBy("query_id", F.desc("cosine"), "cand_id")
+
+
+_DD_UNIT = """
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
+                            list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                            list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS uv
+        FROM embeddings
+"""
+
+
+@query(
+    "emb_centroids_by_label",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INT) AS pos,
+           ROUND(AVG(CAST(e AS DOUBLE)), 4) + 0.0 AS c_val
+    FROM (SELECT label, unnest(embedding) AS e,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY label, pos ORDER BY label, pos
+    """,
+    doc="per-label elementwise centroid of the embedding column "
+    "(posexplode + two-key agg — the k-means / IVF-codebook training "
+    "step as a relational plan; shuffle is labels x dims, not rows) "
+    "(extension: embedding analytics)",
+)
+def emb_centroids_by_label(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "e"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.round(F.avg(F.col("e").cast("double")), 4) + F.lit(0.0)).alias("c_val")
+        )
+        .orderBy("label", "pos")
+    )
+
+
+_KNN_K = 5
+_KNN_MOD = 50  # query set := vec_id % 50 == 0; corpus := the rest
+
+
+@query(
+    "knn_classify_majority",
+    oracle=f"""
+    WITH u AS ({_DD_UNIT}),
+    q AS (SELECT * FROM u WHERE vec_id % {_KNN_MOD} = 0),
+    c AS (SELECT * FROM u WHERE vec_id % {_KNN_MOD} <> 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS clabel,
+               ROUND(list_dot_product(q.uv, c.uv), 4) AS cosine
+        FROM q CROSS JOIN c
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT query_id, cand_id, clabel, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_KNN_K}
+    ),
+    votes AS (
+        SELECT query_id, clabel, COUNT(*) AS n_votes, MAX(cosine) AS best_cos
+        FROM topk GROUP BY query_id, clabel
+    )
+    SELECT query_id AS vec_id, clabel AS pred_label, CAST(n_votes AS BIGINT) AS n_votes
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC, clabel) AS vr
+        FROM votes
+    ) WHERE vr = 1
+    ORDER BY vec_id
+    """,
+    doc="k-NN majority-vote classification (k=5, cosine): brute-force "
+    "top-k (streamed-corpus GEMM kernel) + vote aggregation + "
+    "deterministic tie-break (extension: embedding classification)",
+)
+def knn_classify_majority(spark, sf_dir):
+    from qaapi_spark.operators.windows import topk_per_group
+
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % _KNN_MOD == 0)
+    corpus = e.filter(F.col("vec_id") % _KNN_MOD != 0)
+    topk = cosine_topk_bruteforce(qs, corpus, _KNN_K)
+    labeled = topk.join(
+        corpus.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("clabel")),
+        "cand_id",
+    )
+    votes = labeled.groupBy("query_id", "clabel").agg(F.count("*").alias("n_votes"))
+    best = topk_per_group(votes, ["query_id"], [F.desc("n_votes"), F.asc("clabel")], 1)
+    return best.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("clabel").alias("pred_label"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+    ).orderBy("vec_id")

@@ -118,3 +118,90 @@ def text_lang_id_confusion(spark, sf_dir):
 def text_fingerprint(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+@query(
+    "text_repetition_quality",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DD_TOKS} AS w FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS bg
+        FROM toks
+    ),
+    bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+    agg AS (SELECT doc_id, MAX(c) AS maxc, SUM(c) AS sumc FROM bgc GROUP BY doc_id)
+    SELECT t.doc_id,
+           len(w) AS n_tokens,
+           ROUND(len(list_distinct(w)) * 1.0 / GREATEST(len(w), 1), 4) AS distinct_ratio,
+           ROUND(COALESCE(maxc * 1.0 / sumc, 0.0), 4) AS top_bigram_frac
+    FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc="Gopher-style repetition quality signals: distinct-token ratio + "
+    "fraction of bigram occurrences taken by the most frequent bigram "
+    "(extension: repetition filtering for training corpora)",
+)
+def text_repetition_quality(spark, sf_dir):
+    from qaapi_spark.operators.textstats import word_ngrams, ws_tokens
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = ws_tokens(F.lower(F.col("text")))
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 4
+        ).alias("distinct_ratio"),
+        word_ngrams(F.col("text"), 2).alias("bigrams"),
+    )
+    # per-doc mode of bigrams: explode -> count per (doc, bigram) ->
+    # max/sum per doc.  Both aggregations combine map-side; shuffle
+    # volume is distinct-bigram cardinality, not token count.
+    bgc = (
+        base.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("maxc"), F.sum("c").alias("sumc"))
+    )
+    return (
+        base.drop("bigrams")
+        .join(bgc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_ratio",
+            F.round(F.coalesce(F.col("maxc") / F.col("sumc"), F.lit(0.0)), 4).alias(
+                "top_bigram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_redact_numbers",
+    oracle="""
+    SELECT event_id,
+           len(regexp_extract_all(props, '([0-9]+)', 1)) AS n_numbers,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted
+    FROM events ORDER BY event_id
+    """,
+    doc="PII-style scrubbing: count + redact numeric runs in a string "
+    "column (regexp map-only, codegen; the email/phone patterns in "
+    "operators/textstats.REDACT_PATTERNS share this shape) "
+    "(extension: PII redaction)",
+)
+def text_redact_numbers(spark, sf_dir):
+    from qaapi_spark.operators.textstats import redact
+
+    e = t(spark, sf_dir, "events").select("event_id", "props")
+    red, n = redact(F.col("props"), "[0-9]+", "<NUM>")
+    return e.select(
+        "event_id", n.alias("n_numbers"), red.alias("redacted")
+    ).orderBy("event_id")

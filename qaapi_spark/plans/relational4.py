@@ -1,0 +1,155 @@
+"""Fourth relational wave: CUBE / GROUPING SETS, interval-overlap
+join, top-k per group — relational extensions beyond the reference's
+surface (SURVEY §2.5/§2.7 note they arrive free with Spark; these
+pin the semantics with oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from qaapi_spark.plans.catalog import query, t
+from qaapi_spark.sources.tables import register_temp_views
+
+
+@query(
+    "cube_orders_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """,
+    doc="CUBE over (status, priority) with GROUPING() disambiguation of "
+    "the NULL super-aggregate rows (A-family extension; rollup variant "
+    "is rollup_orders_status_priority)",
+)
+def cube_orders_status_priority(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n", "total")
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_GS_SQL = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 4) AS avg_total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@query(
+    "groupingsets_orders",
+    oracle=_GS_SQL,
+    doc="explicit GROUPING SETS ((status),(priority),()) via the SQL API "
+    "— same ANSI text runs on Spark and DuckDB (A-family extension)",
+)
+def groupingsets_orders(spark, sf_dir):
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_GS_SQL)
+
+
+# Fixed promo windows for the interval-overlap join; lineitem interval
+# is [l_shipdate, l_shipdate + l_linenumber days] (synthetic span: the
+# driver's lineitem has no receiptdate).
+_PROMOS = [
+    ("w1", "1995-01-01", "1995-03-31"),
+    ("w2", "1995-07-01", "1995-09-30"),
+    ("w3", "1996-01-01", "1996-06-30"),
+    ("w4", "1997-01-01", "1997-12-31"),
+]
+_PROMO_VALUES = ", ".join(
+    f"('{n}', TIMESTAMP '{s} 00:00:00', TIMESTAMP '{e} 00:00:00')" for n, s, e in _PROMOS
+)
+
+
+@query(
+    "overlap_join_promo_windows",
+    oracle=f"""
+    WITH promos(w_name, w_start, w_end) AS (VALUES {_PROMO_VALUES}),
+    spans AS (
+        SELECT l_shipdate AS s_start,
+               l_shipdate + INTERVAL (l_linenumber) DAY AS s_end,
+               l_extendedprice * (1 - l_discount) AS revenue
+        FROM lineitem
+    )
+    SELECT w_name, COUNT(*) AS n_items, ROUND(SUM(revenue), 2) AS revenue
+    FROM promos JOIN spans
+      ON s_start <= w_end AND s_end >= w_start
+    GROUP BY w_name ORDER BY w_name
+    """,
+    doc="interval-overlap (range) join: lineitem activity spans x promo "
+    "windows — broadcast-nested-loop on the tiny window side, so the "
+    "fact side streams map-only at any scale (J-family extension)",
+)
+def overlap_join_promo_windows(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    promos = spark.createDataFrame(
+        [(n, f"{s} 00:00:00", f"{e} 00:00:00") for n, s, e in _PROMOS],
+        "w_name string, w_start string, w_end string",
+    ).select(
+        "w_name",
+        F.col("w_start").cast("timestamp").alias("w_start"),
+        F.col("w_end").cast("timestamp").alias("w_end"),
+    )
+    spans = li.select(
+        F.col("l_shipdate").alias("s_start"),
+        F.timestamp_add("DAY", F.col("l_linenumber"), F.col("l_shipdate")).alias("s_end"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+    joined = F.broadcast(promos).join(
+        spans, (F.col("s_start") <= F.col("w_end")) & (F.col("s_end") >= F.col("w_start"))
+    )
+    return (
+        joined.groupBy("w_name")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("revenue"), 2).alias("revenue"))
+        .orderBy("w_name")
+    )
+
+
+@query(
+    "topk_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    ORDER BY o_orderpriority, rk
+    """,
+    doc="top-k per group (k=3 priciest orders per priority): window "
+    "rank + filter — per-partition heaps, no global sort (W/O-family "
+    "extension)",
+)
+def topk_orders_per_priority(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("o_orderpriority", "rk")
+    )

@@ -127,3 +127,57 @@ def stream_landing_reconcile(
     q.awaitTermination()
     out = pipe.read("t_contacts")
     return {"t_contacts": out.count() if out is not None else 0}
+
+
+def stream_dedup_events(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming exact dedup: the event file staged TWICE into the
+    landing dir (every row arrives at least twice), recovered to one
+    row per event_id with watermark + dropDuplicates.
+
+    This is the streaming half of the dedup surface (operators/dedup
+    is the batch half): state holds one key per event inside the
+    watermark horizon; duplicates beyond the watermark age out of
+    state, which is the bounded-memory contract an unbounded source
+    needs.  Append mode + availableNow => the materialized result is
+    exactly the distinct event set, hence DuckDB-oracle checkable.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from qaapi_spark.sources.tables import read_table
+
+    sf_dir = events_path.rsplit("/", 1)[0]
+    batch_df = read_table(spark, sf_dir, "events")
+    raw_schema = StructType(
+        [
+            StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
+            for f in batch_df.schema.fields
+        ]
+    )
+    stage_dir = tempfile.mkdtemp(prefix="events_dup_stream_")
+    for i in range(2):  # duplicate arrival: same file, two source files
+        os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, f"part-{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(stage_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    name = "events_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
