@@ -1,0 +1,121 @@
+"""Data-layout operators: how tables are *written* so later scans are
+cheap.  At 100 TB the write path decides query cost — partition
+pruning, file sizing, and clustering do more for scan time than any
+plan-level optimization.
+
+  - partitioned writes: hive-style ``partitionBy`` directories so an
+    equality/range predicate on the partition key prunes at the
+    *directory* level before any file is opened (explain shows the
+    pruned count in ``partition filters``).
+  - small-file compaction: landing zones accumulate thousands of tiny
+    files (one per extraction batch/window — the reference lands one
+    JSON per window, SURVEY S8); each file costs a task + footer read,
+    so periodic compaction to ~target-sized files keeps task counts
+    proportional to bytes, not batches.
+  - range-clustered writes: ``repartitionByRange`` + in-partition sort
+    gives every file a narrow min/max on the cluster key; parquet
+    row-group stats then let *any* engine skip files on range
+    predicates (poor man's Z-order for one dimension — the layout
+    analog of an index).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet write (dir per partition value).
+
+    Partition columns should be low-cardinality (date, region, type):
+    each distinct combination is a directory, and pruning wins only
+    when predicates hit whole directories.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Rewrite a many-small-files dataset into ~target-sized files;
+    returns the output file count.
+
+    File count = ceil(input_bytes / target): coalesce (not repartition)
+    so compaction is shuffle-free — tasks just concatenate row groups.
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    # input volume from file metadata (driver-side listing), not a scan
+    total = _dir_bytes(spark, src_path)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes of parquet files under ``path`` (driver-side listing)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += int(f.getLen())
+    return total
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition on ``cluster_col`` and sort within partitions:
+    every output file covers a disjoint key range, so min/max parquet
+    stats skip whole files for range predicates."""
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_key_ranges(spark: SparkSession, path: str, key: str) -> list[tuple[str, int, int]]:
+    """(file, min, max) of ``key`` per parquet file — the stats a
+    range-pruning scan consults; used by tests to prove disjointness."""
+    import pyarrow.parquet as pq
+
+    out = []
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().toUri().getPath()
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(name).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[key]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                mins.append(st.min)
+                maxs.append(st.max)
+        if mins:
+            out.append((name, min(mins), max(maxs)))
+    return out

@@ -20,5 +20,6 @@ from qaapi_spark.plans import llm_similarity  # noqa: E402,F401
 from qaapi_spark.plans import llm_multimodal  # noqa: E402,F401
 from qaapi_spark.plans import llm_sketches  # noqa: E402,F401
 from qaapi_spark.plans import llm_sampling  # noqa: E402,F401
+from qaapi_spark.plans import llm_retrieval  # noqa: E402,F401
 
 __all__ = ["CATALOG", "QuerySpec", "query"]

@@ -1,0 +1,185 @@
+"""Lexical retrieval + LSH-ANN + dedup-materialization queries
+(extended training-data surface): TF-IDF keyterms, BM25 search,
+SRP-LSH approximate nearest neighbors, and the near-dup-free corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qaapi_spark.operators.dedup import ngram_jaccard_pairs
+from qaapi_spark.operators.retrieval import (
+    bm25_scores,
+    keep_representatives,
+    srp_lsh_topk,
+    tf_idf,
+)
+from qaapi_spark.operators.textstats import ws_tokens
+from qaapi_spark.operators.windows import topk_per_group
+from qaapi_spark.plans.catalog import query, t
+from qaapi_spark.plans.llm_dedup import _DD_JACCARD_PAIRS, _JACCARD_THRESHOLD
+from qaapi_spark.plans.llm_similarity import _K, _QUERY_MOD
+from qaapi_spark.plans.llm_text import _DD_TOKS
+
+_TOP_TERMS = 3
+_BM25_TERMS = ["vector", "hash", "stream"]
+_BM25_TOPN = 20
+
+# Shared DuckDB fragment: (doc_id, term, tf) over lowercase ws tokens.
+_DD_TF = f"""
+    toks AS (SELECT doc_id, unnest({_DD_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term)
+"""
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH {_DD_TF},
+    dfreq AS (SELECT term, COUNT(*) AS df_count FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, tf.term,
+               ROUND(tf * ln(CAST(n.n AS DOUBLE) / df_count), 4) AS tfidf
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    ) WHERE rn <= {_TOP_TERMS}
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+    doc="per-document top-3 TF-IDF keyterms: corpus-sized (doc, term) "
+    "hash-agg + broadcast of the vocabulary-sized doc-frequency "
+    "relation + windowed top-k (extension: keyword extraction)",
+)
+def tfidf_top_terms(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    scored = tf_idf(d).select(
+        F.col("id").alias("doc_id"), "term", F.round("tfidf", 4).alias("tfidf")
+    )
+    top = topk_per_group(
+        scored, ["doc_id"], [F.desc("tfidf"), F.asc("term")], _TOP_TERMS
+    )
+    return top.orderBy("doc_id", F.desc("tfidf"), "term")
+
+
+@query(
+    "bm25_search_topk",
+    oracle=f"""
+    WITH {_DD_TF},
+    dl AS (SELECT doc_id, len({_DD_TOKS}) AS dl FROM documents),
+    stats AS (SELECT COUNT(*) AS n,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    m AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+        FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        WHERE tf.term IN ({", ".join(f"'{w}'" for w in _BM25_TERMS)})
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df_count FROM m GROUP BY term),
+    per_term AS (
+        SELECT m.doc_id,
+               ln(1.0 + (CAST(stats.n AS DOUBLE) - df_count + 0.5)
+                        / (df_count + 0.5))
+               * (m.tf * 2.2)
+               / (m.tf + 1.2 * (0.25 + 0.75 * m.dl / stats.avgdl)) AS s
+        FROM m JOIN dfreq ON m.term = dfreq.term CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND(SUM(s), 4) AS score
+    FROM per_term GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {_BM25_TOPN}
+    """,
+    doc="Okapi BM25 top-20 for the query bag {vector, hash, stream} "
+    "(k1=1.2, b=0.75): token stream filtered to query terms before any "
+    "aggregate, so shuffle volume is matches-only; avgdl from exact "
+    "integer sums (extension: keyword search)",
+)
+def bm25_search_topk(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    scores = bm25_scores(d, _BM25_TERMS).select(
+        F.col("id").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+    return scores.orderBy(F.desc("score"), "doc_id").limit(_BM25_TOPN)
+
+
+@query(
+    "dedup_keep_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_DD_JACCARD_PAIRS},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN comp ON d.doc_id = comp.node
+    WHERE comp.comp = comp.node
+    ORDER BY d.doc_id
+    """,
+    doc="the deduplicated corpus itself: near-dup pairs -> connected "
+    "components -> keep the min-id representative per component "
+    "(pairs+grouping follow dedup_connected_components; this "
+    "materializes the decision as a semi-join filter on the corpus) "
+    "(extension: dedup materialization)",
+)
+def dedup_keep_representatives(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, _JACCARD_THRESHOLD, n=2)
+    return keep_representatives(d, pairs).select("doc_id", "lang", "source").orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "ann_topk_srp_lsh",
+    oracle=None,  # approximate candidate set => rows-only driver check;
+    # recall vs the exact brute-force oracle is asserted in
+    # tests/test_retrieval.py
+    doc="approximate cosine top-k via signed-random-projection LSH "
+    "(16 deterministic md5-seeded hyperplanes, 4 bands): map-only "
+    "signatures, (band, key) equi-join candidates, exact rerank "
+    "(extension: ANN scale path; same contract as ann_topk_ivf)",
+)
+def ann_topk_srp_lsh(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    return srp_lsh_topk(qs, e, _K).orderBy("query_id", F.desc("cosine"), "cand_id")
+
+
+@query(
+    "corpus_profile_by_source_lang",
+    oracle=f"""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           ROUND(CAST(SUM(len({_DD_TOKS})) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+    FROM documents GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+    doc="corpus profiling: per (source, lang) doc counts, char volume, "
+    "mean token length — the partition-planning stats a 100 TB corpus "
+    "job reads first; exact integer sums divided once "
+    "(extension: corpus analytics)",
+)
+def corpus_profile_by_source_lang(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source", "lang", "n_chars", F.size(ws_tokens(F.lower(F.col("text")))).alias("ntok")
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(
+                F.sum("ntok").cast("double") / F.count("*"), 4
+            ).alias("avg_tokens"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -153,3 +153,38 @@ def topk_orders_per_priority(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .orderBy("o_orderpriority", "rk")
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: tight multi-predicate filter + single agg — "
+    "the predicate-pushdown showcase (every predicate reaches the "
+    "parquet scan as PushedFilters; tests/test_layout.py asserts it); "
+    "map-side partial agg, no shuffle beyond the 1-row combine "
+    "(A-family extension)",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -1,0 +1,74 @@
+"""Write-path layout operators: partition pruning, compaction, and
+range clustering actually produce the layouts that make 100 TB scans
+cheap — verified from the physical plan and parquet file stats."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from qaapi_spark.operators.layout import (
+    compact_small_files,
+    file_key_ranges,
+    write_partitioned,
+    write_range_clustered,
+)
+from qaapi_spark.sources.tables import read_table
+
+from tests.conftest import SF_SMOKE
+
+
+def test_partitioned_write_prunes(spark):
+    events = read_table(spark, SF_SMOKE, "events")
+    out = tempfile.mkdtemp(prefix="layout_part_")
+    write_partitioned(events.withColumn("dt", F.to_date("ts")), out, ["event_type"])
+    # hive-style dirs exist
+    dirs = {d for d in os.listdir(out) if d.startswith("event_type=")}
+    assert len(dirs) >= 2
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the scan carries a partition filter => directory-level pruning
+    assert "event_type" in plan and "PartitionFilters" in plan
+    got = back.count()
+    want = events.filter(F.col("event_type") == "click").count()
+    assert got == want
+
+
+def test_compaction_reduces_file_count(spark):
+    events = read_table(spark, SF_SMOKE, "events")
+    src = tempfile.mkdtemp(prefix="layout_many_")
+    events.repartition(64).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    dst = tempfile.mkdtemp(prefix="layout_compact_")
+    n = compact_small_files(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    assert spark.read.parquet(dst).count() == events.count()
+
+
+def test_range_clustered_files_are_disjoint(spark):
+    orders = read_table(spark, SF_SMOKE, "orders")
+    out = tempfile.mkdtemp(prefix="layout_range_")
+    write_range_clustered(orders, out, "o_orderkey", n_files=8)
+    ranges = sorted(file_key_ranges(spark, out, "o_orderkey"), key=lambda r: r[1])
+    assert len(ranges) >= 2
+    for (_, _, hi), (_, lo2, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo2  # disjoint key ranges => min/max stats skip files
+    # row preservation
+    assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_q6_filters_reach_the_scan(spark):
+    """The q6 predicates must appear as PushedFilters on the parquet
+    scan — a filter evaluated post-scan reads every row at 100 TB."""
+    from qaapi_spark.plans import CATALOG
+
+    df = CATALOG["q6_forecast_revenue"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"

@@ -1,0 +1,83 @@
+"""Retrieval-wave invariants beyond the oracle gate: SRP-LSH recall
+against the exact brute-force ranking, and dedup-materialization
+consistency with the component grouping."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qaapi_spark.plans import CATALOG
+
+from tests.conftest import SF_SMOKE
+
+
+def test_srp_lsh_recall_on_planted_neighbors(spark):
+    """LSH's design regime is strong similarity (near-dup search at
+    cosine >= ~0.9) — the synthetic corpus's true top-k sit at cosine
+    0.27-0.39 where *no* small LSH family has high recall (the s-curve
+    is flat there).  So plant a perturbed twin (cosine ~0.95) for each
+    query and assert the twin is recovered: p(bit agree) ~ 0.9 at 18
+    degrees => p(>=1 of 4 four-bit bands collide) ~ 0.99."""
+    import numpy as np
+
+    from qaapi_spark.operators.retrieval import srp_lsh_topk
+    from qaapi_spark.plans.catalog import t
+
+    rows = t(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
+    base_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(7)  # fixed seed: deterministic fixture
+    noise = rng.standard_normal(mat.shape)
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    twins = mat + noise * (norm / np.linalg.norm(noise, axis=1, keepdims=True)) * 0.33
+    twin_ids = base_ids + 1_000_000
+    corpus = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in v])
+            for i, v in zip(np.concatenate([base_ids, twin_ids]), np.vstack([mat, twins]))
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.filter(F.col("vec_id") < 1_000_000).limit(50)
+    got = srp_lsh_topk(queries, corpus, k=3)
+    hits = got.filter(F.col("cand_id") == F.col("query_id") + 1_000_000).count()
+    total = queries.count()
+    assert hits / total >= 0.8, f"planted-twin recall {hits}/{total}"
+
+
+def test_srp_lsh_precision_is_exact(spark):
+    """Rerank is exact cosine, so every returned (q, c, cosine) must
+    agree with the brute-force score for that same pair."""
+    exact = CATALOG["ann_topk_bruteforce"].fn(spark, SF_SMOKE)
+    approx = CATALOG["ann_topk_srp_lsh"].fn(spark, SF_SMOKE).filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    joined = approx.alias("a").join(
+        exact.alias("e"), ["query_id", "cand_id"]
+    )
+    bad = joined.filter(F.col("a.cosine") != F.col("e.cosine")).count()
+    assert bad == 0
+
+
+def test_keep_representatives_matches_components(spark):
+    comp = CATALOG["dedup_connected_components"].fn(spark, SF_SMOKE)
+    kept = CATALOG["dedup_keep_representatives"].fn(spark, SF_SMOKE)
+    n_components = comp.select("comp").distinct().count()
+    assert kept.count() == n_components
+    # every kept doc is its own component representative
+    reps = comp.filter(F.col("doc_id") == F.col("comp")).select("doc_id")
+    assert kept.select("doc_id").exceptAll(reps).count() == 0
+
+
+def test_bm25_scores_only_matching_docs(spark):
+    """BM25 output contains exactly docs containing >=1 query term."""
+    from qaapi_spark.plans.llm_retrieval import _BM25_TERMS
+    from qaapi_spark.operators.retrieval import bm25_scores
+    from qaapi_spark.plans.catalog import t
+
+    d = t(spark, SF_SMOKE, "documents")
+    scores = bm25_scores(d, _BM25_TERMS)
+    pat = "(^| )(" + "|".join(_BM25_TERMS) + ")( |$)"
+    expected = d.filter(F.lower(F.col("text")).rlike(pat)).count()
+    assert scores.count() == expected
+    assert scores.filter(F.col("score") <= 0).count() == 0
