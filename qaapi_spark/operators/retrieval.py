@@ -12,10 +12,10 @@ Catalyst expressions — no Python in the hot path:
     (|query| terms per doc at most), not vocabulary-sized.
   - SRP-LSH (signed random projection): the embedding analog of
     simhash.  Hyperplane signs come from a deterministic md5-seeded
-    ±1 matrix embedded as literal arrays, so the signature is a pure
-    map-side expression (zip_with + aggregate per plane), the bucket
-    join is an equi-join on (band, key), and the whole operator is
-    reproducible across runs/engines with no fitted model.
+    ±1 matrix, so the operator is reproducible across runs/engines
+    with no fitted model; signatures and the exact rerank are Arrow
+    GEMM kernels (dense vector math — see operators/similarity.py),
+    and the bucket join is an equi-join on (band, key) id-triples.
 
 Scale notes (100 TB): TF-IDF/BM25 shuffle keys are (doc_id, term) —
 uniformly spread; the df-side broadcast stays small because vocabulary
@@ -32,7 +32,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from qaapi_spark.operators.similarity import dot, with_unit_vector
 from qaapi_spark.operators.textstats import ws_tokens
 from qaapi_spark.operators.windows import topk_per_group
 
@@ -127,27 +126,56 @@ def srp_sign_matrix(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def srp_signatures(
+def srp_band_keys(
     df: DataFrame,
     n_planes: int,
+    n_bands: int,
     dim: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id, unit_vec, bits): bits[p] = 1 iff dot(vec, plane_p) > 0.
+    """(id, band, key): LSH bucket keys from signed random projections.
 
-    Map-only: one zip_with+aggregate fold per plane, all inside
-    whole-stage codegen; nothing shuffles.
+    bit_p = 1 iff dot(vec, plane_p) > 0; consecutive runs of
+    n_planes/n_bands bits pack into one integer key per band.  Dense
+    projection is exactly where expression folds lose to vectorized
+    kernels (see operators/similarity.py), so this is an Arrow batch
+    kernel: one (batch x dim) @ (dim x n_planes) GEMM per batch.
+    Map-only — band rows carry ONLY (id, band, key) into the candidate
+    shuffle, never the vectors.
     """
-    planes = srp_sign_matrix(n_planes, dim)
-    unit = with_unit_vector(df, vec_col).select(
-        F.col(id_col).alias("id"), F.col("unit_vec")
-    )
-    bits = [
-        (dot(F.col("unit_vec"), F.array(*[F.lit(s) for s in plane])) > 0).cast("int").alias(f"b{p}")
-        for p, plane in enumerate(planes)
-    ]
-    return unit.select("id", "unit_vec", F.array(*bits).alias("bits"))
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rows_per_band = n_planes // n_bands
+    planes = np.array(srp_sign_matrix(n_planes, dim), dtype=np.float64)  # (P, dim)
+    weights = 2 ** np.arange(rows_per_band - 1, -1, -1, dtype=np.int64)
+    b = df.sparkSession.sparkContext.broadcast(planes)
+    bands_idx = np.arange(n_bands, dtype=np.int64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[id_col + "__v"].to_numpy()).astype(np.float64)
+            bits = (m @ pl.T) > 0  # (batch, P); sign is norm-invariant
+            keys = (
+                bits.reshape(len(m), n_bands, rows_per_band).astype(np.int64) @ weights
+            )  # (batch, n_bands)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, n_bands),
+                    "band": np.tile(bands_idx, len(m)),
+                    "key": keys.ravel(),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(id_col + "__v"))
+    return src.mapInPandas(gen, "id long, band int, key long")
 
 
 def srp_lsh_topk(
@@ -168,45 +196,75 @@ def srp_lsh_topk(
     keys, so the join is sub-quadratic; the rerank is exact, so
     precision is 1 and only recall is approximate.
     """
-    dim = len(corpus.select(vec_col).head()[0])
-    rows_per_band = n_planes // n_bands
-    # signature folds are per-row CPU; single-file inputs arrive as one
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    # kernel work is per-row CPU; single-file inputs arrive as one
     # partition, so spread them across every core first
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    queries, corpus = queries.repartition(par), corpus.repartition(par)
+    par = spark.sparkContext.defaultParallelism
+    corpus = corpus.repartition(par)
 
-    def banded(sig: DataFrame, side: str) -> DataFrame:
-        keys = F.array(
-            *[
-                F.struct(
-                    F.lit(bnd).alias("band"),
-                    F.aggregate(
-                        F.slice("bits", bnd * rows_per_band + 1, rows_per_band),
-                        F.lit(0),
-                        lambda acc, x: acc * 2 + x,
-                    ).alias("key"),
-                )
-                for bnd in range(n_bands)
-            ]
-        )
-        return sig.select(
-            F.col("id").alias(f"{side}_id"),
-            F.col("unit_vec").alias(f"{side}_uv"),
-            F.explode(keys).alias("bk"),
-        ).select(f"{side}_id", f"{side}_uv", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # queries are the bounded side (they broadcast into the rerank
+    # anyway): collect once, derive the dimension, their band keys AND
+    # the unit matrix driver-side — no distributed stage for the query
+    # side at all.
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_index = {int(i): n for n, i in enumerate(q_ids)}
+    b = spark.sparkContext.broadcast((q_index, q_mat))
 
-    q = banded(srp_signatures(queries, n_planes, dim, vec_col, id_col), "q")
-    c = banded(srp_signatures(corpus, n_planes, dim, vec_col, id_col), "c")
+    dim = q_mat.shape[1]
+    rows_per_band = n_planes // n_bands
+    planes = np.array(srp_sign_matrix(n_planes, dim), dtype=np.float64)
+    weights = 2 ** np.arange(rows_per_band - 1, -1, -1, dtype=np.int64)
+    q_bits = (q_mat @ planes.T) > 0
+    q_keys = q_bits.reshape(len(q_ids), n_bands, rows_per_band).astype(np.int64) @ weights
+    q = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "q_id": np.repeat(q_ids, n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int64), len(q_ids)).astype("int32"),
+                "key": q_keys.ravel(),
+            }
+        ),
+        "q_id long, band int, key long",
+    )
+
+    c = srp_band_keys(corpus, n_planes, n_bands, dim, vec_col, id_col).select(
+        F.col("id").alias("c_id"), "band", "key"
+    )
+    # queries-side band keys broadcast; the only shuffle left is the
+    # candidate-pair dedup + the c_id vector re-join
     cand = (
-        q.join(c, ["band", "key"])
-        .select("q_id", "c_id", "q_uv", "c_uv")
+        F.broadcast(q)
+        .join(c, ["band", "key"])
+        .select("q_id", "c_id")
         .dropDuplicates(["q_id", "c_id"])
     )
-    scored = cand.select(
-        F.col("q_id").alias("query_id"),
-        F.col("c_id").alias("cand_id"),
-        F.round(dot(F.col("q_uv"), F.col("c_uv")), round_to).alias("cosine"),
+
+    cvec = cand.join(
+        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")), "c_id"
     )
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx, qm = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            rows = np.array([idx[int(i)] for i in pdf["q_id"]], dtype=np.int64)
+            cos = np.round(np.einsum("ij,ij->i", qm[rows], cm), round_to)
+            yield pd.DataFrame(
+                {"query_id": pdf["q_id"], "cand_id": pdf["c_id"], "cosine": cos}
+            )
+
+    scored = cvec.mapInPandas(rerank, "query_id long, cand_id long, cosine double")
     return topk_per_group(scored, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k)
 
 

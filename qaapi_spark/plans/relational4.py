@@ -188,3 +188,47 @@ def q6_forecast_revenue(spark, sf_dir):
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "session_window_native",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) >= 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="Spark-native session_window (30-min gap) in batch mode, pinned "
+    "against a first-principles lag+cumsum oracle — the same operator "
+    "drives watermarked streaming sessionization; window.end is "
+    "last-event + gap; a gap of exactly the threshold starts a new "
+    "session (strict merge: next < prev_end) (extension, SURVEY §2.9)",
+)
+def session_window_native(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
