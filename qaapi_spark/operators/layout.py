@@ -15,8 +15,11 @@ plan-level optimization.
   - range-clustered writes: ``repartitionByRange`` + in-partition sort
     gives every file a narrow min/max on the cluster key; parquet
     row-group stats then let *any* engine skip files on range
-    predicates (poor man's Z-order for one dimension — the layout
-    analog of an index).
+    predicates (the layout analog of an index).
+  - Z-ordered writes: Morton-interleave two columns and range-cluster
+    on the code — every file covers a compact 2-D tile, so stats-based
+    skipping works on either column (a lexicographic sort only helps
+    the leading one).
 """
 
 from __future__ import annotations
@@ -119,3 +122,63 @@ def file_key_ranges(spark: SparkSession, path: str, key: str) -> list[tuple[str,
         if mins:
             out.append((name, min(mins), max(maxs)))
     return out
+
+
+def _spread_bits16(c):
+    """Interleave-ready bit spread: 16-bit int -> even bit positions of
+    a 32-bit int (classic magic-mask sequence, all JVM-side bit ops)."""
+    c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
+    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def morton_code(x, y):
+    """Z-order (Morton) interleave of two 16-bit normalized columns:
+    morton = spread(x) | spread(y) << 1.  Pure codegen expressions."""
+    return _spread_bits16(x).bitwiseOR(F.shiftleft(_spread_bits16(y), 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Two-dimensional clustering: min-max normalize both columns to
+    16-bit grids (one tiny stats job), range-partition + sort on the
+    Morton interleave, write parquet.
+
+    Every output file then covers a compact *tile* in (x, y) space, so
+    min/max row-group stats skip files for predicates on EITHER
+    column — the layout analog of a composite index, without the
+    single-dimension bias of sorting on (x, y) lexicographically.
+    Sorting on x alone leaves y spans at 100% of the domain per file;
+    the Morton curve bounds both at roughly 1/sqrt(n_files).
+    """
+    lo_x, hi_x, lo_y, hi_y = df.agg(
+        F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
+    ).collect()[0]
+
+    def norm(c, lo, hi):
+        span = float(hi - lo) or 1.0
+        return F.least(
+            F.lit(65535),
+            F.greatest(
+                F.lit(0),
+                F.floor((c.cast("double") - F.lit(float(lo))) / F.lit(span) * 65535).cast("int"),
+            ),
+        )
+
+    z = morton_code(norm(F.col(col_x), lo_x, hi_x), norm(F.col(col_y), lo_y, hi_y))
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

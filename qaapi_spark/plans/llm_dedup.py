@@ -213,3 +213,45 @@ def dedup_connected_components(spark, sf_dir):
         dst_col="id_b",
     )
     return comp.select(F.col("node").alias("doc_id"), "comp").orderBy("doc_id")
+
+
+_LEV_MAX = 3
+
+
+@query(
+    "dedup_fuzzy_part_names",
+    oracle=f"""
+    WITH names AS (
+        SELECT DISTINCT p_name AS name,
+               string_split(p_name, ' ')[-1] AS noun
+        FROM part
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= {_LEV_MAX}
+    ORDER BY name_a, name_b
+    """,
+    doc="fuzzy entity matching: near-identical part names by edit "
+    "distance <= 3, blocked on the trailing noun so the quadratic "
+    "kernel runs per block over the DISTINCT name vocabulary (row "
+    "count never enters the join — the representative trick from "
+    "simhash dedup) (extension: entity resolution)",
+)
+def dedup_fuzzy_part_names(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    names = p.select(
+        F.col("p_name").alias("name"),
+        F.element_at(F.split("p_name", " "), -1).alias("noun"),
+    ).distinct()
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(b, (F.col("a.noun") == F.col("b.noun")) & (F.col("a.name") < F.col("b.name")))
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= _LEV_MAX)
+        .orderBy("name_a", "name_b")
+    )

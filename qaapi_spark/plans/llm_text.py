@@ -205,3 +205,125 @@ def text_redact_numbers(spark, sf_dir):
     return e.select(
         "event_id", n.alias("n_numbers"), red.alias("redacted")
     ).orderBy("event_id")
+
+
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150  # 50-char overlap
+
+
+@query(
+    "text_chunk_overlapping",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((start - 1) / {_CHUNK_STRIDE} AS INT) AS chunk_id,
+           substr(text, start, {_CHUNK_SIZE}) AS chunk
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(1, GREATEST(len(text), 1) + 1, {_CHUNK_STRIDE})) AS start
+        FROM documents
+    )
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="document chunking into 200-char windows with 50-char overlap "
+    "(context-window preprocessing): sequence + transform + posexplode, "
+    "all codegen, no shuffle — output rows ∝ chars/stride "
+    "(extension: chunking)",
+)
+def text_chunk_overlapping(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(_CHUNK_STRIDE)
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    starts, lambda s: F.substring(F.col("text"), s, _CHUNK_SIZE)
+                )
+            ).alias("pos", "chunk"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("chunk_id"),
+            "chunk",
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_PACK_BUDGET = 2048
+
+
+@query(
+    "pack_sequences_by_lang",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len({_DD_TOKS}) AS n_tokens FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM toks
+    )
+    SELECT lang, CAST(FLOOR((cum_tokens - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    FROM cum GROUP BY lang, bin ORDER BY lang, bin
+    """,
+    doc="sequence packing: fill fixed 2048-token training bins per "
+    "language by cumulative token count in deterministic doc order — "
+    "one window shuffle keyed on lang, then a grouped rollup of bin "
+    "occupancy (extension: sequence packing for LLM training)",
+)
+def pack_sequences_by_lang(spark, sf_dir):
+    from qaapi_spark.operators.textstats import ws_tokens
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(ws_tokens(F.lower(F.col("text")))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    bin_col = F.floor((F.col("cum_tokens") - F.col("n_tokens")) / _PACK_BUDGET).cast(
+        "long"
+    )
+    return (
+        cum.select("lang", bin_col.alias("bin"), "n_tokens")
+        .groupBy("lang", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+        .orderBy("lang", "bin")
+    )
+
+
+@query(
+    "text_filter_below_p10_length",
+    oracle="""
+    WITH q AS (
+        SELECT lang, quantile_cont(n_chars, 0.1) AS p10
+        FROM documents GROUP BY lang
+    )
+    SELECT doc_id, d.lang, n_chars, ROUND(p10, 4) AS lang_p10
+    FROM documents d JOIN q ON d.lang = q.lang
+    WHERE n_chars < p10
+    ORDER BY doc_id
+    """,
+    doc="percentile-based quality filter: drop docs shorter than their "
+    "language's p10 length — grouped exact percentile (one shuffle on "
+    "lang) broadcast back over the corpus; at 100 TB swap "
+    "percentile_approx into the stats pass, the plan shape is identical "
+    "(extension: quality filtering)",
+)
+def text_filter_below_p10_length(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    q = d.groupBy("lang").agg(F.percentile("n_chars", F.lit(0.1)).alias("p10"))
+    return (
+        d.join(F.broadcast(q), "lang")
+        .filter(F.col("n_chars") < F.col("p10"))
+        .select("doc_id", "lang", "n_chars", F.round("p10", 4).alias("lang_p10"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,191 @@
+"""Data-profiling queries: the diagnostics a pipeline runs *before*
+committing to a partition/join strategy at scale — key-skew profiles,
+per-column health stats, inter-event timing.  All single-pass
+aggregations; nothing here shuffles more than once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from qaapi_spark.plans.catalog import query, t
+
+_SKEW_TOP = 10
+
+
+@query(
+    "skew_profile_orders_custkey",
+    oracle=f"""
+    WITH counts AS (
+        SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+        SELECT MAX(n) AS max_n, CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n
+        FROM counts
+    )
+    SELECT key, n, ROUND(n / mean_n, 4) AS skew_factor
+    FROM counts CROSS JOIN stats
+    ORDER BY n DESC, key LIMIT {_SKEW_TOP}
+    """,
+    doc="join-key skew profile: top-10 heaviest keys with their "
+    "count/mean ratio — the diagnostic that decides between a plain "
+    "shuffle join, a salted join (operators/skew.py), and AQE skew "
+    "splitting; one hash-agg + a scalar stats pass "
+    "(extension: skew diagnostics)",
+)
+def skew_profile_orders_custkey(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count("*").alias("n"))
+    stats = counts.agg(
+        (F.sum("n").cast("double") / F.count("*")).alias("mean_n")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select("key", "n", F.round(F.col("n") / F.col("mean_n"), 4).alias("skew_factor"))
+        .orderBy(F.desc("n"), "key")
+        .limit(_SKEW_TOP)
+    )
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS custkey_nonnull,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS priority_distinct,
+           ROUND(MIN(o_totalprice), 2) AS price_min,
+           ROUND(MAX(o_totalprice), 2) AS price_max,
+           MIN(o_orderdate) AS date_min,
+           MAX(o_orderdate) AS date_max
+    FROM orders
+    """,
+    doc="one-pass table profile: row count, null/distinct cardinality "
+    "per key column, min/max ranges — what a planner (or a human) "
+    "reads to choose partition counts and broadcast sides; distinct "
+    "aggregates expand but still single-scan "
+    "(extension: data profiling)",
+)
+def profile_orders_columns(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.countDistinct("o_orderpriority").alias("priority_distinct"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        F.min("o_orderdate").alias("date_min"),
+        F.max("o_orderdate").alias("date_max"),
+    )
+
+
+@query(
+    "user_interevent_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               date_diff('second',
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) AS gap_s
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_s) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(SUM(gap_s) AS BIGINT) AS total_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="inter-event timing per user: lag over (user, time) then "
+    "integer gap stats — the cadence profile behind sessionization "
+    "thresholds; one window shuffle keyed on user_id, exact integer "
+    "aggregates (extension: time-series profiling)",
+)
+def user_interevent_stats(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn("gap_s", gap)
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.sum("gap_s").alias("total_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_CDC_CUT = "1995-06-01"
+
+
+@query(
+    "cdc_diff_order_snapshots",
+    oracle=f"""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderdate < TIMESTAMP '{_CDC_CUT}'
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'P' THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders
+    )
+    SELECT CASE
+             WHEN old.o_orderkey IS NULL THEN 'insert'
+             WHEN new.o_orderkey IS NULL THEN 'delete'
+             WHEN old.o_orderstatus <> new.o_orderstatus
+                  OR old.o_totalprice <> new.o_totalprice THEN 'update'
+             ELSE 'unchanged'
+           END AS change,
+           COUNT(*) AS n
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    GROUP BY change ORDER BY change
+    """,
+    doc="CDC between two table snapshots (old = pre-cutoff orders; new "
+    "= all orders with P-status promoted): full-outer join on the key "
+    "classifies every row insert/update/delete/unchanged — the diff "
+    "that drives incremental downstream refresh, and the relational "
+    "core of operators/versioned.py time travel "
+    "(extension: change data capture)",
+)
+def cdc_diff_order_snapshots(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < _CDC_CUT).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", "F")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    j = old.alias("old").join(
+        new.alias("new"), F.col("old.o_orderkey") == F.col("new.o_orderkey"), "full_outer"
+    )
+    change = (
+        F.when(F.col("old.o_orderkey").isNull(), "insert")
+        .when(F.col("new.o_orderkey").isNull(), "delete")
+        .when(
+            (F.col("old.o_orderstatus") != F.col("new.o_orderstatus"))
+            | (F.col("old.o_totalprice") != F.col("new.o_totalprice")),
+            "update",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count("*").alias("n"))
+        .orderBy("change")
+    )

@@ -232,3 +232,156 @@ def session_window_native(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "outliers_zscore_by_type",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, AVG(value) AS m, STDDEV(value) AS sd
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           ROUND((value - m) / sd, 4) AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE ABS(ROUND((value - m) / sd, 4)) > 3
+    ORDER BY event_id
+    """,
+    doc="per-group z-score outlier detection (|z| > 3 within each "
+    "event_type): one grouped stats pass broadcast back over the "
+    "stream — the data-quality gate shape for training pipelines "
+    "(filter on the rounded score so the cut is engine-portable) "
+    "(extension: anomaly detection)",
+)
+def outliers_zscore_by_type(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev("value").alias("sd")
+    )
+    z = F.round((F.col("value") - F.col("m")) / F.col("sd"), 4)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3)
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "histogram_event_values",
+    oracle="""
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+    SELECT CAST(LEAST(9, GREATEST(0,
+               FLOOR((value - lo) / ((hi - lo) / 10)))) AS INT) AS bucket,
+           COUNT(*) AS n_events,
+           ROUND(MIN(value), 4) AS bucket_min,
+           ROUND(MAX(value), 4) AS bucket_max
+    FROM events CROSS JOIN b
+    GROUP BY bucket ORDER BY bucket
+    """,
+    doc="fixed-width 10-bucket histogram of a value column: min/max "
+    "stats pass (exact, engine-identical doubles) broadcast back, "
+    "map-side bucket assignment, one tiny combine — distribution "
+    "profiling at any scale (extension: histogram / binning)",
+)
+def histogram_event_values(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    b = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucket = F.least(
+        F.lit(9),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10)),
+        ),
+    ).cast("int")
+    return (
+        e.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min("value"), 4).alias("bucket_min"),
+            F.round(F.max("value"), 4).alias("bucket_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "fullouter_customer_order_recon",
+    oracle="""
+    WITH oc AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(c.c_custkey, oc.o_custkey) AS custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS has_customer,
+           CASE WHEN oc.o_custkey IS NULL THEN 0 ELSE 1 END AS has_orders,
+           COALESCE(oc.n_orders, 0) AS n_orders,
+           COALESCE(oc.total_spend, 0.0) AS total_spend
+    FROM customer c FULL OUTER JOIN oc ON c.c_custkey = oc.o_custkey
+    ORDER BY custkey
+    """,
+    doc="full-outer reconciliation: customers vs per-customer order "
+    "rollup with presence flags — the audit shape for detecting "
+    "orphans on either side in one pass (J-family extension; the "
+    "reference audits one side at a time, trouble_children.sql:1-8)",
+)
+def fullouter_customer_order_recon(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    oc = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+    j = c.join(oc, c["c_custkey"] == oc["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), 0).otherwise(1).alias("has_customer"),
+        F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("has_orders"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+    ).orderBy("custkey")
+
+
+@query(
+    "nullsafe_join_status_groups",
+    oracle="""
+    WITH a AS (
+        SELECT NULLIF(o_orderstatus, 'P') AS s, COUNT(*) AS n_a
+        FROM orders WHERE o_totalprice > 20000 GROUP BY s
+    ),
+    b AS (
+        SELECT NULLIF(o_orderstatus, 'P') AS s, COUNT(*) AS n_b
+        FROM orders WHERE o_totalprice <= 20000 GROUP BY s
+    )
+    SELECT a.s, n_a, n_b
+    FROM a JOIN b ON a.s IS NOT DISTINCT FROM b.s
+    ORDER BY a.s NULLS FIRST
+    """,
+    doc="null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL "
+    "group on each side matches — plain = would silently drop it (the "
+    "J5 NOT-IN NULL hazard, SURVEY §7.3, surfaced as a join operator)",
+)
+def nullsafe_join_status_groups(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    s = F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("s")
+    a = o.filter(F.col("o_totalprice") > 20000).select(s).groupBy("s").agg(
+        F.count("*").alias("n_a")
+    )
+    b = (
+        o.filter(F.col("o_totalprice") <= 20000)
+        .select(s)
+        .groupBy("s")
+        .agg(F.count("*").alias("n_b"))
+        .withColumnRenamed("s", "s_b")
+    )
+    return (
+        a.join(b, a["s"].eqNullSafe(b["s_b"]))
+        .select("s", "n_a", "n_b")
+        .orderBy(F.col("s").asc_nulls_first())
+    )

@@ -72,3 +72,32 @@ def test_q6_filters_reach_the_scan(spark):
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     for col in ("l_discount", "l_quantity"):
         assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_zorder_bounds_both_dimensions(spark):
+    """Z-order layout: per-file spans must be narrow on BOTH columns,
+    where a single-column sort leaves the other at ~full domain."""
+    from qaapi_spark.operators.layout import write_zordered
+
+    orders = read_table(spark, SF_SMOKE, "orders")
+    zdir = tempfile.mkdtemp(prefix="layout_z_")
+    write_zordered(orders, zdir, "o_custkey", "o_orderkey", n_files=16)
+    assert spark.read.parquet(zdir).count() == orders.count()
+
+    def mean_span_frac(path, key):
+        ranges = file_key_ranges(spark, path, key)
+        gmin = min(r[1] for r in ranges)
+        gmax = max(r[2] for r in ranges)
+        spans = [(hi - lo) / max(gmax - gmin, 1) for _, lo, hi in ranges]
+        return sum(spans) / len(spans)
+
+    # one-dimensional clustering for contrast: o_custkey files are
+    # tight, o_orderkey files cover nearly the whole domain
+    rdir = tempfile.mkdtemp(prefix="layout_r_")
+    write_range_clustered(orders, rdir, "o_custkey", n_files=16)
+    assert mean_span_frac(rdir, "o_custkey") < 0.15
+    assert mean_span_frac(rdir, "o_orderkey") > 0.8
+
+    # Morton tiles: both dimensions bounded well below the full domain
+    assert mean_span_frac(zdir, "o_custkey") < 0.5
+    assert mean_span_frac(zdir, "o_orderkey") < 0.5
