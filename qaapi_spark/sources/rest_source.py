@@ -1,0 +1,208 @@
+"""Pluggable REST-extraction source (Spark 4 Python DataSource API).
+
+The reference's extractor is driver-side Python: a date-window loop for
+contacts (S2, `modules/qa_api_handler.py:86-119`), one GET for forms
+(S1, `:73-84`), and a per-row N+1 fan-out for evaluations (S3,
+`:127-161`).  This source re-expresses those as a *partitioned Spark
+read* so extraction itself scales out:
+
+  - one InputPartition per break_size-day window (contacts) or per
+    id-chunk (evaluations) — the reference's request chunking becomes
+    Spark's unit of parallelism; 1000 windows = 1000 concurrent
+    fetches on a cluster;
+  - `pushFilters` translates startTime range predicates into request
+    parameters (the reference pushes `evalState=scored` the same way,
+    `:104-107`): pruned windows are never fetched, and Spark re-applies
+    nothing — the filter is fully absorbed by the source;
+  - the transport is an interface; tests/fixtures use
+    `FixtureTransport`, which evaluates the same query params a real
+    server would against landed JSON.  A production HTTP transport
+    slots in without touching the planner-facing code (no network in
+    this environment, so none is shipped).
+
+Usage::
+
+    spark.dataSource.register(CalabrioRestDataSource)
+    df = (spark.read.format("calabrio_rest")
+          .option("entity", "contacts")
+          .option("base_dir", "fixtures")
+          .option("begin_date", "2024-03-01").option("end_date", "2024-03-17")
+          .option("break_size", "2")
+          .load())
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from datetime import date, timedelta
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import ArrayType, StructType
+
+from qaapi_spark.schemas import ENTITY_SCHEMAS
+
+_MS_PER_DAY = 86_400_000
+
+
+def _iso_to_ms(s: str) -> int:
+    d = date.fromisoformat(s)
+    return (d - date(1970, 1, 1)).days * _MS_PER_DAY
+
+
+class FixtureTransport:
+    """Fake Calabrio API over landed fixture JSON: evaluates the same
+    request params (date window, id) the real server would."""
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+
+    def _load(self, pattern: str) -> list[dict]:
+        rows: list[dict] = []
+        for path in sorted(glob.glob(os.path.join(self.base_dir, pattern))):
+            with open(path) as f:
+                rows.extend(json.load(f))
+        return rows
+
+    def get_contacts(self, pattern: str, lo_ms: int, hi_ms: int) -> list[dict]:
+        return [
+            r
+            for r in self._load(pattern)
+            if r.get("startTime") is not None and lo_ms <= r["startTime"] < hi_ms
+        ]
+
+    def get_forms(self) -> list[dict]:
+        return self._load("forms.json")
+
+    def get_evaluations(self, contact_ids: list[int]) -> list[dict]:
+        """S3: one 'request' per contact id (the N+1 fan-out)."""
+        want = set(contact_ids)
+        out = []
+        for r in self._load("fix_eval_raw.json"):
+            ref = r.get("qualityRef") or ""
+            digits = "".join(ch for ch in ref.rsplit("/", 1)[-1] if ch.isdigit())
+            if digits and int(digits) in want:
+                out.append(r)
+        return out
+
+
+def _to_tuple(obj, dtype):
+    """JSON dict -> tuple shaped by the StructType (missing keys ->
+    None, the VARIANT NULL-for-absent semantics of SURVEY §1.3)."""
+    if obj is None:
+        return None
+    if isinstance(dtype, StructType):
+        return tuple(_to_tuple(obj.get(f.name), f.dataType) for f in dtype.fields)
+    if isinstance(dtype, ArrayType):
+        return [_to_tuple(x, dtype.elementType) for x in obj]
+    return obj
+
+
+class _WindowPartition(InputPartition):
+    def __init__(self, lo_ms: int, hi_ms: int):
+        self.lo_ms, self.hi_ms = lo_ms, hi_ms
+
+
+class _IdChunkPartition(InputPartition):
+    def __init__(self, ids: list[int]):
+        self.ids = ids
+
+
+class _RestReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.entity = options.get("entity", "contacts")
+        self.base_dir = options.get("base_dir", "fixtures")
+        self.pattern = options.get("pattern", "contacts_*.json")
+        self.break_size = int(options.get("break_size", "2"))
+        self.lo_ms = _iso_to_ms(options["begin_date"]) if "begin_date" in options else 0
+        self.hi_ms = (
+            _iso_to_ms(options["end_date"]) if "end_date" in options else 1 << 62
+        )
+        self.contact_ids = (
+            [int(x) for x in options["contact_ids"].split(",")]
+            if options.get("contact_ids")
+            else []
+        )
+        self.id_chunk = int(options.get("id_chunk", "8"))
+
+    def pushFilters(self, filters):
+        """Absorb startTime range predicates into the request window
+        (source-level pushdown, the S2 `evalState=scored` pattern);
+        everything else is returned for Spark to evaluate."""
+        for f in filters:
+            absorbed = False
+            if (
+                self.entity == "contacts"
+                and getattr(f, "attribute", None) == ("startTime",)
+                and hasattr(f, "value")
+            ):
+                v = f.value
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo_ms, absorbed = max(self.lo_ms, v), True
+                elif isinstance(f, GreaterThan):
+                    self.lo_ms, absorbed = max(self.lo_ms, v + 1), True
+                elif isinstance(f, LessThan):
+                    self.hi_ms, absorbed = min(self.hi_ms, v), True
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi_ms, absorbed = min(self.hi_ms, v + 1), True
+                elif isinstance(f, EqualTo):
+                    self.lo_ms = max(self.lo_ms, v)
+                    self.hi_ms, absorbed = min(self.hi_ms, v + 1), True
+            if not absorbed:
+                yield f
+
+    def partitions(self):
+        if self.entity == "evaluations":
+            chunks = [
+                self.contact_ids[i : i + self.id_chunk]
+                for i in range(0, len(self.contact_ids), self.id_chunk)
+            ]
+            return [_IdChunkPartition(c) for c in chunks] or [_IdChunkPartition([])]
+        if self.entity == "forms":
+            return [_WindowPartition(0, 1 << 62)]
+        # contacts: one partition per break_size-day window, clipped to
+        # the (possibly filter-narrowed) [lo, hi) request range
+        step = self.break_size * _MS_PER_DAY
+        lo = self.lo_ms
+        out = []
+        while lo < self.hi_ms:
+            hi = min(lo + step, self.hi_ms)
+            out.append(_WindowPartition(lo, hi))
+            lo = hi
+        return out or [_WindowPartition(0, 0)]
+
+    def read(self, partition):
+        transport = FixtureTransport(self.base_dir)
+        if self.entity == "forms":
+            rows = transport.get_forms()
+        elif self.entity == "evaluations":
+            rows = transport.get_evaluations(partition.ids)
+        else:
+            rows = transport.get_contacts(self.pattern, partition.lo_ms, partition.hi_ms)
+        for r in rows:
+            yield _to_tuple(r, self.schema)
+
+
+class CalabrioRestDataSource(DataSource):
+    """format("calabrio_rest"): the reference extractor as a source."""
+
+    @classmethod
+    def name(cls):
+        return "calabrio_rest"
+
+    def schema(self):
+        return ENTITY_SCHEMAS[self.options.get("entity", "contacts")]
+
+    def reader(self, schema):
+        return _RestReader(schema, dict(self.options))

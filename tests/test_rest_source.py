@@ -1,0 +1,88 @@
+"""The calabrio_rest Python DataSource: windowed partitioning, filter
+pushdown into the request range, and the evaluations id fan-out."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qaapi_spark.sources.landing import read_entity
+from qaapi_spark.sources.rest_source import CalabrioRestDataSource, _iso_to_ms
+
+FIXTURES = "fixtures"
+
+
+def _register(spark):
+    # pushFilters on a Python source requires the opt-in conf
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(CalabrioRestDataSource)
+
+
+def _contacts(spark, **opts):
+    r = (
+        spark.read.format("calabrio_rest")
+        .option("entity", "contacts")
+        .option("base_dir", FIXTURES)
+        .option("begin_date", "2024-03-01")
+        .option("end_date", "2024-03-23")
+        .option("break_size", "2")
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_windowed_contacts_match_direct_read(spark):
+    _register(spark)
+    got = _contacts(spark)
+    want = read_entity(spark, f"{FIXTURES}/contacts_*.json", "contacts")
+    assert sorted(r.id for r in got.collect()) == sorted(r.id for r in want.collect())
+    # 22 days / 2-day break => 11 request windows == 11 partitions (S2)
+    assert got.rdd.getNumPartitions() == 11
+
+
+def test_starttime_filter_prunes_request_windows(spark):
+    _register(spark)
+    cut = _iso_to_ms("2024-03-09")
+    flt = _contacts(spark).filter(F.col("startTime") >= cut)
+    # pushdown narrowed [begin, end) to [cut, end): 14 days / 2 => 7
+    assert flt.rdd.getNumPartitions() == 7
+    want = read_entity(spark, f"{FIXTURES}/contacts_*.json", "contacts").filter(
+        F.col("startTime") >= cut
+    )
+    assert sorted(r.id for r in flt.collect()) == sorted(r.id for r in want.collect())
+
+
+def test_evaluations_id_fanout(spark):
+    _register(spark)
+    contacts = read_entity(spark, f"{FIXTURES}/contacts_*.json", "contacts")
+    ids = sorted(r.id for r in contacts.collect())
+    evals = (
+        spark.read.format("calabrio_rest")
+        .option("entity", "evaluations")
+        .option("base_dir", FIXTURES)
+        .option("contact_ids", ",".join(map(str, ids)))
+        .option("id_chunk", "4")
+        .load()
+    )
+    # one partition per id-chunk of 4 (S3 fan-out parallelized)
+    assert evals.rdd.getNumPartitions() == (len(ids) + 3) // 4
+    direct = read_entity(spark, f"{FIXTURES}/fix_eval_raw.json", "evaluations")
+    want_ids = {
+        r.id
+        for r in direct.collect()
+        if r.qualityRef and int("".join(c for c in r.qualityRef.rsplit("/", 1)[-1] if c.isdigit())) in set(ids)
+    }
+    assert {r.id for r in evals.collect()} == want_ids
+
+
+def test_forms_single_request(spark):
+    _register(spark)
+    forms = (
+        spark.read.format("calabrio_rest")
+        .option("entity", "forms")
+        .option("base_dir", FIXTURES)
+        .load()
+    )
+    direct = read_entity(spark, f"{FIXTURES}/forms.json", "forms")
+    assert forms.count() == direct.count()
+    assert forms.schema == direct.schema
