@@ -22,5 +22,6 @@ from qaapi_spark.plans import llm_sketches  # noqa: E402,F401
 from qaapi_spark.plans import llm_sampling  # noqa: E402,F401
 from qaapi_spark.plans import llm_retrieval  # noqa: E402,F401
 from qaapi_spark.plans import profiling  # noqa: E402,F401
+from qaapi_spark.plans import mining  # noqa: E402,F401
 
 __all__ = ["CATALOG", "QuerySpec", "query"]

@@ -1,0 +1,199 @@
+"""Statistical mining queries: collocation extraction over the text
+corpus and association analysis over events — the pattern-discovery
+layer of a training-data pipeline (phrase vocabularies, behavioral
+co-occurrence).  All pure relational plans: count aggregates joined
+back with broadcast-sized statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qaapi_spark.plans.catalog import query, t
+from qaapi_spark.plans.llm_text import _DD_TOKS
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DD_TOKS} AS w FROM documents),
+    uni AS (
+        SELECT unnest(w) AS tok FROM toks
+    ),
+    unic AS (SELECT tok, COUNT(*) AS n_tok FROM uni GROUP BY tok),
+    n1 AS (SELECT CAST(SUM(n_tok) AS DOUBLE) AS total FROM unic),
+    big AS (
+        SELECT unnest(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+            ELSE CAST([] AS VARCHAR[]) END) AS bg
+        FROM toks
+    ),
+    bigc AS (SELECT bg, COUNT(*) AS n_bg FROM big GROUP BY bg),
+    n2 AS (SELECT CAST(SUM(n_bg) AS DOUBLE) AS total FROM bigc)
+    SELECT bg AS bigram, n_bg,
+           ROUND(ln((n_bg / n2.total)
+                    / ((a.n_tok / n1.total) * (b.n_tok / n1.total))), 4) AS pmi
+    FROM bigc
+    JOIN unic a ON a.tok = string_split(bg, ' ')[1]
+    JOIN unic b ON b.tok = string_split(bg, ' ')[2]
+    CROSS JOIN n1 CROSS JOIN n2
+    WHERE n_bg >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, bigram LIMIT {_PMI_TOP}
+    """,
+    doc="pointwise-mutual-information collocations: bigram and unigram "
+    "count aggregates (both map-side combining), unigram counts "
+    "broadcast back into the bigram relation, PMI = ln(p(ab)/(p(a)p(b))) "
+    "— statistical phrase mining for tokenizer/vocab construction "
+    "(extension: collocation mining)",
+)
+def pmi_collocations(spark, sf_dir):
+    from qaapi_spark.operators.textstats import word_ngrams, ws_tokens
+    from qaapi_spark.session import register_kernel_cache
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # both count relations are vocabulary-sized: persist them so the
+    # corpus-sized explode runs ONCE per n-gram order (the totals and
+    # the join probe would otherwise each re-scan the corpus)
+    unic = register_kernel_cache(
+        d.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+        .persist()
+    )
+    bigc_all = register_kernel_cache(
+        d.select(F.explode(word_ngrams(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_bg"))
+        .persist()
+    )
+    n1 = float(unic.agg(F.sum("n_tok")).collect()[0][0])
+    n2 = float(bigc_all.agg(F.sum("n_bg")).collect()[0][0])
+    bigc = bigc_all.filter(F.col("n_bg") >= _PMI_MIN_COUNT)
+    parts = F.split("bigram", " ")
+    scored = (
+        bigc.withColumn("tok_a", parts[0])
+        .withColumn("tok_b", parts[1])
+        .join(F.broadcast(unic.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))), "tok_a")
+        .join(F.broadcast(unic.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))), "tok_b")
+        .select(
+            "bigram",
+            "n_bg",
+            F.round(
+                F.log(
+                    (F.col("n_bg") / F.lit(n2))
+                    / ((F.col("n_a") / F.lit(n1)) * (F.col("n_b") / F.lit(n1)))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "bigram").limit(_PMI_TOP)
+
+
+_LIFT_MIN_USERS = 10
+
+
+@query(
+    "event_type_cooccurrence_lift",
+    oracle=f"""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tc AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS users FROM events),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_ab
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n_ab,
+           ROUND((n_ab * n.users) / (ta.n_t * CAST(tb.n_t AS DOUBLE)), 4) AS lift
+    FROM pairs
+    JOIN tc ta ON ta.event_type = type_a
+    JOIN tc tb ON tb.event_type = type_b
+    CROSS JOIN n
+    WHERE n_ab >= {_LIFT_MIN_USERS}
+    ORDER BY type_a, type_b
+    """,
+    doc="association mining: event-type pair co-occurrence across users "
+    "with lift = P(ab)/(P(a)P(b)) — distinct (user, type) relation "
+    "self-joined per user (per-user type sets are tiny, so the join is "
+    "user-local), type marginals broadcast back "
+    "(extension: market-basket / co-occurrence analysis)",
+)
+def event_type_cooccurrence_lift(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    tc = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    n_users = float(e.select("user_id").distinct().count())
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _LIFT_MIN_USERS)
+    )
+    return (
+        pairs.join(
+            F.broadcast(tc.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_ta"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(tc.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_tb"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * F.lit(n_users)) / (F.col("n_ta") * F.col("n_tb").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "sliding_window_event_counts",
+    oracle="""
+    WITH expanded AS (
+        SELECT CAST(FLOOR(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900 AS ws,
+               user_id
+        FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+    )
+    SELECT ws AS window_start_s, COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM expanded GROUP BY ws ORDER BY ws
+    """,
+    doc="sliding windows (1h length, 15min slide): F.window replicates "
+    "each event into length/slide=4 grid-aligned windows map-side, one "
+    "agg shuffle on window start — the overlapping-window analytics "
+    "shape shared with streaming (extension, SURVEY §2.9; window start "
+    "emitted as epoch seconds so the hash is timezone-free)",
+)
+def sliding_window_event_counts(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_start_s")
+    )
