@@ -12,6 +12,7 @@ from qaapi_spark.plans import relational  # noqa: E402,F401
 from qaapi_spark.plans import relational2  # noqa: E402,F401
 from qaapi_spark.plans import relational3  # noqa: E402,F401
 from qaapi_spark.plans import relational4  # noqa: E402,F401
+from qaapi_spark.plans import relational5  # noqa: E402,F401
 from qaapi_spark.plans import maintenance  # noqa: E402,F401
 from qaapi_spark.plans import calabrio  # noqa: E402,F401
 from qaapi_spark.plans import llm_text  # noqa: E402,F401

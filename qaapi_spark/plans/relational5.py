@@ -1,0 +1,301 @@
+"""Fifth relational wave: classic decision-support shapes the earlier
+waves had not pinned — correlated-min subquery (TPC-H Q2 shape),
+EXISTS-gated aggregation (Q4 shape), bi-nation volume matrix (Q7
+shape), returned-item top-k revenue (Q10 shape), and HAVING-threshold
+IN-subquery (Q18 shape).
+
+The reference expresses all its relational work through Snowflake SQL
+(SURVEY §2.2 P7 for IN-subqueries, §2.5 for aggregation shapes); these
+queries pin the same semantics through the DataFrame API so Catalyst
+chooses the physical strategy.  At scale: every dimension join here is
+broadcast-able (nation/supplier/customer are tiny next to lineitem),
+the EXISTS becomes a left-semi join that map-side prunes before the
+aggregate shuffle, and the Q18 IN-subquery reuses lineitem's
+aggregation output as a broadcast filter rather than a second shuffle
+of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from qaapi_spark.plans.catalog import query, t
+
+
+@query(
+    "q2_min_acctbal_supplier_per_nation",
+    oracle="""
+    SELECT n.n_name, s.s_name, ROUND(s.s_acctbal, 2) AS acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_acctbal = (
+        SELECT MIN(s2.s_acctbal) FROM supplier s2
+        WHERE s2.s_nationkey = s.s_nationkey
+    )
+    ORDER BY n.n_name, s.s_name
+    """,
+    doc="TPC-H Q2 shape: correlated-MIN subquery, de-correlated into a "
+    "per-nation window minimum (one shuffle on the tiny supplier dim; "
+    "the correlated re-scan of the SQL form never materializes)",
+)
+def q2_min_acctbal_supplier_per_nation(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        s.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("n_name", "s_name")
+    )
+
+
+@query(
+    "q4_priority_with_returns_exists",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS gate as a left-semi join; the lineitem "
+    "side is filtered (returnflag pushdown to the scan) BEFORE the "
+    "semi-join shuffle, and the date range prunes orders at the scan",
+)
+def q4_priority_with_returns_exists(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q7_bination_volume_by_year",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey < 5 AND n2.n_nationkey < 5
+      AND n1.n_nationkey <> n2.n_nationkey
+    GROUP BY supp_nation, cust_nation, o_year
+    ORDER BY supp_nation, cust_nation, o_year
+    """,
+    doc="TPC-H Q7 shape: supplier-nation x customer-nation shipping "
+    "volume by year; nation filters broadcast down onto supplier and "
+    "customer so lineitem is pruned by two broadcast semi-filters "
+    "before the single fact-side aggregate",
+)
+def q7_bination_volume_by_year(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.filter(F.col("n_nationkey") < 5).withColumnsRenamed(
+        {"n_nationkey": "nk1", "n_name": "supp_nation"}
+    )
+    n2 = n.filter(F.col("n_nationkey") < 5).withColumnsRenamed(
+        {"n_nationkey": "nk2", "n_name": "cust_nation"}
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(c.join(F.broadcast(n2), c.c_nationkey == F.col("nk2"))),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "o_year")
+    )
+
+
+@query(
+    "q10_returned_item_revenue_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: lost-revenue per customer from returned items "
+    "in one quarter, top-20; returnflag + date predicates land in the "
+    "parquet scans, customer/nation broadcast onto the fact aggregate, "
+    "and the global top-k is a TakeOrderedAndProject (no full sort)",
+)
+def q10_returned_item_revenue_topk(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "gapfill_daily_signup_counts",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+        FROM events WHERE event_type = 'signup'
+    ),
+    days AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b
+    ),
+    c AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    )
+    SELECT d.day, COALESCE(c.n, 0) AS n
+    FROM days d LEFT JOIN c USING (day)
+    ORDER BY day
+    """,
+    doc="calendar gap-fill: dense daily series via sequence()+explode "
+    "over the observed [min, max] day range, zero-filled counts — the "
+    "time-series densification step a training-data pipeline needs "
+    "before rolling features; the calendar is O(days) regardless of "
+    "fact size, so the only fact-side cost is one aggregate shuffle "
+    "and the calendar side broadcasts",
+)
+def gapfill_daily_signup_counts(spark, sf_dir):
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .withColumn("day", F.to_date("ts"))
+    )
+    counts = e.groupBy("day").agg(F.count("*").alias("cnt"))
+    days = (
+        e.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("day")
+        )
+    )
+    return (
+        days.join(counts, "day", "left")
+        .select("day", F.coalesce("cnt", F.lit(0)).alias("n"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "q18_large_quantity_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(SUM(l.l_quantity), 1) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l2.l_orderkey FROM lineitem l2
+        GROUP BY l2.l_orderkey
+        HAVING SUM(l2.l_quantity) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    """,
+    doc="TPC-H Q18 shape: the IN-subquery's HAVING output (a few dozen "
+    "keys even at scale) is computed once from lineitem and broadcast "
+    "as a semi-filter back onto lineitem/orders — the fact table is "
+    "shuffled once for the HAVING aggregate, never for the IN",
+)
+def q18_large_quantity_orders(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tot"))
+        .filter(F.col("tot") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_key")),
+               F.col("l_orderkey") == F.col("big_key"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 1).alias("sum_qty"))
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+    )
