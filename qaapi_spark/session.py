@@ -35,6 +35,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # Let AQE coalesce small shuffles all the way down instead of
+    # holding partition count at default parallelism: iterative ops
+    # (connected components) and post-filter aggregates otherwise run
+    # 32-64 near-empty tasks per stage, and per-task overhead dominates.
+    # On a real cluster the same setting trades idle tasks for fewer,
+    # fuller ones — the advisory size (64 MB default) still splits
+    # genuinely large shuffles.
+    conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     return spark
 
 
