@@ -6,6 +6,11 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
 Each query is timed end-to-end (plan build + execution + collect of the
 result), after a one-query warmup to amortize JVM/session startup.
+
+If a previous round's BENCH_r{N}.json exists next to this file, the
+output also carries `delta_vs_prev` (per-query sec delta, this run
+minus the latest recorded round) and `prev_round`, so regressions are
+visible without diffing judge artifacts.
 """
 
 from __future__ import annotations
@@ -65,17 +70,66 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    prev_round, prev = _latest_prev_bench()
+    if prev:
+        out["prev_round"] = prev_round
+        out["delta_vs_prev"] = {
+            name: round(t - prev[name], 3) for name, t in timings.items() if name in prev
+        }
+    # own line (a leading newline isolates it from any \r-progress
+    # residue), compact separators, explicit flush
+    sys.stderr.flush()
+    print("\n" + json.dumps(out, separators=(",", ":")), flush=True)
+
+
+def _per_query_timings(data: dict) -> dict[str, float] | None:
+    """Per-query timings from one recorded bench artifact.  Handles the
+    raw bench-line form ({"queries": ...}), the driver wrapper
+    ({"parsed": {...}, "tail": "..."}), and — when the stored tail
+    truncated the JSON line — a regex recovery of whatever
+    "name": seconds pairs survive in the tail."""
+    import re
+
+    for d in (data, data.get("parsed") or {}):
+        q = d.get("queries")
+        if isinstance(q, dict) and q:
+            return q
+    tail = data.get("tail")
+    if isinstance(tail, str):
+        pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', tail)
+        q = {k: float(v) for k, v in pairs if k not in ("sf", "value")}
+        if q:
+            return q
+    return None
+
+
+def _latest_prev_bench() -> tuple[int | None, dict[str, float] | None]:
+    """(round, per-query timings) from the newest BENCH_r*.json, if any."""
+    import glob
+    import re
+
+    best: tuple[int, dict] | None = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        q = _per_query_timings(data)
+        if q and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), q)
+    return best if best else (None, None)
 
 
 if __name__ == "__main__":

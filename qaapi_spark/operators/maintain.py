@@ -25,15 +25,27 @@ def _maybe_broadcast(batch: DataFrame, hint: bool) -> DataFrame:
 
 
 def merge_insert_only(
-    target: DataFrame, batch: DataFrame, keys: Sequence[str], broadcast_batch: bool = False
+    target: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    broadcast_target_keys: bool = False,
 ) -> DataFrame:
     """J2: MERGE ... WHEN NOT MATCHED THEN INSERT (Update...sql:36-53,62-79).
 
     Insert-only merge == target ∪ (batch anti-join target on keys).
     Rows already present keep their target version unchanged.
+
+    The anti-join streams ``batch`` and builds on ``target``'s key set —
+    Spark can only broadcast the build side of a left_anti, so the only
+    hint available here is broadcasting the *target keys*.  That is safe
+    only when the deduplicated target key set is known-small (e.g. a
+    dimension table); for a large fact target leave the default False
+    and let AQE pick the join strategy from observed sizes.
     """
     new_rows = batch.join(
-        _maybe_broadcast(target.select(*keys), broadcast_batch), list(keys), "left_anti"
+        _maybe_broadcast(target.select(*keys), broadcast_target_keys),
+        list(keys),
+        "left_anti",
     )
     return target.unionByName(new_rows.select(*target.columns))
 

@@ -10,6 +10,7 @@ from qaapi_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_sparse,
     simhash_near_dup_pairs,
 )
 from qaapi_spark.operators.similarity import (
@@ -65,9 +66,48 @@ def dedup_exact_docs(spark, sf_dir):
     WHERE ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4) >= {_JACCARD_THRESHOLD}
     ORDER BY id_a, id_b
     """,
-    doc="near-dup via bigram-shingle inverted-index Jaccard join (extension)",
+    doc="near-dup via bigram-shingle inverted-index Jaccard join — the "
+    "unbounded-corpus default: cost tracks shingle collisions, nothing "
+    "is collected to the driver (extension)",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_sparse(d, _JACCARD_THRESHOLD, n=2).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_ngram_jaccard_dense",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id AS id, {_DD_WORDS} AS w FROM documents
+    ),
+    sets AS (
+        SELECT id,
+               list_distinct(CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS sh
+        FROM words
+    ),
+    sizes AS (SELECT id, len(sh) AS set_size FROM sets),
+    posting AS (SELECT id, unnest(sh) AS shingle FROM sets),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.id_a = sa.id
+    JOIN sizes sb ON i.id_b = sb.id
+    WHERE ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4) >= {_JACCARD_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+    doc="opt-in small-vocabulary fast path: bitset/GEMM Jaccard kernel "
+    "over a driver-collected corpus — bounded corpora only; identical "
+    "output to dedup_ngram_jaccard (extension)",
+)
+def dedup_ngram_jaccard_dense(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, _JACCARD_THRESHOLD, n=2).orderBy("id_a", "id_b")
 
@@ -109,11 +149,16 @@ def dedup_simhash(spark, sf_dir):
     WHERE ROUND(list_dot_product(a.uv, b.uv), 4) >= {_COSINE_THRESHOLD}
     ORDER BY id_a, id_b
     """,
-    doc="near-dup via exact pairwise embedding cosine >= threshold (extension)",
+    doc="near-dup via exact pairwise embedding cosine >= threshold — "
+    "default is the blocked block-pair-grid miner: applyInPandas GEMM "
+    "per block pair, no corpus broadcast/collect, the unbounded-corpus "
+    "shape (extension)",
 )
 def dedup_embedding_cosine(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, _COSINE_THRESHOLD).orderBy("id_a", "id_b")
+    return embedding_near_dup_pairs_blocked(e, _COSINE_THRESHOLD, n_blocks=4).orderBy(
+        "id_a", "id_b"
+    )
 
 
 _COSINE_ORACLE_BLOCKED = f"""
@@ -134,17 +179,15 @@ _COSINE_ORACLE_BLOCKED = f"""
 
 
 @query(
-    "dedup_embedding_cosine_blocked",
+    "dedup_embedding_cosine_broadcast",
     oracle=_COSINE_ORACLE_BLOCKED,
-    doc="blocked (grid of block pairs) exact cosine pair mining — the "
-    "unbounded-corpus variant of dedup_embedding_cosine; identical output, "
-    "no corpus broadcast (extension, SCALE.md)",
+    doc="opt-in bounded-corpus fast path: upper-triangle GEMM against a "
+    "broadcast of the whole (collected) corpus matrix — small corpora "
+    "only; identical output to dedup_embedding_cosine (extension)",
 )
-def dedup_embedding_cosine_blocked(spark, sf_dir):
+def dedup_embedding_cosine_broadcast(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs_blocked(e, _COSINE_THRESHOLD, n_blocks=4).orderBy(
-        "id_a", "id_b"
-    )
+    return embedding_near_dup_pairs(e, _COSINE_THRESHOLD).orderBy("id_a", "id_b")
 
 
 # Shared DuckDB fragment: exact bigram-Jaccard near-dup pairs at the
@@ -204,7 +247,7 @@ def dedup_connected_components(spark, sf_dir):
     from qaapi_spark.operators.graph import connected_components
 
     d = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, _JACCARD_THRESHOLD, n=2)
+    pairs = ngram_jaccard_pairs_sparse(d, _JACCARD_THRESHOLD, n=2)
     comp = connected_components(
         d.select("doc_id"),
         pairs,

@@ -69,8 +69,14 @@ def pmi_collocations(spark, sf_dir):
         .agg(F.count("*").alias("n_bg"))
         .persist()
     )
-    n1 = float(unic.agg(F.sum("n_tok")).collect()[0][0])
-    n2 = float(bigc_all.agg(F.sum("n_bg")).collect()[0][0])
+    # one action for both scalar totals: cross-join the two single-row
+    # aggregates so Spark computes them in a single job (the persisted
+    # count relations make each side a cache scan, not a corpus re-read)
+    n1, n2 = (
+        unic.agg(F.sum("n_tok").cast("double").alias("n1"))
+        .crossJoin(bigc_all.agg(F.sum("n_bg").cast("double").alias("n2")))
+        .first()
+    )
     bigc = bigc_all.filter(F.col("n_bg") >= _PMI_MIN_COUNT)
     parts = F.split("bigram", " ")
     scored = (

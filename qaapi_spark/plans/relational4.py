@@ -106,10 +106,22 @@ def overlap_join_promo_windows(spark, sf_dir):
         F.col("w_start").cast("timestamp").alias("w_start"),
         F.col("w_end").cast("timestamp").alias("w_end"),
     )
+    # Derived scan pre-filter: the promo table is a compile-time literal,
+    # so its global [min(w_start), max(w_end)] envelope becomes literal
+    # predicates on the fact scan.  `s_start <= max_end` lands in
+    # PushedFilters (parquet row-group min/max skipping); the s_end
+    # conjunct runs once per row BEFORE the BNLJ instead of once per
+    # (row x window) inside it.  Rows outside the envelope overlap no
+    # window, so the join result is unchanged.
+    min_start = min(s for _, s, _ in _PROMOS) + " 00:00:00"
+    max_end = max(e for _, _, e in _PROMOS) + " 00:00:00"
     spans = li.select(
         F.col("l_shipdate").alias("s_start"),
         F.timestamp_add("DAY", F.col("l_linenumber"), F.col("l_shipdate")).alias("s_end"),
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    ).filter(
+        (F.col("s_start") <= F.lit(max_end).cast("timestamp"))
+        & (F.col("s_end") >= F.lit(min_start).cast("timestamp"))
     )
     joined = F.broadcast(promos).join(
         spans, (F.col("s_start") <= F.col("w_end")) & (F.col("s_end") >= F.col("w_start"))

@@ -7,12 +7,15 @@ IN-subquery (Q18 shape).
 The reference expresses all its relational work through Snowflake SQL
 (SURVEY §2.2 P7 for IN-subqueries, §2.5 for aggregation shapes); these
 queries pin the same semantics through the DataFrame API so Catalyst
-chooses the physical strategy.  At scale: every dimension join here is
-broadcast-able (nation/supplier/customer are tiny next to lineitem),
-the EXISTS becomes a left-semi join that map-side prunes before the
-aggregate shuffle, and the Q18 IN-subquery reuses lineitem's
-aggregation output as a broadcast filter rather than a second shuffle
-of the fact table.
+chooses the physical strategy.  At scale: fixed-size dimensions
+(nation: 25 rows, region: 5) carry explicit broadcast hints; tables
+that grow with SF (customer ~150k rows/SF, supplier ~10k/SF) get NO
+user hint — a user broadcast hint cannot be demoted by AQE, so hinting
+them would OOM at large SF.  AQE/autoBroadcastJoinThreshold picks the
+strategy for those from observed sizes.  The EXISTS becomes a
+left-semi join that map-side prunes before the aggregate shuffle, and
+the Q18 IN-subquery reuses lineitem's aggregation output as a filter
+rather than a second shuffle of the fact table.
 """
 
 from __future__ import annotations
@@ -111,9 +114,10 @@ def q4_priority_with_returns_exists(spark, sf_dir):
     ORDER BY supp_nation, cust_nation, o_year
     """,
     doc="TPC-H Q7 shape: supplier-nation x customer-nation shipping "
-    "volume by year; nation filters broadcast down onto supplier and "
-    "customer so lineitem is pruned by two broadcast semi-filters "
-    "before the single fact-side aggregate",
+    "volume by year; the fixed-size nation filters carry broadcast "
+    "hints, while the SF-scaling supplier/customer joins are left to "
+    "AQE so the plan cannot OOM at large SF; lineitem pays the single "
+    "fact-side aggregate shuffle",
 )
 def q7_bination_volume_by_year(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
@@ -129,9 +133,9 @@ def q7_bination_volume_by_year(spark, sf_dir):
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
-        .join(F.broadcast(c.join(F.broadcast(n2), c.c_nationkey == F.col("nk2"))),
+        .join(c.join(F.broadcast(n2), c.c_nationkey == F.col("nk2")),
               F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
@@ -170,8 +174,9 @@ def q7_bination_volume_by_year(spark, sf_dir):
     """,
     doc="TPC-H Q10 shape: lost-revenue per customer from returned items "
     "in one quarter, top-20; returnflag + date predicates land in the "
-    "parquet scans, customer/nation broadcast onto the fact aggregate, "
-    "and the global top-k is a TakeOrderedAndProject (no full sort)",
+    "parquet scans, nation (fixed-size) broadcasts while the customer "
+    "join strategy is AQE's call from observed sizes, and the global "
+    "top-k is a TakeOrderedAndProject (no full sort)",
 )
 def q10_returned_item_revenue_topk(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -183,7 +188,7 @@ def q10_returned_item_revenue_topk(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             "c_custkey",
@@ -269,10 +274,11 @@ def gapfill_daily_signup_counts(spark, sf_dir):
     GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, totalprice
     ORDER BY totalprice DESC, o_orderkey
     """,
-    doc="TPC-H Q18 shape: the IN-subquery's HAVING output (a few dozen "
-    "keys even at scale) is computed once from lineitem and broadcast "
+    doc="TPC-H Q18 shape: the IN-subquery's HAVING output (a sharply "
+    "selective key set) is computed once from lineitem and broadcast "
     "as a semi-filter back onto lineitem/orders — the fact table is "
-    "shuffled once for the HAVING aggregate, never for the IN",
+    "shuffled once for the HAVING aggregate, never for the IN; the "
+    "customer join carries no user hint (AQE decides)",
 )
 def q18_large_quantity_orders(spark, sf_dir):
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")

@@ -14,11 +14,19 @@ read* so extraction itself scales out:
     parameters (the reference pushes `evalState=scored` the same way,
     `:104-107`): pruned windows are never fetched, and Spark re-applies
     nothing — the filter is fully absorbed by the source;
-  - the transport is an interface; tests/fixtures use
-    `FixtureTransport`, which evaluates the same query params a real
-    server would against landed JSON.  A production HTTP transport
-    slots in without touching the planner-facing code (no network in
-    this environment, so none is shipped).
+  - the transport is *injectable*: the `transport` option names a
+    class as `"pkg.module:ClassName"` (default
+    `qaapi_spark.sources.rest_source:FixtureTransport`).  The class is
+    resolved inside each partition's `read()` — only the dotted path
+    is serialized, so any importable transport works on executors.  A
+    transport is constructed with the reader's options dict and
+    provides `get_contacts/get_forms/get_evaluations`; a production
+    HTTP transport would run the reference's session-auth prelude
+    (`modules/qa_api_handler.py:58-71`: authenticate once, reuse the
+    session for every request in the partition) in `__init__` and
+    issue real GETs — no network exists in this environment, so the
+    shipped default evaluates the same query params against landed
+    fixture JSON instead.
 
 Usage::
 
@@ -28,6 +36,7 @@ Usage::
           .option("base_dir", "fixtures")
           .option("begin_date", "2024-03-01").option("end_date", "2024-03-17")
           .option("break_size", "2")
+          .option("transport", "my_pkg.http:SessionTransport")  # optional
           .load())
 """
 
@@ -60,12 +69,34 @@ def _iso_to_ms(s: str) -> int:
     return (d - date(1970, 1, 1)).days * _MS_PER_DAY
 
 
+DEFAULT_TRANSPORT = "qaapi_spark.sources.rest_source:FixtureTransport"
+
+
+def _resolve_transport(path: str):
+    """`"pkg.module:ClassName"` (or dotted `pkg.module.ClassName`) ->
+    class.  Resolved lazily in `read()` so only the string crosses the
+    driver->executor boundary."""
+    import importlib
+
+    mod_name, _, cls_name = (
+        path.partition(":") if ":" in path else path.rpartition(".")
+    )
+    if not mod_name or not cls_name:
+        raise ValueError(f"transport must be 'pkg.module:ClassName', got {path!r}")
+    return getattr(importlib.import_module(mod_name), cls_name)
+
+
 class FixtureTransport:
     """Fake Calabrio API over landed fixture JSON: evaluates the same
-    request params (date window, id) the real server would."""
+    request params (date window, id) the real server would.
 
-    def __init__(self, base_dir: str):
-        self.base_dir = base_dir
+    Constructed with the reader options dict — the transport contract.
+    A real transport would open the authenticated HTTP session here
+    (reference `modules/qa_api_handler.py:58-71`).
+    """
+
+    def __init__(self, options: dict):
+        self.base_dir = options.get("base_dir", "fixtures")
 
     def _load(self, pattern: str) -> list[dict]:
         rows: list[dict] = []
@@ -135,6 +166,8 @@ class _RestReader(DataSourceReader):
             else []
         )
         self.id_chunk = int(options.get("id_chunk", "8"))
+        self.transport_path = options.get("transport", DEFAULT_TRANSPORT)
+        self.options = options
 
     def pushFilters(self, filters):
         """Absorb startTime range predicates into the request window
@@ -183,7 +216,7 @@ class _RestReader(DataSourceReader):
         return out or [_WindowPartition(0, 0)]
 
     def read(self, partition):
-        transport = FixtureTransport(self.base_dir)
+        transport = _resolve_transport(self.transport_path)(self.options)
         if self.entity == "forms":
             rows = transport.get_forms()
         elif self.entity == "evaluations":

@@ -45,6 +45,34 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def events_stream_spec(spark: SparkSession, events_path: str):
+    """(raw_schema, normalize) for schema-up-front streaming reads of
+    events.parquet.
+
+    The driver's testdata has shipped `ts` as INT64 TIMESTAMP(NANOS)
+    (readable only as long via nanosAsLong, then converted), as
+    TIMESTAMP_NTZ micros (watermarks demand TIMESTAMP, so cast — the
+    engine pins session tz UTC, making the cast value-preserving), and
+    as plain TIMESTAMP — mirror read_table's adaptive handling instead
+    of assuming any one vintage.  `normalize(stream_df)` returns the
+    stream with `ts` as a watermarkable TIMESTAMP.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(events_path)
+    ts_type = dict(raw.dtypes).get("ts")
+
+    def normalize(stream_df: DataFrame) -> DataFrame:
+        if ts_type == "bigint":
+            return stream_df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if ts_type == "timestamp_ntz":
+            return stream_df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return stream_df
+
+    return raw.schema, normalize
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose all tables as temp views for spark.sql() entry points."""
     for name in TABLES:

@@ -35,21 +35,11 @@ def events_windowed_counts(
     group-by result, so the query is DuckDB-oracle checkable while
     still exercising watermark + window state machinery.
     """
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    from qaapi_spark.sources.tables import read_table
+    from qaapi_spark.sources.tables import events_stream_spec
 
     # schema must be known up-front for a streaming source; take the
-    # batch reader's schema but keep ts in its RAW on-disk shape
-    # (INT64 nanos read as long via nanosAsLong) and convert in-stream
-    sf_dir = events_path.rsplit("/", 1)[0]
-    batch_df = read_table(spark, sf_dir, "events")
-    raw_schema = StructType(
-        [
-            StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
-            for f in batch_df.schema.fields
-        ]
-    )
+    # RAW on-disk shape and normalize ts to TIMESTAMP in-stream
+    raw_schema, normalize_ts = events_stream_spec(spark, events_path)
     # FileStreamSource wants a directory; stage the single parquet file
     # behind a symlink dir (zero-copy)
     import os
@@ -58,11 +48,8 @@ def events_windowed_counts(
     stage_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, "part-0.parquet"))
 
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(stage_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
     )
     agg = (
         stream.withWatermark("ts", watermark)
@@ -144,27 +131,15 @@ def stream_dedup_events(spark: SparkSession, events_path: str) -> DataFrame:
     import os
     import tempfile
 
-    from pyspark.sql.types import LongType, StructField, StructType
+    from qaapi_spark.sources.tables import events_stream_spec
 
-    from qaapi_spark.sources.tables import read_table
-
-    sf_dir = events_path.rsplit("/", 1)[0]
-    batch_df = read_table(spark, sf_dir, "events")
-    raw_schema = StructType(
-        [
-            StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
-            for f in batch_df.schema.fields
-        ]
-    )
+    raw_schema, normalize_ts = events_stream_spec(spark, events_path)
     stage_dir = tempfile.mkdtemp(prefix="events_dup_stream_")
     for i in range(2):  # duplicate arrival: same file, two source files
         os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, f"part-{i}.parquet"))
 
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(stage_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
     )
     deduped = (
         stream.withWatermark("ts", "1 hour")

@@ -114,30 +114,15 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
     emitted — an unbounded stream would close them via the processing-
     time timeout path.
     """
-    from pyspark.sql.types import LongType as _L
-    from pyspark.sql.types import StructField as _SF
-    from pyspark.sql.types import StructType as _ST
+    from qaapi_spark.sources.tables import events_stream_spec
 
-    from qaapi_spark.sources.tables import read_table
-
-    sf_dir = events_path.rsplit("/", 1)[0]
-    batch_df = read_table(spark, sf_dir, "events")
-    raw_schema = _ST(
-        [
-            _SF("ts", _L(), f.nullable) if f.name == "ts" else f
-            for f in batch_df.schema.fields
-        ]
-    )
+    raw_schema, normalize_ts = events_stream_spec(spark, events_path)
     stage_dir = tempfile.mkdtemp(prefix="events_sess_")
     os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, "part-0.parquet"))
 
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(stage_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .select("user_id", "ts")
-    )
+    stream = normalize_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
+    ).select("user_id", "ts")
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
         OUTPUT_SCHEMA,

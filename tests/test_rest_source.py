@@ -86,3 +86,36 @@ def test_forms_single_request(spark):
     direct = read_entity(spark, f"{FIXTURES}/forms.json", "forms")
     assert forms.count() == direct.count()
     assert forms.schema == direct.schema
+
+
+def test_transport_option_injects_class_by_dotted_path(spark):
+    """The `transport` option (pkg.module:Class) selects the transport;
+    explicitly injecting the fixture fake exercises the same resolution
+    path a production HTTP transport would use."""
+    _register(spark)
+    got = _contacts(
+        spark, transport="qaapi_spark.sources.rest_source:FixtureTransport"
+    )
+    want = read_entity(spark, f"{FIXTURES}/contacts_*.json", "contacts")
+    assert sorted(r.id for r in got.collect()) == sorted(r.id for r in want.collect())
+
+
+def test_transport_resolution_contract():
+    import pytest
+
+    from qaapi_spark.sources.rest_source import FixtureTransport, _resolve_transport
+
+    assert (
+        _resolve_transport("qaapi_spark.sources.rest_source:FixtureTransport")
+        is FixtureTransport
+    )
+    # plain-dotted form resolves too
+    assert (
+        _resolve_transport("qaapi_spark.sources.rest_source.FixtureTransport")
+        is FixtureTransport
+    )
+    with pytest.raises(ValueError):
+        _resolve_transport("NoModule")
+    # transports are constructed from the reader options dict
+    t = FixtureTransport({"base_dir": "fixtures"})
+    assert t.base_dir == "fixtures"
