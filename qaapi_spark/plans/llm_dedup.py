@@ -10,7 +10,7 @@ from qaapi_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    ngram_jaccard_pairs_sparse,
+    ngram_jaccard_pairs_auto,
     simhash_near_dup_pairs,
 )
 from qaapi_spark.operators.similarity import (
@@ -66,13 +66,15 @@ def dedup_exact_docs(spark, sf_dir):
     WHERE ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4) >= {_JACCARD_THRESHOLD}
     ORDER BY id_a, id_b
     """,
-    doc="near-dup via bigram-shingle inverted-index Jaccard join — the "
-    "unbounded-corpus default: cost tracks shingle collisions, nothing "
-    "is collected to the driver (extension)",
+    doc="near-dup via exact bigram-shingle Jaccard, regime-auto kernel: "
+    "prefix-filtered inverted-index join for open vocabularies (the "
+    "unbounded-corpus shape, nothing driver-side), dense bitset/GEMM "
+    "only when one observation pass shows a small bounded vocabulary "
+    "(extension)",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs_sparse(d, _JACCARD_THRESHOLD, n=2).orderBy("id_a", "id_b")
+    return ngram_jaccard_pairs_auto(d, _JACCARD_THRESHOLD, n=2).orderBy("id_a", "id_b")
 
 
 @query(
@@ -247,7 +249,7 @@ def dedup_connected_components(spark, sf_dir):
     from qaapi_spark.operators.graph import connected_components
 
     d = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs_sparse(d, _JACCARD_THRESHOLD, n=2)
+    pairs = ngram_jaccard_pairs_auto(d, _JACCARD_THRESHOLD, n=2)
     comp = connected_components(
         d.select("doc_id"),
         pairs,

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from qaapi_spark.operators.dedup import ngram_jaccard_pairs
+from qaapi_spark.operators.dedup import ngram_jaccard_pairs_auto
 from qaapi_spark.operators.retrieval import (
     bm25_scores,
     keep_representatives,
@@ -131,7 +131,7 @@ def bm25_search_topk(spark, sf_dir):
 )
 def dedup_keep_representatives(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, _JACCARD_THRESHOLD, n=2)
+    pairs = ngram_jaccard_pairs_auto(d, _JACCARD_THRESHOLD, n=2)
     return keep_representatives(d, pairs).select("doc_id", "lang", "source").orderBy(
         "doc_id"
     )
