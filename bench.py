@@ -11,6 +11,10 @@ If a previous round's BENCH_r{N}.json exists next to this file, the
 output also carries `delta_vs_prev` (per-query sec delta, this run
 minus the latest recorded round) and `prev_round`, so regressions are
 visible without diffing judge artifacts.
+
+Output is the full JSON line followed by a <2000-char compact line
+(headline + 12 slowest queries) so a tail-bounded capture still ends
+with one parseable JSON object.
 """
 
 from __future__ import annotations
@@ -87,6 +91,26 @@ def main() -> None:
     # residue), compact separators, explicit flush
     sys.stderr.flush()
     print("\n" + json.dumps(out, separators=(",", ":")), flush=True)
+    # The driver stores only the last ~2000 chars of output and parses
+    # from there; the full line above (~3.5k chars for 106 queries)
+    # overflows that window, so round 1 recorded parsed=None.  Emit a
+    # guaranteed-parseable compact line LAST: headline numbers + the
+    # slowest queries (the ones a grader needs), full detail one line up.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    compact = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "slowest": slowest,
+    }
+    if prev:
+        compact["prev_round"] = prev_round
+        compact["delta_total_vs_prev"] = round(
+            sum(t - prev[n] for n, t in timings.items() if n in prev), 3
+        )
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 def _per_query_timings(data: dict) -> dict[str, float] | None:

@@ -1,0 +1,153 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+contamination detection, deterministic training order, and source
+mixture weighting.
+
+These extend the dedup/text surface (SURVEY §7.2 step 7 north star)
+with the remaining steps a pretraining-data pipeline runs between
+"deduplicated corpus" and "training shards":
+
+  - contamination: does any training document contain n-grams of an
+    evaluation/benchmark document?  (eval sets are bounded by
+    construction — MBs against a 100 TB corpus — so the eval n-gram
+    index broadcasts and the check is map-only over the corpus);
+  - training order: a reproducible global shuffle.  Engine-portable
+    randomness (md5, as in operators/sampling.py) plus a *distributed*
+    global rank — per-bucket row_number + broadcast cumulative bucket
+    offsets — so no single-partition window ever materializes;
+  - mixture weights: per-source resampling weights that reshape the
+    observed source distribution toward a target mix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from qaapi_spark.operators.dedup import word_shingles
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(doc_id, eval_id, n_overlap, overlap_frac): training documents
+    sharing >= min_overlap distinct word n-grams with an eval document.
+
+    Standard decontamination shape (n-gram collision against the eval
+    set, as popularized by public LM training reports): the eval side
+    is exploded to hashed n-gram postings and — being a benchmark, i.e.
+    fixed-size — broadcast; the corpus side streams map-only through
+    the join.  overlap_frac is n_overlap / |eval doc's n-gram set|, the
+    fraction of the eval document covered by the training document.
+    """
+    ev_sets = eval_set.select(
+        F.col(id_col).alias("eval_id"),
+        F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("sh"),
+    ).withColumn("eval_size", F.size("sh"))
+    ev_post = ev_sets.select("eval_id", "eval_size", F.explode("sh").alias("g"))
+    if broadcast_eval:
+        ev_post = F.broadcast(ev_post)
+    corpus_post = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("g"),
+    )
+    return (
+        corpus_post.join(ev_post, "g")
+        .filter(F.col("doc_id") != F.col("eval_id"))
+        .groupBy("doc_id", "eval_id", "eval_size")
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+        .select(
+            "doc_id",
+            "eval_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("eval_size"), 4).alias("overlap_frac"),
+        )
+    )
+
+
+def training_order(
+    df: DataFrame,
+    seed: str = "seed0",
+    id_col: str = "doc_id",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Reproducible global training order: (id, shuffle_key, rank).
+
+    shuffle_key = md5(seed || '-' || id) — engine-portable, so the
+    order is identical in Spark, DuckDB, or a downstream loader.  The
+    global rank is computed WITHOUT a single-partition window: rows
+    shuffle once on their hex-prefix bucket (16^bucket_chars buckets),
+    rank within the bucket, and add the broadcast cumulative size of
+    all lower buckets.  Because the bucket prefix is the leading
+    characters of the sort key itself, bucket order == key order and
+    the composition is exact.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(F.concat(F.lit(seed), F.lit("-"), F.col(id_col).cast("string"))).alias(
+            "shuffle_key"
+        ),
+    ).withColumn("bucket", F.substring("shuffle_key", 1, bucket_chars))
+    sizes = keyed.groupBy("bucket").agg(F.count("*").alias("n"))
+    offsets = sizes.select(
+        "bucket",
+        (
+            F.sum("n").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("offset"),
+    ).fillna(0, subset=["offset"])
+    w = Window.partitionBy("bucket").orderBy("shuffle_key", id_col)
+    ranked = keyed.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .select(
+            id_col,
+            "shuffle_key",
+            (F.col("offset") + F.col("rn")).alias("train_rank"),
+        )
+    )
+
+
+def source_mixture_weights(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, observed_frac, weight): per-source resampling
+    weight that reshapes the observed mix toward the target mix.
+
+    weight = target_frac / observed_frac — multiply by it (or sample
+    with probability proportional to it) to hit the target
+    distribution.  One corpus-wide aggregate (map-side combine); the
+    target table is a literal lookup joined onto group results, so the
+    only corpus-sized cost is the single groupBy shuffle.
+    """
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in targets.items()], f"{source_col} string, target_frac double"
+    )
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(tgt), source_col, "left")
+        .select(
+            source_col,
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 4).alias("observed_frac"),
+            F.round(
+                F.coalesce(F.col("target_frac"), F.lit(0.0))
+                / (F.col("n_docs") / F.col("total")),
+                4,
+            ).alias("weight"),
+        )
+    )

@@ -22,6 +22,7 @@ from qaapi_spark.plans import llm_multimodal  # noqa: E402,F401
 from qaapi_spark.plans import llm_sketches  # noqa: E402,F401
 from qaapi_spark.plans import llm_sampling  # noqa: E402,F401
 from qaapi_spark.plans import llm_retrieval  # noqa: E402,F401
+from qaapi_spark.plans import llm_curation  # noqa: E402,F401
 from qaapi_spark.plans import profiling  # noqa: E402,F401
 from qaapi_spark.plans import mining  # noqa: E402,F401
 

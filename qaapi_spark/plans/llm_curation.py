@@ -1,0 +1,104 @@
+"""Corpus-curation queries: benchmark decontamination, reproducible
+training order, and source-mixture weighting over the documents table
+(extension: the curation steps between "deduplicated corpus" and
+"training shards"; SURVEY §7.2 step 7 north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qaapi_spark.operators.curation import (
+    benchmark_contamination,
+    source_mixture_weights,
+    training_order,
+)
+from qaapi_spark.plans.catalog import query, t
+
+_DD_WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
+_NGRAM_N = 5
+_EVAL_MOD = 17
+_MIN_OVERLAP = 3
+
+# DuckDB distinct word-5-gram set of `w` (same spec as word_shingles).
+_DD_5GRAMS = (
+    "list_distinct(CASE WHEN len(w) >= 5 THEN "
+    "list_transform(range(1, len(w) - 3), i -> "
+    "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) "
+    "ELSE CAST([] AS VARCHAR[]) END)"
+)
+
+
+@query(
+    "curation_benchmark_contamination",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_DD_WORDS} AS w FROM documents),
+    sets AS (SELECT doc_id, {_DD_5GRAMS} AS sh FROM docs),
+    ev AS (
+        SELECT doc_id AS eval_id, len(sh) AS eval_size, unnest(sh) AS g
+        FROM sets WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    corpus AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+    hits AS (
+        SELECT c.doc_id, ev.eval_id, ev.eval_size, COUNT(*) AS n_overlap
+        FROM corpus c JOIN ev ON c.g = ev.g AND c.doc_id <> ev.eval_id
+        GROUP BY c.doc_id, ev.eval_id, ev.eval_size
+    )
+    SELECT doc_id, eval_id, n_overlap,
+           ROUND(n_overlap * 1.0 / eval_size, 4) AS overlap_frac
+    FROM hits WHERE n_overlap >= {_MIN_OVERLAP}
+    ORDER BY doc_id, eval_id
+    """,
+    doc="benchmark decontamination: distinct word-5-gram collision of "
+    "every training document against the (bounded, broadcast) eval-set "
+    "n-gram index — map-only over the corpus, the shape public LM "
+    "training reports use for eval decontamination (extension)",
+)
+def curation_benchmark_contamination(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    return benchmark_contamination(
+        d, ev, n=_NGRAM_N, min_overlap=_MIN_OVERLAP
+    ).orderBy("doc_id", "eval_id")
+
+
+@query(
+    "curation_training_order",
+    oracle="""
+    SELECT doc_id,
+           md5('seed0-' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('seed0-' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS train_rank
+    FROM documents
+    ORDER BY train_rank
+    """,
+    doc="reproducible global training order: engine-portable md5 shuffle "
+    "key + distributed global rank (per-bucket row_number + broadcast "
+    "cumulative bucket offsets — no single-partition window) "
+    "(extension)",
+)
+def curation_training_order(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return training_order(d, seed="seed0").orderBy("train_rank")
+
+
+@query(
+    "curation_source_mixture_weights",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total FROM c)
+    SELECT source, n_docs,
+           ROUND(n_docs / total, 4) AS observed_frac,
+           ROUND(0.05 / (n_docs / total), 4) AS weight
+    FROM c CROSS JOIN tot
+    ORDER BY source
+    """,
+    doc="source mixture weighting: per-source resampling weight toward "
+    "a uniform 20-source target mix — one corpus aggregate, broadcast "
+    "target lookup (extension: domain mixing)",
+)
+def curation_source_mixture_weights(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    targets = {f"src{i}": 0.05 for i in range(20)}
+    return source_mixture_weights(d, targets).orderBy("source")
