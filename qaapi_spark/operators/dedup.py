@@ -53,12 +53,26 @@ def word_shingles(text, n: int = 2):
     return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
 
 
+def _hashed_shingle_sets(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, sh): distinct word-n-gram shingles hashed to int64 JVM-side
+    (xxhash64) so only fixed-width values cross any later boundary.
+    Shared by both exact-Jaccard kernels and the regime selector so the
+    corpus is tokenized once per query, not once per phase."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("sh"),
+    )
+
+
 def ngram_jaccard_pairs_sparse(
     df: DataFrame,
     threshold: float,
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with ngram-set Jaccard >=
     threshold, via an AllPairs-style prefix-filtered inverted index
@@ -86,9 +100,8 @@ def ngram_jaccard_pairs_sparse(
     """
     from pyspark.sql import Window
 
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("sh"),
+    sets = (
+        _sets if _sets is not None else _hashed_shingle_sets(df, n, text_col, id_col)
     ).withColumn("set_size", F.size("sh"))
     posting = sets.select("id", "set_size", F.explode("sh").alias("shingle"))
     dfreq = posting.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -153,14 +166,27 @@ def ngram_jaccard_pairs_auto(
 
     At 100 TB the vocabulary estimate exceeds the cutoff immediately
     (HLL sketch, map-side), so the scale path never collects anything.
+
+    The hashed shingle sets are computed ONCE (cached, registered for
+    harness release) and shared by the observation pass and whichever
+    kernel wins — the corpus is tokenized a single time per query.
     """
-    sets = df.select(word_shingles(F.col(text_col), n).alias("sh"))
-    vocab = sets.select(F.explode("sh").alias("s")).agg(
-        F.approx_count_distinct("s").alias("v")
-    ).first()["v"]
-    if vocab <= dense_max_vocab and df.count() <= dense_max_docs:
-        return ngram_jaccard_pairs(df, threshold, n, text_col, id_col)
-    return ngram_jaccard_pairs_sparse(df, threshold, n, text_col, id_col)
+    from qaapi_spark.session import register_kernel_cache
+
+    spark = df.sparkSession
+    sets = register_kernel_cache(
+        _hashed_shingle_sets(
+            df.repartition(spark.sparkContext.defaultParallelism), n, text_col, id_col
+        ).persist()
+    )
+    vocab = (
+        sets.select(F.explode("sh").alias("s"))
+        .agg(F.approx_count_distinct("s").alias("v"))
+        .first()["v"]
+    )
+    if vocab <= dense_max_vocab and sets.count() <= dense_max_docs:
+        return ngram_jaccard_pairs(df, threshold, n, text_col, id_col, _sets=sets)
+    return ngram_jaccard_pairs_sparse(df, threshold, n, text_col, id_col, _sets=sets)
 
 
 def _popcount_u64(a):
@@ -183,6 +209,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact ngram-Jaccard pairs via bitset intersection kernel.
 
@@ -207,10 +234,17 @@ def ngram_jaccard_pairs(
     # width ints cross the Arrow boundary; 64-bit collisions are
     # negligible at any realistic shingle-vocabulary size.  Repartition
     # first: single-file inputs arrive as ONE partition and the shingle
-    # explode should use every core.
-    sets = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
-        F.col(id_col).alias("id"),
-        F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("sh"),
+    # explode should use every core.  (A precomputed cached `_sets`
+    # is already materialized in parallel — use it as-is.)
+    sets = (
+        _sets
+        if _sets is not None
+        else df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+            F.col(id_col).alias("id"),
+            F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias(
+                "sh"
+            ),
+        )
     )
     pdf_corpus = sets.toPandas()
     ids = pdf_corpus["id"].to_numpy(dtype=np.int64)

@@ -11,9 +11,14 @@ component id among itself and its neighbors until fixpoint:
     are small/cliquish, so a handful of rounds converge;
   - convergence is detected from the monotonically decreasing sum of
     labels (one cheap scalar agg per round — no full-relation diff);
-  - each round's result is persisted and the previous round released,
-    so lineage stays O(1) instead of growing per iteration (the usual
-    iterative-DataFrame trap).
+  - each round is materialized with an eager localCheckpoint, which
+    TRUNCATES the logical plan.  Persist alone is not enough: each
+    round's plan embeds the previous round's twice (labels join
+    neigh_min(labels)), so Catalyst re-ANALYSIS doubles per round even
+    though cached data prevents re-execution — a measured 762s for a
+    9-node chain of diameter 8 before truncation, ~10s after.  On a
+    cluster swap localCheckpoint for checkpoint(dir) if executor loss
+    must not restart the job; the operator shape is unchanged.
 
 This is the genuinely-iterative shape Spark SQL alone cannot express;
 the DuckDB oracle mirrors it with a recursive CTE.
@@ -49,8 +54,20 @@ def connected_components(
     # join/agg runs on the edge-node set, not the full node set.
     # Isolated nodes re-attach at the end as their own component.
     labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node")).persist()
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
     )
+    # localCheckpoint materializes through .rdd, which AQE does not
+    # coalesce — size the per-round relation explicitly (the label
+    # relation has a FIXED row count all rounds: the edge-node set)
+    # so tiny graphs run 1-task rounds instead of shuffle-partitions
+    # near-empty tasks, and big graphs keep one partition per ~50k
+    # labels up to the session's parallelism.
+    n_edge_nodes = labels.count()
+    spark = nodes.sparkSession
+    npart = max(1, min(spark.sparkContext.defaultParallelism, n_edge_nodes // 50_000 + 1))
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         neigh_min = (
@@ -58,13 +75,16 @@ def connected_components(
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("comp").alias("ncomp"))
         )
+        # eager localCheckpoint = materialize + TRUNCATE lineage, so
+        # round N's plan never contains round N-1's (see module doc)
         new_labels = (
             labels.join(neigh_min, labels["node"] == neigh_min["node2"], "left")
             .select(
                 "node",
                 F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"),
             )
-            .persist()
+            .coalesce(npart)
+            .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels.unpersist()
@@ -73,9 +93,8 @@ def connected_components(
             break
         prev_sum = cur_sum
     sym.unpersist()
-    # the final labels stay persisted (their lineage spans every
-    # iteration); register with the kernel-cache registry so the
-    # harness releases them after the query materializes.
+    # the final labels stay materialized; register with the kernel-
+    # cache registry so the harness releases them after the query runs.
     from qaapi_spark.session import register_kernel_cache
 
     labeled = register_kernel_cache(labels).select("node", "comp")
