@@ -117,6 +117,59 @@ def training_order(
     )
 
 
+def bigram_lm_nll(
+    df: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bigrams, nll): corpus-trained bigram-LM quality score.
+
+    Train an add-k-smoothed bigram model on the corpus itself and score
+    each document by its average negative log-likelihood —
+    ``P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k*V)`` — the LM-based
+    quality-filter shape public pipelines use (high nll = improbable
+    word sequences).  Plan: two count aggregates (map-side combined,
+    vocabulary-sized), one scalar V, then the positional bigram stream
+    joins its counts (the only corpus-sized shuffle) and reduces
+    per-document.  Count relations are vocabulary-bounded, so AQE
+    broadcasts them when small and shuffles when not — no user hint.
+    """
+    from qaapi_spark.operators.textstats import word_ngrams, ws_tokens
+    from qaapi_spark.session import register_kernel_cache
+
+    # positional bigram stream, cached: it feeds both the count
+    # aggregate (model training) and the scoring join (inference)
+    big = register_kernel_cache(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
+        ).persist()
+    )
+    bigc = big.groupBy("bg").agg(F.count("*").alias("c2"))
+    unic = (
+        df.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("u"))
+        .groupBy("u")
+        .agg(F.count("*").alias("c1"))
+    )
+    vsize = float(unic.count())
+    first = F.split("bg", " ")[0]
+    scored = (
+        big.join(bigc, "bg")
+        .withColumn("u", first)
+        .join(unic, "u")
+        .select(
+            "id",
+            (-F.log((F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k * vsize)))).alias(
+                "nl"
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"), F.round(F.avg("nl"), 4).alias("nll")
+    )
+
+
 def source_mixture_weights(
     df: DataFrame,
     targets: dict[str, float],

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from qaapi_spark.operators.curation import (
     benchmark_contamination,
+    bigram_lm_nll,
     source_mixture_weights,
     training_order,
 )
@@ -81,6 +82,42 @@ def curation_benchmark_contamination(spark, sf_dir):
 def curation_training_order(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return training_order(d, seed="seed0").orderBy("train_rank")
+
+
+@query(
+    "curation_bigram_lm_quality",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DD_WORDS} AS w FROM documents),
+    big AS (
+        SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+            ELSE CAST([] AS VARCHAR[]) END) AS bg
+        FROM toks
+    ),
+    bigc AS (SELECT bg, COUNT(*) AS c2 FROM big GROUP BY bg),
+    unic AS (SELECT unnest(w) AS u FROM toks),
+    unicc AS (SELECT u, COUNT(*) AS c1 FROM unic GROUP BY u),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vsize FROM unicc)
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-AVG(ln((bigc.c2 + 0.5) / (unicc.c1 + 0.5 * v.vsize))), 4) AS nll
+    FROM big b
+    JOIN bigc USING (bg)
+    JOIN unicc ON unicc.u = string_split(b.bg, ' ')[1]
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc="LM-based quality scoring: corpus-trained add-k bigram model, "
+    "per-document mean negative log-likelihood (high = improbable word "
+    "sequences) — the public LM-filter shape (CCNet-style) with the "
+    "count relations as vocabulary-bounded aggregates and one "
+    "corpus-sized scoring join (extension)",
+)
+def curation_bigram_lm_quality(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return bigram_lm_nll(d, k=0.5).select(
+        F.col("id").alias("doc_id"), "n_bigrams", "nll"
+    ).orderBy("doc_id")
 
 
 @query(

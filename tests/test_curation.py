@@ -65,3 +65,15 @@ def test_mixture_weights_shape(spark):
     assert abs(total - 1.0) < 0.01
     # uniform data + uniform target => all weights ~1
     assert all(abs(r.weight - 1.0) < 0.25 for r in out)
+
+
+def test_bigram_lm_nll_ranks_implausible_text(spark):
+    from qaapi_spark.operators.curation import bigram_lm_nll
+
+    # 20 fluent docs share their bigrams; one doc is a unique word salad
+    rows = [(i, "the cat sat on the mat and the dog ran") for i in range(20)]
+    rows.append((99, "zxq qwv plk mno vbn asd qpw oiu lkj hgf"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r.nll for r in bigram_lm_nll(df, k=0.5).collect()}
+    salad = out.pop(99)
+    assert all(salad > v for v in out.values())
