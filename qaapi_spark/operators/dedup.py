@@ -73,6 +73,7 @@ def ngram_jaccard_pairs_sparse(
     text_col: str = "text",
     id_col: str = "doc_id",
     _sets: DataFrame | None = None,
+    _dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with ngram-set Jaccard >=
     threshold, via an AllPairs-style prefix-filtered inverted index
@@ -104,7 +105,11 @@ def ngram_jaccard_pairs_sparse(
         _sets if _sets is not None else _hashed_shingle_sets(df, n, text_col, id_col)
     ).withColumn("set_size", F.size("sh"))
     posting = sets.select("id", "set_size", F.explode("sh").alias("shingle"))
-    dfreq = posting.groupBy("shingle").agg(F.count("*").alias("df"))
+    dfreq = (
+        _dfreq
+        if _dfreq is not None
+        else posting.groupBy("shingle").agg(F.count("*").alias("df"))
+    )
     # rarest-first global order; prefix keeps |X| - ceil(t|X|) + 1
     w = Window.partitionBy("id").orderBy("df", "shingle")
     prefix = (
@@ -164,12 +169,12 @@ def ngram_jaccard_pairs_auto(
       - *anything bigger* -> prefix-filtered sparse inverted index,
         the unbounded-corpus shape (nothing driver-side).
 
-    At 100 TB the vocabulary estimate exceeds the cutoff immediately
-    (HLL sketch, map-side), so the scale path never collects anything.
-
-    The hashed shingle sets are computed ONCE (cached, registered for
-    harness release) and shared by the observation pass and whichever
-    kernel wins — the corpus is tokenized a single time per query.
+    The observation is FREE for the scale path: the statistic is the
+    exact count of the document-frequency relation, which the sparse
+    kernel's prefix ranking needs anyway — big corpora pay no extra
+    pass, they just reuse the dfreq aggregate.  The hashed shingle
+    sets are likewise computed once (cached, registered for harness
+    release) and shared by observation and kernel.
     """
     from qaapi_spark.session import register_kernel_cache
 
@@ -179,14 +184,17 @@ def ngram_jaccard_pairs_auto(
             df.repartition(spark.sparkContext.defaultParallelism), n, text_col, id_col
         ).persist()
     )
-    vocab = (
-        sets.select(F.explode("sh").alias("s"))
-        .agg(F.approx_count_distinct("s").alias("v"))
-        .first()["v"]
+    dfreq = register_kernel_cache(
+        sets.select(F.explode("sh").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .persist()
     )
-    if vocab <= dense_max_vocab and sets.count() <= dense_max_docs:
+    if dfreq.count() <= dense_max_vocab and sets.count() <= dense_max_docs:
         return ngram_jaccard_pairs(df, threshold, n, text_col, id_col, _sets=sets)
-    return ngram_jaccard_pairs_sparse(df, threshold, n, text_col, id_col, _sets=sets)
+    return ngram_jaccard_pairs_sparse(
+        df, threshold, n, text_col, id_col, _sets=sets, _dfreq=dfreq
+    )
 
 
 def _popcount_u64(a):
