@@ -283,3 +283,186 @@ def keep_representatives(
         F.col("node").alias(id_col)
     )
     return df.join(keepers, id_col, "left_semi")
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m: int = 16,
+    ksub: int = 64,
+    seed_mod: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Deterministic product-quantization codebook: (m, ksub, dsub).
+
+    Product quantization (Jegou, Douze, Schmid — TPAMI 2011, public)
+    splits each unit vector into m subspaces and snaps every slice to
+    the nearest of ksub per-subspace centroids, so a d-float vector
+    stores as m small codes.  As with the IVF operator, the centroids
+    are a deterministic corpus sample (first ksub rows of the
+    `vec_id % seed_mod == 0` stripe) instead of a fitted k-means model
+    — seed-free and rerun-stable; swap in trained centroids without
+    touching the plan shape.  The codebook is ksub rows however large
+    the corpus: a bounded driver collect, broadcast to executors.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.filter(F.col(id_col) % seed_mod == 0)
+        .orderBy(id_col)
+        .limit(ksub)
+        .select(vec_col)
+        .collect()
+    )
+    seeds = np.array([r[0] for r in rows], dtype=np.float64)
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+    dim = seeds.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    # (m, ksub, dsub): subspace j's centroids are the seed slices
+    return np.ascontiguousarray(seeds.reshape(len(seeds), m, dsub).transpose(1, 0, 2))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes): each unit vector compressed to m per-subspace
+    centroid indices — map-only, the corpus never shuffles.  At 100 TB
+    the codes relation is what sits in memory/storage for serving
+    (m bytes/vector vs 4d); scoring reads codes, not vectors.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    b = spark.sparkContext.broadcast(np.asarray(codebook))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = b.value  # (m, ksub, dsub)
+        m_, _, dsub = cb.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            sl = v.reshape(len(v), m_, dsub)  # (n, m, dsub)
+            # nearest centroid per subspace under L2 == max dot - ||c||^2/2
+            codes = np.empty((len(v), m_), dtype=np.int64)
+            for j in range(m_):
+                d2 = (
+                    (sl[:, j, None, :] - cb[j][None, :, :]) ** 2
+                ).sum(axis=2)  # (n, ksub)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(dtype=np.int64), "codes": list(codes)}
+            )
+
+    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return src.mapInPandas(gen, "id long, codes array<long>")
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    m: int = 16,
+    ksub: int = 64,
+    seed_mod: int = 2,
+    rerank_factor: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via PQ asymmetric distance computation.
+
+    (query_id, cand_id, cosine): ADC scores every *code* against the
+    query's per-subspace lookup tables (ksub dot products per subspace,
+    built once per query), takes the top k*rerank_factor approximate
+    candidates per query, then reranks exactly against the true
+    vectors.  Precision of the final list is 1 (exact rerank); only
+    recall is approximate.  Scale shape: codes stream map-only with a
+    per-batch partial top-k (<= k*rerank_factor rows per query leave
+    each batch), queries and tables broadcast, and the only joins are
+    candidate-sized.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
+    cb = pq_codebook(corpus, m, ksub, seed_mod, vec_col, id_col)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    dsub = q_mat.shape[1] // m
+    # ADC tables: T[q, j, c] = q_slice_j . centroid_{j,c}
+    tables = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_ids), m, dsub), cb)
+    q_index = {int(i): n for n, i in enumerate(q_ids)}
+    b = spark.sparkContext.broadcast((q_index, q_mat, tables))
+    n_keep = k * rerank_factor
+
+    codes = pq_encode(corpus, cb, vec_col, id_col)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _, _, tb = b.value  # (Q, m, ksub)
+        jj = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            # approx[q, n] = sum_j tb[q, j, cm[n, j]]
+            approx = tb[:, jj, cm].sum(axis=2)  # (Q, n)
+            keep = min(n_keep, approx.shape[1])
+            part = np.argpartition(-approx, keep - 1, axis=1)[:, :keep]
+            qq = np.repeat(np.arange(len(tb)), keep)
+            nn = part.ravel()
+            yield pd.DataFrame(
+                {
+                    "q_idx": qq,
+                    "cand_id": ids[nn],
+                    "approx": approx[qq, nn],
+                }
+            )
+
+    partial = codes.mapInPandas(adc, "q_idx long, cand_id long, approx double")
+    cand = (
+        topk_per_group(partial, ["q_idx"], [F.desc("approx"), F.asc("cand_id")], n_keep)
+        .select("q_idx", "cand_id")
+        .dropDuplicates(["q_idx", "cand_id"])
+    )
+    cvec = cand.join(
+        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")),
+        "cand_id",
+    )
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx, qm, _ = b.value
+        ids_sorted = np.array(sorted(idx, key=lambda i: idx[i]), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            qrow = pdf["q_idx"].to_numpy(dtype=np.int64)
+            cos = np.round(np.einsum("ij,ij->i", qm[qrow], cm), round_to)
+            yield pd.DataFrame(
+                {
+                    "query_id": ids_sorted[qrow],
+                    "cand_id": pdf["cand_id"],
+                    "cosine": cos,
+                }
+            )
+
+    scored = cvec.mapInPandas(rerank, "query_id long, cand_id long, cosine double")
+    return topk_per_group(scored, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k)

@@ -81,3 +81,55 @@ def test_bm25_scores_only_matching_docs(spark):
     expected = d.filter(F.lower(F.col("text")).rlike(pat)).count()
     assert scores.count() == expected
     assert scores.filter(F.col("score") <= 0).count() == 0
+
+
+def test_pq_topk_recall_vs_bruteforce(spark):
+    """PQ-ADC with exact rerank: assert recall@5 against the exact
+    brute-force top-5 on the real embeddings table.  With a 16-centroid
+    deterministic codebook and rerank_factor 4 the candidate pool is
+    loose enough that most true neighbors survive the ADC cut."""
+    from qaapi_spark.operators.retrieval import pq_topk
+    from qaapi_spark.operators.similarity import cosine_topk_bruteforce
+    from qaapi_spark.plans.catalog import t
+
+    e = t(spark, SF_SMOKE, "embeddings")
+    qs = e.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in cosine_topk_bruteforce(qs, e, 5).collect()
+    }
+    approx = {(r.query_id, r.cand_id) for r in pq_topk(qs, e, 5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"PQ recall@5 = {recall}"
+
+
+def test_pq_precision_is_exact(spark):
+    """The rerank stage recomputes true cosine, so every returned score
+    must equal the exact cosine between the pair."""
+    import numpy as np
+
+    from qaapi_spark.operators.retrieval import pq_topk
+    from qaapi_spark.plans.catalog import t
+
+    e = t(spark, SF_SMOKE, "embeddings")
+    qs = e.filter(F.col("vec_id") % 100 == 0)
+    got = pq_topk(qs, e, 5).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+    for r in got:
+        a, b = vecs[r.query_id], vecs[r.cand_id]
+        want = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+        assert abs(r.cosine - want) < 1e-9
+
+
+def test_pq_encode_is_compact_and_maponly(spark):
+    from qaapi_spark.operators.retrieval import pq_codebook, pq_encode
+    from qaapi_spark.plans.catalog import t
+
+    e = t(spark, SF_SMOKE, "embeddings")
+    cb = pq_codebook(e, m=8, ksub=16, seed_mod=2)
+    assert cb.shape == (8, 16, 8)
+    codes = pq_encode(e, cb)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: no shuffle to encode
+    row = codes.first()
+    assert len(row.codes) == 8 and all(0 <= c < 16 for c in row.codes)
