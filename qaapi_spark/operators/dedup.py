@@ -335,6 +335,57 @@ def ngram_jaccard_pairs(
     return slices.mapInPandas(gen, "id_a long, id_b long, jaccard double")
 
 
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig): map-only minhash signatures (h_i = xxhash64(i, shingle)
+    remixes over int64-hashed shingles; no explode, no shuffle).  Docs
+    with zero shingles drop (same semantics as an inner explode)."""
+    hs = F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+    return (
+        df.select(F.col(id_col).alias("id"), hs.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select(
+            "id",
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("hs"), lambda v: F.xxhash64(F.lit(i), v)))
+                    for i in range(num_hashes)
+                ]
+            ).alias("sig"),
+        )
+    )
+
+
+def minhash_band_keys(
+    signed: DataFrame, num_hashes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """(id, band, bsig) LSH bucket keys from a (id, sig) relation —
+    24-byte rows, the only thing that ever crosses a candidate
+    shuffle."""
+    rows_per_band = num_hashes // n_bands
+    return signed.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bsig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float,
@@ -363,49 +414,23 @@ def minhash_lsh_pairs(
     """
     from qaapi_spark.session import register_kernel_cache
 
-    rows_per_band = num_hashes // n_bands
-    hs = F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
-    # docs with zero shingles have no signature (same drop semantics as
-    # an inner explode)
-    sets = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(F.col(id_col).alias("id"), hs.alias("hs"))
-        .filter(F.size("hs") > 0)
-    )
     # signed feeds three consumers (band build + two signature
     # re-attach joins) — persist so signatures compute once; the
     # registry releases it after the query.
     signed = register_kernel_cache(
-        sets.select(
-            "id",
-            F.array(
-                *[
-                    F.array_min(F.transform(F.col("hs"), lambda v: F.xxhash64(F.lit(i), v)))
-                    for i in range(num_hashes)
-                ]
-            ).alias("sig"),
+        minhash_signatures(
+            df.repartition(df.sparkSession.sparkContext.defaultParallelism),
+            num_hashes,
+            shingle_n,
+            text_col,
+            id_col,
         ).persist()
     )
     # Band rows carry ONLY (id, band, bsig) — 24 bytes — through the
     # candidate shuffle; signatures (num_hashes*8 bytes each) re-attach
     # AFTER pair dedup, so signature bytes cross the wire once per doc,
     # not once per band per candidate.
-    bands = signed.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bsig"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+    bands = minhash_band_keys(signed, num_hashes, n_bands)
     cand = (
         bands.alias("a")
         .join(

@@ -166,3 +166,20 @@ def stream_dedup_events_q(spark, sf_dir):
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return stream_dedup_events(spark, f"{sf_dir}/events.parquet").orderBy("event_id")
+
+
+@query(
+    "stream_neardup_dedup_docs",
+    oracle=None,  # LSH-approximate + batch-arrival-order dependent =>
+    # rows-only; cross-batch drop semantics asserted in
+    # tests/test_streaming_multimodal.py
+    doc="incremental NEAR-dup dedup: documents stream in micro-batches, "
+    "each filtered against the accumulated minhash-LSH band-key store "
+    "of all kept docs (foreachBatch; 24-byte band keys are the only "
+    "state) — the streaming near-dup half of the dedup surface "
+    "(extension, SURVEY §2.9)",
+)
+def stream_neardup_dedup_docs(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import stream_neardup_dedup
+
+    return stream_neardup_dedup(spark, f"{sf_dir}/documents.parquet").orderBy("doc_id")

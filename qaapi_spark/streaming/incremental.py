@@ -156,3 +156,100 @@ def stream_dedup_events(spark: SparkSession, events_path: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def stream_neardup_dedup(
+    spark: SparkSession,
+    docs_path: str,
+    num_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: documents arrive in micro-batches
+    (one file per trigger) and each batch is filtered against the
+    accumulated minhash-LSH band-key store of every document kept so
+    far — the streaming half of the near-dup surface, where
+    stream_dedup_events is the exact half.
+
+    Per batch (foreachBatch, exactly-once per epoch against an
+    idempotent store):
+
+      1. map-only minhash signatures + band keys for the batch;
+      2. drop docs sharing ANY band key with an already-kept doc
+         (left_anti against the store — the cross-batch near-dup);
+      3. within the batch, greedy min-id: drop docs band-colliding
+         with a smaller id in the same batch (one-pass approximation
+         of keep-representatives; exact for cliques, documented);
+      4. append survivors' band keys to the store.
+
+    The store holds (band, bsig) per kept doc — 24 bytes/doc/band
+    however large the corpus — and both probes are equi-joins on the
+    band key, so at 100 TB this is a bounded-state incremental dedup
+    (the batch side is the small side of every join).  Returns the
+    kept documents (doc_id, lang, source).
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.operators.dedup import minhash_band_keys, minhash_signatures
+
+    # stage the corpus as two files => two micro-batches (docs split by
+    # id parity), so the store genuinely accumulates across epochs
+    stage_dir = tempfile.mkdtemp(prefix="docs_neardup_stream_")
+    store_dir = tempfile.mkdtemp(prefix="neardup_store_")
+    out_dir = tempfile.mkdtemp(prefix="neardup_kept_")
+    batch_df = spark.read.parquet(docs_path)
+    batch_df.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage_dir, "b0.parquet")
+    )
+    batch_df.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage_dir, "b1.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir + "/*.parquet")
+    )
+
+    def dedup_batch(bdf: DataFrame, epoch_id: int) -> None:
+        keys = minhash_band_keys(
+            minhash_signatures(bdf, num_hashes), num_hashes, n_bands
+        )
+        try:
+            store = spark.read.parquet(store_dir + "/data")
+        except Exception:
+            store = None
+        if store is not None:
+            hit = keys.join(store.select("band", "bsig"), ["band", "bsig"], "left_semi")
+            keys = keys.join(hit.select("id").distinct(), "id", "left_anti")
+        # within-batch greedy min-id on band collisions
+        a, b = keys.alias("a"), keys.alias("b")
+        smaller = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bsig") == F.col("b.bsig"))
+                & (F.col("a.id") > F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id"))
+            .distinct()
+        )
+        kept_keys = keys.join(smaller, "id", "left_anti").localCheckpoint(eager=True)
+        kept_ids = kept_keys.select("id").distinct()
+        bdf.join(
+            kept_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
+        ).select("doc_id", "lang", "source").write.mode("append").parquet(
+            out_dir + "/data"
+        )
+        kept_keys.write.mode("append").parquet(store_dir + "/data")
+
+    q = (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_dir + "/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir + "/data")

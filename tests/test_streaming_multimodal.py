@@ -68,3 +68,30 @@ def test_multimodal_resize_passthrough(spark, sf_dir):
     row = r.filter(F.col("media_id") == 0).collect()[0]
     assert row["width"] == 224 and row["height"] == 224
     assert isinstance(row["payload"], (bytes, bytearray)) and len(row["payload"]) > 0
+
+
+def test_stream_neardup_drops_cross_batch_duplicate(spark, tmp_path):
+    """A near-identical copy arriving in a LATER micro-batch must be
+    dropped by the accumulated band-key store; unique docs survive."""
+    from qaapi_spark.streaming.incremental import stream_neardup_dedup
+
+    # every "unique" doc is built from id-derived tokens only (no shared
+    # template words — shared bigrams would make them true near-dups)
+    rows = []
+    for i in range(0, 40, 2):  # even ids -> batch 0
+        rows.append((i, " ".join(f"w{i}t{j}" for j in range(12))))
+    # odd ids -> batch 1: 41 is a verbatim copy of 40's text (cross-batch
+    # near-dup); the rest are unique
+    rows.append((40, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    rows.append((41, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    for i in range(43, 60, 2):
+        rows.append((i, " ".join(f"x{i}t{j}" for j in range(12))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+    path = str(tmp_path / "docs.parquet")
+    df.write.mode("overwrite").parquet(path)
+
+    kept = {r.doc_id for r in stream_neardup_dedup(spark, path).collect()}
+    assert 40 in kept and 41 not in kept  # later-batch copy dropped
+    assert all(i in kept for i in range(0, 40, 2))  # uniques survive
+    assert all(i in kept for i in range(43, 60, 2))
