@@ -182,4 +182,16 @@ def stream_dedup_events_q(spark, sf_dir):
 def stream_neardup_dedup_docs(spark, sf_dir):
     from qaapi_spark.streaming.incremental import stream_neardup_dedup
 
-    return stream_neardup_dedup(spark, f"{sf_dir}/documents.parquet").orderBy("doc_id")
+    # micro-batches are corpus-fractions: few shuffle partitions (the
+    # query materializes eagerly, so the conf restores before returning)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # ~13s at sf0.1 is almost entirely per-epoch fixed cost (stream
+        # orchestration + codegen of the minhash expression tree + tiny
+        # store writes), not data volume — it amortizes at real scale
+        return stream_neardup_dedup(spark, f"{sf_dir}/documents.parquet").orderBy(
+            "doc_id"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -214,6 +214,9 @@ def stream_neardup_dedup(
     )
 
     def dedup_batch(bdf: DataFrame, epoch_id: int) -> None:
+        # one file per trigger => the batch arrives as ONE partition;
+        # spread it so the signature kernel uses every core
+        bdf = bdf.repartition(spark.sparkContext.defaultParallelism)
         keys = minhash_band_keys(
             minhash_signatures(bdf, num_hashes), num_hashes, n_bands
         )
@@ -236,14 +239,20 @@ def stream_neardup_dedup(
             .select(F.col("a.id").alias("id"))
             .distinct()
         )
-        kept_keys = keys.join(smaller, "id", "left_anti").localCheckpoint(eager=True)
-        kept_ids = kept_keys.select("id").distinct()
-        bdf.join(
-            kept_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
-        ).select("doc_id", "lang", "source").write.mode("append").parquet(
-            out_dir + "/data"
-        )
-        kept_keys.write.mode("append").parquet(store_dir + "/data")
+        # two consumers (kept-doc write + store append): persist, not
+        # checkpoint — the lineage is one epoch deep, and persist keeps
+        # AQE coalescing active for the tiny batch-side joins
+        kept_keys = keys.join(smaller, "id", "left_anti").persist()
+        try:
+            kept_ids = kept_keys.select("id").distinct()
+            bdf.join(
+                kept_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
+            ).select("doc_id", "lang", "source").write.mode("append").parquet(
+                out_dir + "/data"
+            )
+            kept_keys.write.mode("append").parquet(store_dir + "/data")
+        finally:
+            kept_keys.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(dedup_batch)
