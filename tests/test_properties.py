@@ -1,0 +1,95 @@
+"""Property-based differential tests (hypothesis) — SURVEY §5 upgrade
+beyond the fixed-fixture corpus.
+
+The highest-risk algebra in the repo is the prefix-filtered sparse
+Jaccard (a missed candidate is a silent wrong answer, and the fixture
+corpora can't cover every set-size/threshold boundary), so the core
+property is sparse == dense on arbitrary small corpora.  Merge
+utilities get their algebraic laws (idempotence, target precedence).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# small shared vocabulary => dense collision structure, the regime
+# where prefix filtering has the least slack
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+_texts = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(" ".join)
+_corpora = st.lists(_texts, min_size=1, max_size=10)
+_thresholds = st.sampled_from([0.25, 0.4, 0.5, 0.75, 1.0])
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(texts=_corpora, threshold=_thresholds)
+@_SETTINGS
+def test_sparse_prefix_filter_equals_dense_kernel(spark, texts, threshold):
+    """Prefix filtering must lose NO qualifying pair and add none:
+    the sparse inverted-index kernel and the dense bitset kernel are
+    both exact, so their outputs must be identical on any corpus."""
+    from qaapi_spark.operators.dedup import ngram_jaccard_pairs, ngram_jaccard_pairs_sparse
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sparse = sorted(map(tuple, ngram_jaccard_pairs_sparse(df, threshold, n=2).collect()))
+    dense = sorted(map(tuple, ngram_jaccard_pairs(df, threshold, n=2).collect()))
+    assert sparse == dense
+
+
+@given(texts=_corpora)
+@_SETTINGS
+def test_minhash_estimates_bounded_and_symmetric_free(spark, texts):
+    """LSH candidates: id_a < id_b always, est_jaccard in [0, 1], and a
+    verbatim duplicate pair always surfaces (identical signatures
+    collide in every band)."""
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.operators.dedup import minhash_lsh_pairs
+    from qaapi_spark.session import release_kernel_caches
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    dup_src = next((t for t in texts if len(t.split()) >= 2), None)
+    if dup_src is not None:
+        rows.append((len(texts), dup_src))  # verbatim copy
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = minhash_lsh_pairs(df, 0.0).collect()
+    release_kernel_caches()
+    assert all(r.id_a < r.id_b for r in got)
+    assert all(0.0 <= r.est_jaccard <= 1.0 for r in got)
+    if dup_src is not None:
+        src_id = texts.index(dup_src)
+        assert any(
+            r.id_a == src_id and r.id_b == len(texts) and r.est_jaccard == 1.0
+            for r in got
+        )
+
+
+@given(
+    target_keys=st.lists(st.integers(0, 6), min_size=0, max_size=6, unique=True),
+    batch_keys=st.lists(st.integers(0, 6), min_size=0, max_size=6, unique=True),
+)
+@_SETTINGS
+def test_merge_insert_only_laws(spark, target_keys, batch_keys):
+    """Insert-only merge: target rows never change, result keys are the
+    union, and the merge is idempotent (re-merging the batch is a
+    no-op)."""
+    from qaapi_spark.operators.maintain import merge_insert_only
+
+    target = spark.createDataFrame([(k, f"t{k}") for k in target_keys], "id long, v string")
+    batch = spark.createDataFrame([(k, f"b{k}") for k in batch_keys], "id long, v string")
+    once = merge_insert_only(target, batch, ["id"])
+    got = {r.id: r.v for r in once.collect()}
+    assert set(got) == set(target_keys) | set(batch_keys)
+    for k in target_keys:
+        assert got[k] == f"t{k}"  # target version wins
+    for k in set(batch_keys) - set(target_keys):
+        assert got[k] == f"b{k}"
+    twice = merge_insert_only(once, batch, ["id"])
+    assert {(r.id, r.v) for r in twice.collect()} == set(got.items())
