@@ -108,7 +108,7 @@ def asof_latest_order_per_event(spark, sf_dir):
     WITH flagged AS (
         SELECT user_id, ts,
                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                      OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                      OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 1800 SECOND
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
     ),
@@ -123,16 +123,22 @@ def asof_latest_order_per_event(spark, sf_dir):
            COUNT(*) AS n_events
     FROM sess GROUP BY user_id ORDER BY user_id
     """,
-    doc="sessionization via lag + gap>threshold + running sum (extension; "
+    doc="sessionization via lag + gap>threshold + running sum; the gap "
+    "compare is EXACT timestamp arithmetic (unix_timestamp/date_diff "
+    "truncate sub-second parts, which every testdata ts carries) so "
+    "all three sessionizers — this, session_window_native, and the "
+    "stateful streaming one — share boundary semantics (extension; "
     "pyspark_guide OLAP patterns)",
 )
 def sessionization_gap30(spark, sf_dir):
     e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(prev)
     flagged = e.withColumn(
-        "new_sess", F.when(prev.isNull() | (gap > 1800), 1).otherwise(0)
+        "new_sess",
+        F.when(
+            prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 1800 SECONDS")), 1
+        ).otherwise(0),
     )
     sess = flagged.withColumn(
         "session_id",

@@ -208,7 +208,7 @@ def q6_forecast_revenue(spark, sf_dir):
     WITH flagged AS (
         SELECT user_id, ts,
                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                      OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) >= 1800
+                      OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 1800 SECOND
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
     ),
@@ -228,8 +228,12 @@ def q6_forecast_revenue(spark, sf_dir):
     doc="Spark-native session_window (30-min gap) in batch mode, pinned "
     "against a first-principles lag+cumsum oracle — the same operator "
     "drives watermarked streaming sessionization; window.end is "
-    "last-event + gap; a gap of exactly the threshold starts a new "
-    "session (strict merge: next < prev_end) (extension, SURVEY §2.9)",
+    "last-event + gap; Spark merges INCLUSIVELY at the boundary (a "
+    "gap of exactly the threshold extends the session; only gap > "
+    "threshold starts a new one — verified empirically, and the "
+    "oracle uses exact interval arithmetic because date_diff('second') "
+    "truncates the sub-second parts every testdata ts carries) "
+    "(extension, SURVEY §2.9)",
 )
 def session_window_native(spark, sf_dir):
     e = t(spark, sf_dir, "events").select("user_id", "ts")

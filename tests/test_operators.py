@@ -92,3 +92,27 @@ def test_unit_vector_cosine_identity(spark):
     u = with_unit_vector(df, "embedding")
     got = u.select(F.round(dot(F.col("unit_vec"), F.col("unit_vec")), 6).alias("c")).collect()[0][0]
     assert got == 1.0
+
+
+def test_session_window_boundary_is_inclusive_merge(spark):
+    """Spark's session_window extends a session when the gap EQUALS the
+    threshold (merge condition next <= prev_end) — pinned here because
+    the sf0.1 oracle soak caught an off-by-one from assuming strict
+    merge, invisible at sf0.01 where no pair sits on the boundary."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),      # exactly 1800s later: merges
+            (1, "2024-01-01 01:00:00.000001"),  # 1800.000001s later: splits
+        ],
+        "user_id long, s string",
+    ).select("user_id", F.col("s").cast("timestamp").alias("ts"))
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .collect()
+    )
+    assert sorted(r["count"] for r in out) == [1, 2]
