@@ -83,3 +83,31 @@ def stratified_sample(
             F.col(strata_col) == stratum, h < F.lit(frac_to_hex(frac))
         ).otherwise(cond)
     return df.filter(cond)
+
+
+def exact_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, deterministically.
+
+    The fraction-based sampler can't promise exact counts; this one
+    ranks each group by the portable md5 order (ties broken by id) and
+    keeps the first k — the same rows on every run, engine, and
+    partitioning.  One shuffle keyed on the group; per-group state in
+    the window is a single counter, so group size never pressures
+    memory.  The per-group top-k shape Spark compiles to a running
+    rank over the sorted group — no global sort, no collect.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -82,3 +82,33 @@ def sample_stratified_by_lang(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "sample_exact_k_per_source",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 3
+    ORDER BY source, doc_id
+    """,
+    doc="exact-k deterministic per-group sample: portable md5 rank "
+    "within each source, keep the first 3 — exact counts where the "
+    "fraction sampler can only promise expectations; one group-keyed "
+    "shuffle, running-rank window (extension: dataset sampling)",
+)
+def sample_exact_k_per_source(spark, sf_dir):
+    from qaapi_spark.operators.sampling import exact_k_per_group
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        exact_k_per_group(d, "source", 3, "doc_id")
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )

@@ -94,3 +94,18 @@ def test_redact_email_and_numbers(spark):
     row2 = df.select(red2.alias("r"), n2.alias("n")).collect()[0]
     assert row2["r"] == "mail bob@example.com and <NUM> <NUM>"
     assert row2["n"] == 2
+
+
+def test_exact_k_per_group_counts_and_stability(spark):
+    from qaapi_spark.operators.sampling import exact_k_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(100)] + [(1000, "tiny")],
+        "doc_id long, grp string",
+    )
+    out = exact_k_per_group(df, "grp", 5, "doc_id")
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 5, "g2": 5, "tiny": 1}  # min(k, |group|)
+    # partitioning-independent: same rows under a different layout
+    again = exact_k_per_group(df.repartition(7), "grp", 5, "doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
