@@ -401,3 +401,59 @@ def nullsafe_join_status_groups(spark, sf_dir):
         .select("s", "n_a", "n_b")
         .orderBy(F.col("s").asc_nulls_first())
     )
+
+
+@query(
+    "outliers_robust_mad_by_type",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type,
+               ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY adev), 6) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           ROUND(0.6745 * (d.value - d.med) / m.mad, 6) AS mz
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE ABS(ROUND(0.6745 * (d.value - d.med) / m.mad, 6)) > 3.5
+    ORDER BY event_id
+    """,
+    doc="robust outlier detection via the modified z-score "
+    "(median/MAD and the score all round at 6dp on BOTH engines: the "
+    "2dp inputs make 4dp/5dp scores land on EXACT decimal ties — e.g. "
+    "0.6745*137.87/24.14 = 3.85225 — where engines' tie-breaking "
+    "differs, while the 6dp representation is exact, so no tie exists) "
+    "(Iglewicz-Hoaglin: 0.6745*(x-median)/MAD, cut |mz| > 3.5) — "
+    "median/MAD resist the very outliers that inflate mean/stddev, the "
+    "robust data-quality gate for training pipelines.  Two grouped "
+    "exact-percentile passes (group-cardinality shuffles) broadcast "
+    "back over the stream; the cut filters on the rounded score so it "
+    "is engine-portable (extension: anomaly detection)",
+)
+def outliers_robust_mad_by_type(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", 0.5), 6).alias("mad")
+    )
+    mz = F.round(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 6)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select("event_id", "event_type", "value", mz.alias("mz"))
+        .filter(F.abs(F.col("mz")) > 3.5)
+        .orderBy("event_id")
+    )
