@@ -23,38 +23,65 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "w3_rolling_daily_events"
 
 
-def _driver_verified() -> set[str]:
-    """Names already green under a previous round's driver gate.
+# How many leading queries() entries the driver's correctness gate
+# checks per round (observed: 50 in both r1 and r2).
+_GATE_WINDOW = 50
 
-    The driver checks the first N entries of ``queries()`` in order, so
-    we front-load queries that no prior ``CORRECTNESS_r*.json`` has
-    confirmed — each round's gate then extends hard-signal coverage
-    instead of re-checking the same prefix (VERDICT r1 next-round #1).
+
+def _driver_state() -> tuple[set[str], set[str], int]:
+    """(hash_verified, rows_checked, rounds_seen) from prior driver gates.
+
+    ``hash_verified``: oracle-paired queries with a green *value-hash*
+    row — the only signal that counts as verified (VERDICT r2 wrong #2:
+    keying on ``rows_match`` demoted the hash-FAILED
+    ``pack_sequences_by_lang`` out of the re-check window).
+    ``rows_checked``: rows-only queries (``err == 'no_oracle'``) the
+    driver has at least executed — a weaker, but never-improving, signal.
     """
-    seen: set[str] = set()
+    hash_verified: set[str] = set()
+    rows_checked: set[str] = set()
+    rounds = 0
     for p in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json"):
         try:
             data = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
+        rounds += 1
         for name, rec in data.items():
-            if isinstance(rec, dict) and rec.get("err") is None and rec.get("rows_match"):
-                seen.add(name)
-    return seen
-
-
-# Names the round-1 verdict explicitly wants under the hard gate next;
-# hoisted to the very front of the unverified segment so they cannot
-# fall outside the driver's 50-query check window.
-_GATE_PRIORITY = ("pmi_collocations", "tfidf_top_terms")
+            if not isinstance(rec, dict):
+                continue
+            if rec.get("err") is None and rec.get("hash_match"):
+                hash_verified.add(name)
+            elif rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None:
+                rows_checked.add(name)
+    return hash_verified, rows_checked, rounds
 
 
 def _ordered_names() -> list[str]:
-    verified = _driver_verified()
+    """Catalog order for the driver gate.
+
+    Front of the window: (1) oracle-paired queries with no green hash
+    row yet, (2) rows-only queries the driver never executed, then
+    (3) a deterministic rotating sample of already-verified queries so
+    regressions in verified code still surface (ADVICE r2 #5) instead
+    of coverage resting on stale CORRECTNESS artifacts.
+    """
+    hash_verified, rows_checked, rounds = _driver_state()
     names = list(CATALOG)
-    unverified = [n for n in names if n not in verified]
-    unverified.sort(key=lambda n: (n not in _GATE_PRIORITY,))
-    return unverified + [n for n in names if n in verified]
+    unverified = [
+        n
+        for n in names
+        if not (
+            (CATALOG[n].oracle is not None and n in hash_verified)
+            or (CATALOG[n].oracle is None and n in rows_checked)
+        )
+    ]
+    rest = [n for n in names if n not in set(unverified)]
+    slots = max(0, _GATE_WINDOW - len(unverified))
+    if rest and slots:
+        off = (rounds * 17) % len(rest)
+        rest = rest[off:] + rest[:off]
+    return unverified + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:

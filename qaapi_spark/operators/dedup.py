@@ -110,12 +110,23 @@ def ngram_jaccard_pairs_sparse(
         if _dfreq is not None
         else posting.groupBy("shingle").agg(F.count("*").alias("df"))
     )
-    # rarest-first global order; prefix keeps |X| - ceil(t|X|) + 1
+    # rarest-first global order; prefix keeps |X| - ceil(t|X|) + 1.
+    # ceil runs on doubles, where t*|X| can land epsilon ABOVE an exact
+    # integer (0.07*100 = 7.000000000000001 → ceil 8) and shorten the
+    # prefix below the AllPairs bound, silently dropping pairs with
+    # Jaccard exactly at threshold.  Subtracting a sub-ulp epsilon
+    # means rounding error can only LENGTHEN the prefix (extra
+    # candidates are re-verified exactly downstream, never wrong).
     w = Window.partitionBy("id").orderBy("df", "shingle")
     prefix = (
         posting.join(dfreq, "shingle")
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1)
+        .filter(
+            F.col("rn")
+            <= F.col("set_size")
+            - F.ceil(F.lit(threshold) * F.col("set_size") - F.lit(1e-9))
+            + 1
+        )
         .select("id", "shingle")
     )
     cand = (

@@ -87,7 +87,12 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
-        labels.unpersist()
+        # NOTE: no unpersist here — it would be a no-op on a
+        # localCheckpoint'ed DataFrame (checkpoint RDD blocks are
+        # released by the ContextCleaner once the old `labels` ref is
+        # GC'd, which dropping the Python reference below enables).
+        # The per-round relation is the edge-node set only, so worst
+        # case transient storage is O(rounds x edge-nodes) until GC.
         labels = new_labels
         if cur_sum == prev_sum:
             break

@@ -170,8 +170,10 @@ def stream_neardup_dedup(
     far — the streaming half of the near-dup surface, where
     stream_dedup_events is the exact half.
 
-    Per batch (foreachBatch, exactly-once per epoch against an
-    idempotent store):
+    Per batch (foreachBatch; effectively-once because each epoch's two
+    writes go to epoch-keyed directories in OVERWRITE mode, so a retry
+    of epoch N replaces epoch N's own output instead of appending
+    duplicates — foreachBatch itself only guarantees at-least-once):
 
       1. map-only minhash signatures + band keys for the batch;
       2. drop docs sharing ANY band key with an already-kept doc
@@ -186,6 +188,11 @@ def stream_neardup_dedup(
     band key, so at 100 TB this is a bounded-state incremental dedup
     (the batch side is the small side of every join).  Returns the
     kept documents (doc_id, lang, source).
+
+    Contract note: a document whose text yields ZERO shingles (shorter
+    than the shingle width) produces no minhash signature and is
+    dropped from the kept output — same convention as the batch
+    minhash/jaccard kernels, which cannot score empty sets.
     """
     import os
     import tempfile
@@ -245,12 +252,16 @@ def stream_neardup_dedup(
         kept_keys = keys.join(smaller, "id", "left_anti").persist()
         try:
             kept_ids = kept_keys.select("id").distinct()
+            # epoch-keyed dirs + overwrite = idempotent on foreachBatch
+            # retry (a re-run of epoch N replaces its own prior output)
             bdf.join(
                 kept_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
-            ).select("doc_id", "lang", "source").write.mode("append").parquet(
-                out_dir + "/data"
+            ).select("doc_id", "lang", "source").write.mode("overwrite").parquet(
+                f"{out_dir}/data/epoch={epoch_id}"
             )
-            kept_keys.write.mode("append").parquet(store_dir + "/data")
+            kept_keys.write.mode("overwrite").parquet(
+                f"{store_dir}/data/epoch={epoch_id}"
+            )
         finally:
             kept_keys.unpersist()
 
@@ -261,4 +272,6 @@ def stream_neardup_dedup(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir + "/data")
+    # drop the epoch=N partition-discovery column the idempotent
+    # epoch-keyed layout introduces
+    return spark.read.parquet(out_dir + "/data").select("doc_id", "lang", "source")

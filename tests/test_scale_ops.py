@@ -53,6 +53,32 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_auto_gates_on_observed_skew(spark):
+    """salted_join_auto salts ONLY when the sampled key histogram shows
+    a hot key; either path must equal the plain equi-join."""
+    from qaapi_spark.operators.skew import salted_join_auto
+
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("attr")
+    )
+    # skewed fact: 90% of rows on key 3
+    skewed = spark.range(5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(3)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    uniform = spark.range(5000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    for fact, want_salt in ((skewed, True), (uniform, False)):
+        got = salted_join_auto(fact, dim, "k", n_salts=4, sample_fraction=0.5)
+        plan = got._jdf.queryExecution().analyzed().toString()
+        assert ("__salt" in plan) == want_salt, plan[:500]
+        plain = fact.join(dim, "k")
+        assert sorted(map(tuple, got.select("k", "v", "attr").collect())) == sorted(
+            map(tuple, plain.select("k", "v", "attr").collect())
+        )
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """bucketBy co-located join: both sides bucketed on the key =>
     SortMergeJoin with NO Exchange in the plan."""
