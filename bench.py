@@ -64,6 +64,20 @@ def main() -> None:
         .start()
     )
     wq.awaitTermination()
+    # warmup: streaming-dedup state-store provider classes (distinct
+    # from the agg state path above; ~2s one-time cost otherwise billed
+    # to the first dropDuplicates streaming query in the suite)
+    wq2 = (
+        spark.readStream.schema("id long")
+        .parquet(warm_dir)
+        .dropDuplicates(["id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("warm_" + uuid.uuid4().hex[:6])
+        .trigger(availableNow=True)
+        .start()
+    )
+    wq2.awaitTermination()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -38,14 +38,27 @@ class CalabrioPipeline:
         spark: SparkSession,
         warehouse_dir: str,
         output_partitions: int | None = None,
+        partitioned: bool = False,
+        n_buckets: int = 8,
     ):
         """``output_partitions``: coalesce curated tables to this many
         files on write.  Set it when batches are small (fixtures, tests:
         1 file beats 32 near-empty ones); leave None at scale so the
-        write keeps the plan's parallelism."""
+        write keeps the plan's parallelism.
+
+        ``partitioned``: lay the incremental curated tables out as
+        contact_id hash-bucket partitions and reconcile each batch via
+        partition-scoped merges (``operators/partitioned.py``) —
+        untouched bucket directories are never read or rewritten.  Same
+        logical result as the full-rewrite path (oracle-checked); this
+        is the 100 TB maintenance shape, where a trailing-window batch
+        must not pay a full-table write (VERDICT r2 #4).
+        """
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.output_partitions = output_partitions
+        self.partitioned = partitioned
+        self.n_buckets = n_buckets
         os.makedirs(warehouse_dir, exist_ok=True)
 
     # -- table io --------------------------------------------------------
@@ -56,7 +69,10 @@ class CalabrioPipeline:
         p = self._path(table)
         if not os.path.exists(p):
             return None
-        return self.spark.read.parquet(p)
+        df = self.spark.read.parquet(p)
+        from qaapi_spark.operators.partitioned import PCOL
+
+        return df.drop(PCOL) if PCOL in df.columns else df
 
     def _swap_write(self, df: DataFrame, table: str) -> None:
         """Write-temp-then-swap so a target is never read and
@@ -70,6 +86,38 @@ class CalabrioPipeline:
             shutil.rmtree(final)
         os.replace(tmp, final)
 
+    def _reconcile(
+        self,
+        table: str,
+        batch: DataFrame,
+        keys: list[str],
+        merge_fn,
+        key_col: str = "contact_id",
+        scope_df: DataFrame | None = None,
+    ) -> None:
+        """One table's batch reconciliation: partition-scoped when
+        ``self.partitioned`` (rewrites only affected contact-id
+        buckets), full write-temp-then-swap otherwise.  Both paths
+        apply the same ``merge_fn(target, batch)`` relational merge."""
+        if self.partitioned:
+            from qaapi_spark.operators.partitioned import merge_partitioned
+
+            merge_partitioned(
+                self.spark,
+                self._path(table),
+                batch,
+                keys,
+                merge_fn,
+                key_col=key_col,
+                n_buckets=self.n_buckets,
+                coalesce=self.output_partitions,
+                scope_df=scope_df,
+            )
+        else:
+            tgt = self.read(table)
+            merged = batch if tgt is None else merge_fn(tgt, batch)
+            self._swap_write(merged, table)
+
     # -- one incremental batch ------------------------------------------
     def run_batch(self, landing_dir: str, collect_counts: bool = True) -> dict[str, int]:
         spark = self.spark
@@ -78,70 +126,72 @@ class CalabrioPipeline:
         evals = read_entity(spark, f"{landing_dir}/fix_eval_raw.json", "evaluations")
         comments = read_entity(spark, f"{landing_dir}/fix_comments_raw.json", "comments")
 
-        # forms: full replace (S14)
+        # forms: full replace (S14) — inherently a whole-table write
         self._swap_write(T.forms_flatten(forms), "t_qa_forms")
 
         # contacts: insert-only merge (J2) — existing rows keep their
         # original values; batch-internal duplicates collapse first
         new_contacts = T.contacts_curated(contacts).dropDuplicates(["contact_id"])
-        tgt = self.read("t_contacts")
-        merged = new_contacts if tgt is None else merge_insert_only(tgt, new_contacts, ["contact_id"])
-        self._swap_write(merged, "t_contacts")
+        self._reconcile(
+            "t_contacts",
+            new_contacts,
+            ["contact_id"],
+            lambda t, b: merge_insert_only(t, b, ["contact_id"]),
+        )
 
         # evaluations: delete evals whose contact is in this batch but
         # which vanished upstream (J5), then upsert the batch (J3).
         # The matched-update column list excludes evaluated_date,
         # mirroring Update...sql:128-130.
         batch_evals = T.evaluations_curated(evals)
-        tgt = self.read("t_qa_evaluations")
-        if tgt is not None:
-            tgt = delete_semi_anti(
-                tgt,
-                scope=batch_evals.select("contact_id"),
+
+        def _merge_evals(t: DataFrame, b: DataFrame) -> DataFrame:
+            t = delete_semi_anti(
+                t,
+                scope=b.select("contact_id"),
                 scope_keys=["contact_id"],
-                keep=batch_evals.select("evaluation_id"),
+                keep=b.select("evaluation_id"),
                 keep_keys=["evaluation_id"],
             )
-            merged = merge_upsert(
-                tgt,
-                batch_evals,
+            return merge_upsert(
+                t,
+                b,
                 ["evaluation_id"],
                 update_cols=[
                     "form_id", "contact_id", "agent_id", "evaluator_id",
                     "eval_type", "response_state", "raw_score", "final_score",
                 ],
             )
-        else:
-            merged = batch_evals
-        self._swap_write(merged, "t_qa_evaluations")
 
-        # scores: delete-then-insert per evaluation in batch (S15/J5)
+        self._reconcile(
+            "t_qa_evaluations", batch_evals, ["evaluation_id"], _merge_evals
+        )
+
+        # scores: delete-then-insert per contact in batch (S15/J5); the
+        # delete scope (batch contacts) can shrink buckets the inserted
+        # rows never touch, so it rides along as scope_df
         batch_scores = T.scores_flatten(evals)
-        tgt = self.read("t_qa_evaluation_scores")
-        if tgt is not None:
-            keep = tgt.join(
-                batch_evals.select("contact_id").distinct(), "contact_id", "left_anti"
-            )
-            merged = keep.unionByName(batch_scores)
-        else:
-            merged = batch_scores
-        self._swap_write(merged, "t_qa_evaluation_scores")
+        eval_contacts = batch_evals.select("contact_id").distinct()
+        self._reconcile(
+            "t_qa_evaluation_scores",
+            batch_scores,
+            ["contact_id"],
+            lambda t, b: t.join(eval_contacts, "contact_id", "left_anti").unionByName(b),
+            scope_df=eval_contacts,
+        )
 
         # comments: delete-then-insert per contact in batch (S15,
         # Update...sql:176-182 "to address the possibility that a
         # comment was deleted")
         batch_comments = T.comments_curated(comments)
-        tgt = self.read("t_qa_evaluation_comments")
-        if tgt is not None:
-            keep = tgt.join(
-                contacts.select(contacts.id.alias("contact_id")).distinct(),
-                "contact_id",
-                "left_anti",
-            )
-            merged = keep.unionByName(batch_comments)
-        else:
-            merged = batch_comments
-        self._swap_write(merged, "t_qa_evaluation_comments")
+        contact_ids = contacts.select(contacts.id.alias("contact_id")).distinct()
+        self._reconcile(
+            "t_qa_evaluation_comments",
+            batch_comments,
+            ["contact_id"],
+            lambda t, b: t.join(contact_ids, "contact_id", "left_anti").unionByName(b),
+            scope_df=contact_ids,
+        )
 
         if not collect_counts:
             return {}

@@ -246,18 +246,33 @@ _DD_JACCARD_PAIRS = f"""
     "mirrors it with a recursive CTE (extension: iterative algorithm)",
 )
 def dedup_connected_components(spark, sf_dir):
-    from qaapi_spark.operators.graph import connected_components
-
-    d = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs_auto(d, _JACCARD_THRESHOLD, n=2)
-    comp = connected_components(
-        d.select("doc_id"),
-        pairs,
-        node_col="doc_id",
-        src_col="id_a",
-        dst_col="id_b",
-    )
+    comp = cc_jaccard_labels(spark, sf_dir)
     return comp.select(F.col("node").alias("doc_id"), "comp").orderBy("doc_id")
+
+
+def cc_jaccard_labels(spark, sf_dir):
+    """Connected-component labels over the exact-Jaccard near-dup edge
+    set, memoized per (application, sf_dir, threshold): both
+    dedup_connected_components and dedup_keep_representatives derive
+    from this relation, so the iterative propagation runs once per
+    session instead of once per query (VERDICT r2 next-round #7)."""
+    from qaapi_spark.operators.graph import connected_components
+    from qaapi_spark.session import shared_kernel
+
+    def build():
+        d = t(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs_auto(d, _JACCARD_THRESHOLD, n=2)
+        return connected_components(
+            d.select("doc_id"),
+            pairs,
+            node_col="doc_id",
+            src_col="id_a",
+            dst_col="id_b",
+        )
+
+    return shared_kernel(
+        spark, ("cc_jaccard_labels", sf_dir, _JACCARD_THRESHOLD), build
+    )
 
 
 _LEV_MAX = 3

@@ -7,10 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from qaapi_spark.operators.dedup import ngram_jaccard_pairs_auto
 from qaapi_spark.operators.retrieval import (
     bm25_scores,
-    keep_representatives,
     srp_lsh_topk,
     tf_idf,
 )
@@ -125,15 +123,23 @@ def bm25_search_topk(spark, sf_dir):
     """,
     doc="the deduplicated corpus itself: near-dup pairs -> connected "
     "components -> keep the min-id representative per component "
-    "(pairs+grouping follow dedup_connected_components; this "
-    "materializes the decision as a semi-join filter on the corpus) "
+    "(labels come from the memoized cc_jaccard_labels kernel shared "
+    "with dedup_connected_components; this materializes the decision "
+    "as a semi-join filter on the corpus) "
     "(extension: dedup materialization)",
 )
 def dedup_keep_representatives(spark, sf_dir):
+    from qaapi_spark.plans.llm_dedup import cc_jaccard_labels
+
     d = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs_auto(d, _JACCARD_THRESHOLD, n=2)
-    return keep_representatives(d, pairs).select("doc_id", "lang", "source").orderBy(
-        "doc_id"
+    comp = cc_jaccard_labels(spark, sf_dir)
+    keepers = comp.filter(F.col("comp") == F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        d.join(keepers, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     )
 
 

@@ -116,7 +116,9 @@ def stream_landing_reconcile(
     return {"t_contacts": out.count() if out is not None else 0}
 
 
-def stream_dedup_events(spark: SparkSession, events_path: str) -> DataFrame:
+def stream_dedup_events(
+    spark: SparkSession, events_path: str, state_partitions: int | None = 8
+) -> DataFrame:
     """Streaming exact dedup: the event file staged TWICE into the
     landing dir (every row arrives at least twice), recovered to one
     row per event_id with watermark + dropDuplicates.
@@ -127,6 +129,13 @@ def stream_dedup_events(spark: SparkSession, events_path: str) -> DataFrame:
     state, which is the bounded-memory contract an unbounded source
     needs.  Append mode + availableNow => the materialized result is
     exactly the distinct event set, hence DuckDB-oracle checkable.
+
+    ``state_partitions`` sizes the stateful stage's shuffle (each
+    shuffle partition owns a state store whose open/commit cost is per
+    partition per batch, so over-partitioning a modest per-batch key
+    volume pays pure overhead: 32 -> 8 partitions measured 2.7s ->
+    1.7s on sf0.1).  Size it to expected keys-per-batch / ~500k on a
+    real cluster; ``None`` keeps the session's shuffle partitioning.
     """
     import os
     import tempfile
@@ -147,14 +156,21 @@ def stream_dedup_events(spark: SparkSession, events_path: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "value")
     )
     name = "events_dedup_" + uuid.uuid4().hex[:8]
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            # picked up once at stream start; scoped + restored below
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return spark.sql(f"SELECT * FROM {name}")
 
 
