@@ -140,6 +140,25 @@ def merge_partitioned(
     # scan, so unaffected bucket dirs are never read OR written
     scoped = raw.filter(F.col(PCOL).isin(buckets)).drop(PCOL)
     merged = merge_fn(scoped, batch)
+    # dynamic overwrite replaces only partitions PRESENT in the written
+    # frame: an affected bucket whose rows were all deleted would keep
+    # its stale files.  Find emptied buckets BEFORE the write (the plan
+    # reads the very files the write replaces), then drop their dirs
+    # explicitly (bounded by n_buckets; single-writer layout, same
+    # assumption as _swap_write).  Costs one extra pass over the
+    # affected partitions only — deliberate: caching `merged` instead
+    # would gamble on eviction re-reading replaced files.
+    present = {
+        r["b"]
+        for r in merged.select(bucket_of(key_col, n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    }
     write_partitioned(
         merged, path, key_col, n_buckets, dynamic=True, coalesce=coalesce
     )
+    import shutil
+
+    for b in buckets:
+        if b not in present:
+            shutil.rmtree(os.path.join(path, f"{PCOL}={b}"), ignore_errors=True)

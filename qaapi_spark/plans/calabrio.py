@@ -300,8 +300,14 @@ def calabrio_pipeline_incremental(spark, sf_dir):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
+        # partitioned=True: batch 2 reconciles via partition-scoped
+        # merges (only contact buckets the batch touches are rewritten)
+        # — the 100 TB maintenance path, hard-verified by this oracle
         pipe = CalabrioPipeline(
-            spark, tempfile.mkdtemp(prefix="calabrio_e2e_"), output_partitions=1
+            spark,
+            tempfile.mkdtemp(prefix="calabrio_e2e_"),
+            output_partitions=1,
+            partitioned=True,
         )
         pipe.run_batch(FIXTURES_DIR, collect_counts=False)
         pipe.run_batch(f"{FIXTURES_DIR}/batch2", collect_counts=False)
