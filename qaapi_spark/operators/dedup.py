@@ -472,6 +472,86 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_hashes: int = 64,
+    n_bands: int = 32,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The standard production minhash pipeline: LSH banding generates
+    candidates, EXACT Jaccard verifies them — output is (id_a, id_b,
+    jaccard) with true Jaccard >= threshold.
+
+    With r = num_hashes/n_bands = 2 rows per band, a true pair at
+    Jaccard j escapes every band with probability (1-j^2)^32 — 7e-15
+    at j=0.8 — so the verified output equals the exact all-pairs
+    relation for any practical corpus, which is what makes this
+    catalog entry hash-checkable against the same DuckDB oracle as
+    ``dedup_ngram_jaccard`` (VERDICT r2 next-round #5).  r=2 trades a
+    larger (still sub-quadratic) candidate volume for that recall;
+    false candidates only cost their exact-verify join, they can never
+    reach the output.  Scale shape unchanged: map-only signatures,
+    band equi-join, verify join on the two candidate ids.
+    """
+    from qaapi_spark.session import register_kernel_cache
+
+    sets = register_kernel_cache(
+        _hashed_shingle_sets(df, shingle_n, text_col, id_col)
+        .withColumn("set_size", F.size("sh"))
+        .persist()
+    )
+    signed = minhash_signatures(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism),
+        num_hashes,
+        shingle_n,
+        text_col,
+        id_col,
+    )
+    bands = minhash_band_keys(signed, num_hashes, n_bands)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("sh").alias("sh_a"),
+                F.col("set_size").alias("size_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("set_size").alias("size_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 63
 ) -> DataFrame:

@@ -7,10 +7,15 @@ per input row (JVM-side xxhash64), groupBy (row, bucket) + count —
 map-side partial counts mean the shuffle carries at most d*w rows per
 partition regardless of input size.
 
-Deterministic (seeded hash family) but not SQL-reproducible in DuckDB
-(no xxhash64) => rows-only driver check; the CMS overestimate
-guarantee (est >= true; est <= true + eps*N w.h.p.) is asserted in
-tests against exact counts.
+Two hash families:
+
+* ``xxhash64`` (default) — JVM-native, cheapest at scale;
+* ``md5`` — engine-portable: bucket = first 16 md5 bits of
+  ``"<row>:<key>"`` mod width, reproducible bit-for-bit in DuckDB
+  (``CAST('0x' || substr(md5(...),1,4) AS BIGINT)``), which upgrades
+  the driver's CMS check from rows-only to a full value-hash oracle
+  (VERDICT r2 next-round #5).  Same sketch guarantees either way
+  (est >= true always; est <= true + eps*N w.h.p., asserted in tests).
 """
 
 from __future__ import annotations
@@ -19,8 +24,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _bucket(r: int, k: Column, width: int, hash_fn: str) -> Column:
+    if hash_fn == "md5":
+        h = F.md5(F.concat_ws(":", F.lit(str(r)), k.cast("string")))
+        return F.pmod(
+            F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(width)
+        )
+    return (F.xxhash64(F.lit(r), k) % width + width) % width
+
+
 def cms_build(
-    df: DataFrame, key: Column | str, depth: int = 4, width: int = 1024
+    df: DataFrame,
+    key: Column | str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Count-min sketch table: (row, bucket, cnt), d*w rows max."""
     k = F.col(key) if isinstance(key, str) else key
@@ -28,7 +46,7 @@ def cms_build(
         *[
             F.struct(
                 F.lit(r).alias("row"),
-                ((F.xxhash64(F.lit(r), k) % width + width) % width).alias("bucket"),
+                _bucket(r, k, width, hash_fn).alias("bucket"),
             )
             for r in range(depth)
         ]
@@ -46,6 +64,7 @@ def cms_point_estimates(
     key: Column | str,
     depth: int = 4,
     width: int = 1024,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Estimated frequency for each distinct key in ``df``:
     min over the sketch's d rows (broadcast sketch join)."""
@@ -58,9 +77,7 @@ def cms_point_estimates(
                 *[
                     F.struct(
                         F.lit(r).alias("row"),
-                        ((F.xxhash64(F.lit(r), F.col("key")) % width + width) % width).alias(
-                            "bucket"
-                        ),
+                        _bucket(r, F.col("key"), width, hash_fn).alias("bucket"),
                     )
                     for r in range(depth)
                 ]
@@ -70,7 +87,7 @@ def cms_point_estimates(
     return (
         probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy("key")
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
     )
 
 

@@ -24,23 +24,10 @@ _DD_WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
 _JACCARD_THRESHOLD = 0.8
 _COSINE_THRESHOLD = 0.4
 
-
-@query(
-    "dedup_exact_docs",
-    oracle="""
-    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-    FROM documents GROUP BY text ORDER BY keep_id
-    """,
-    doc="exact dedup: hash groupBy on text, min-id keeper (extension)",
-)
-def dedup_exact_docs(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    return exact_dedup(d).orderBy("keep_id")
-
-
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# Exact bigram-shingle Jaccard pairs >= threshold — the oracle for
+# every operator whose output is (or provably equals) the exact pair
+# relation: the ngram kernels AND verified minhash-LSH.
+_JACCARD_PAIRS_SQL = f"""
     WITH words AS (
         SELECT doc_id AS id, {_DD_WORDS} AS w FROM documents
     ),
@@ -65,7 +52,25 @@ def dedup_exact_docs(spark, sf_dir):
     JOIN sizes sb ON i.id_b = sb.id
     WHERE ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4) >= {_JACCARD_THRESHOLD}
     ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text ORDER BY keep_id
     """,
+    doc="exact dedup: hash groupBy on text, min-id keeper (extension)",
+)
+def dedup_exact_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return exact_dedup(d).orderBy("keep_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_PAIRS_SQL,
     doc="near-dup via exact bigram-shingle Jaccard, regime-auto kernel: "
     "prefix-filtered inverted-index join for open vocabularies (the "
     "unbounded-corpus shape, nothing driver-side), dense bitset/GEMM "
@@ -116,12 +121,20 @@ def dedup_ngram_jaccard_dense(spark, sf_dir):
 
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # approximate (LSH banding) => rows-only driver check
-    doc="near-dup via MinHashLSH (pyspark.ml), seeded deterministic (extension)",
+    oracle=_JACCARD_PAIRS_SQL,
+    doc="near-dup via minhash-LSH banding + EXACT Jaccard verification "
+    "(the standard production pipeline): 64 map-only minhash remixes, "
+    "32 bands of r=2 — a true pair at j=0.8 escapes all bands with "
+    "p=(1-0.64)^32≈7e-15, so the verified output equals the exact "
+    "all-pairs relation and shares its oracle; false candidates die in "
+    "the verify join, never in the output (extension; "
+    "minhash_lsh_pairs remains the unverified estimate operator)",
 )
 def dedup_minhash_lsh(spark, sf_dir):
+    from qaapi_spark.operators.dedup import minhash_lsh_verified_pairs
+
     d = t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, threshold=0.8, num_hashes=32, n_bands=4).orderBy("id_a", "id_b")
+    return minhash_lsh_verified_pairs(d, _JACCARD_THRESHOLD).orderBy("id_a", "id_b")
 
 
 @query(

@@ -103,10 +103,40 @@ def stream_windowed_event_counts(spark, sf_dir):
 
 @query(
     "stream_sessionize_closed",
-    oracle=None,  # stateful streaming (open tails withheld) => rows-only;
-    # batch-equivalence is asserted in tests/test_scale_ops.py
+    # the closed-session set is DETERMINISTIC for a bounded input: every
+    # session except each user's last (still open at end-of-input), with
+    # exact microsecond gap arithmetic on both sides — so the streamed
+    # result hashes against the batch lag+cumsum formulation directly
+    # (VERDICT r2 next-round #5; batch-equivalence also asserted in
+    # tests/test_scale_ops.py)
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL 1800 SECOND
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    agg AS (
+        SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg
+    WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+    ORDER BY user_id, session_start
+    """,
     doc="custom stateful streaming operator: per-user sessionization via "
-    "applyInPandasWithState, emitting closed sessions (extension, SURVEY §2.9)",
+    "applyInPandasWithState, emitting closed sessions; hash-checked "
+    "against the batch lag+cumsum oracle (extension, SURVEY §2.9)",
 )
 def stream_sessionize_closed(spark, sf_dir):
     from qaapi_spark.streaming.stateful import stream_sessionize
@@ -170,14 +200,77 @@ def stream_dedup_events_q(spark, sf_dir):
 
 @query(
     "stream_neardup_dedup_docs",
-    oracle=None,  # LSH-approximate + batch-arrival-order dependent =>
-    # rows-only; cross-batch drop semantics asserted in
-    # tests/test_streaming_multimodal.py
+    # exact verification of every LSH candidate makes the kept set a
+    # deterministic function of (batch split, id order, exact pair
+    # relation) — reconstructed here in SQL: batch 0 = even doc_ids,
+    # batch 1 = odd; within a batch greedy min-id over true pairs;
+    # across batches a doc drops iff a KEPT earlier doc is a true
+    # near-dup.  Zero-shingle docs never enter the kept output
+    # (documented operator contract).  (VERDICT r2 next-round #5;
+    # cross-batch drop semantics also in tests/test_streaming_multimodal)
+    oracle="""
+    WITH words AS (
+        SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sets AS (
+        SELECT id,
+               list_distinct(CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS sh
+        FROM words
+    ),
+    sizes AS (SELECT id, len(sh) AS set_size FROM sets),
+    posting AS (SELECT id, unnest(sh) AS shingle FROM sets),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes sa ON i.id_a = sa.id
+        JOIN sizes sb ON i.id_b = sb.id
+        WHERE ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4) >= 0.8
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    eligible AS (
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN sizes s ON d.doc_id = s.id
+        WHERE s.set_size >= 1
+    ),
+    b0 AS (SELECT * FROM eligible WHERE doc_id % 2 = 0),
+    b1 AS (SELECT * FROM eligible WHERE doc_id % 2 = 1),
+    kept0 AS (
+        SELECT * FROM b0 d WHERE NOT EXISTS (
+            SELECT 1 FROM sym p JOIN b0 e ON p.a = e.doc_id
+            WHERE p.b = d.doc_id AND e.doc_id < d.doc_id)
+    ),
+    surv1 AS (
+        SELECT * FROM b1 d WHERE NOT EXISTS (
+            SELECT 1 FROM sym p JOIN kept0 k ON p.a = k.doc_id
+            WHERE p.b = d.doc_id)
+    ),
+    kept1 AS (
+        SELECT * FROM surv1 d WHERE NOT EXISTS (
+            SELECT 1 FROM sym p JOIN surv1 e ON p.a = e.doc_id
+            WHERE p.b = d.doc_id AND e.doc_id < d.doc_id)
+    )
+    SELECT doc_id, lang, source FROM kept0
+    UNION ALL SELECT doc_id, lang, source FROM kept1
+    ORDER BY doc_id
+    """,
     doc="incremental NEAR-dup dedup: documents stream in micro-batches, "
-    "each filtered against the accumulated minhash-LSH band-key store "
-    "of all kept docs (foreachBatch; 24-byte band keys are the only "
-    "state) — the streaming near-dup half of the dedup surface "
-    "(extension, SURVEY §2.9)",
+    "each screened against the accumulated minhash-LSH band-key store "
+    "of all kept docs with exact Jaccard verification of every "
+    "candidate (foreachBatch; band keys + kept shingle sets are the "
+    "state) — the streaming near-dup half of the dedup surface, "
+    "hash-checked against a batch SQL reconstruction (extension, "
+    "SURVEY §2.9)",
 )
 def stream_neardup_dedup_docs(spark, sf_dir):
     from qaapi_spark.streaming.incremental import stream_neardup_dedup

@@ -81,14 +81,40 @@ def sketch_approx_percentiles(spark, sf_dir):
     )
 
 
+_CMS_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST({r} AS VARCHAR) || ':' "
+    "|| CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 1024"
+)
+
+
 @query(
     "sketch_cms_user_counts",
-    oracle=None,  # xxhash64 hash family not reproducible in DuckDB => rows-only
+    # the md5 hash family is reproduced bit-for-bit in SQL, so the
+    # FULL sketch (build + point estimates) hash-checks against DuckDB
+    # — an approximate operator with an exact oracle (VERDICT r2 #5)
+    oracle=f"""
+    WITH rs AS (SELECT unnest(range(0, 4)) AS r),
+    sketch AS (
+        SELECT rs.r AS r, {_CMS_BUCKET.format(r='rs.r')} AS bucket,
+               COUNT(*) AS cnt
+        FROM events CROSS JOIN rs
+        GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    probes AS (
+        SELECT user_id, rs.r AS r, {_CMS_BUCKET.format(r='rs.r')} AS bucket
+        FROM keys CROSS JOIN rs
+    )
+    SELECT p.user_id AS key, MIN(COALESCE(s.cnt, 0)) AS est
+    FROM probes p LEFT JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+    GROUP BY p.user_id ORDER BY key
+    """,
     doc="count-min sketch: d x w hash-aggregate build + broadcast point "
-    "estimates; overestimate bound asserted in tests (extension)",
+    "estimates, engine-portable md5 hash family so the whole sketch is "
+    "SQL-reproducible; overestimate bound asserted in tests (extension)",
 )
 def sketch_cms_user_counts(spark, sf_dir):
     e = t(spark, sf_dir, "events")
-    sketch = cms_build(e, "user_id", depth=4, width=1024)
-    est = cms_point_estimates(e, sketch, "user_id", depth=4, width=1024)
+    sketch = cms_build(e, "user_id", depth=4, width=1024, hash_fn="md5")
+    est = cms_point_estimates(e, sketch, "user_id", depth=4, width=1024, hash_fn="md5")
     return est.orderBy("key")
