@@ -1,0 +1,111 @@
+"""Deterministic spherical k-means for ANN codebooks (IVF / PQ).
+
+The round-2 codebooks were deterministic corpus samples (seed-free,
+rerun-stable, but recall@5 ~ 0.8).  This module keeps the determinism —
+no RNG anywhere — while actually fitting the centroids (VERDICT r2
+next #8):
+
+  - **init** is the same deterministic stripe the sample codebooks
+    used (rows sorted by id), so two runs over the same corpus always
+    start identically;
+  - **Lloyd iterations** are pure numpy over a *bounded* training
+    sample collected driver-side (at 100 TB you train on a sampled
+    stripe, never the corpus — mirroring how IVF/PQ codebooks are fit
+    in production ANN systems; the fitted codebook is ksub rows and
+    broadcasts);
+  - **ties and empty clusters** resolve deterministically: argmax
+    takes the lowest index, an emptied cluster keeps its previous
+    centroid.
+
+Spherical (cosine-objective) k-means: centroids and data live on the
+unit sphere, assignment is argmax dot product, the update step is the
+renormalized mean (Dhillon & Modha, Machine Learning 42, 2001 —
+public).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _farthest_point_init(x: np.ndarray, k: int) -> np.ndarray:
+    """Greedy k-center init (Gonzalez 1985, public): start from row 0
+    (canonical order), repeatedly add the point farthest from every
+    chosen centroid.  Deterministic (ties -> lowest index) and immune
+    to the first-k-rows-all-in-one-cluster degeneracy a plain prefix
+    init has."""
+    chosen = [0]
+    d2 = ((x - x[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(d2.argmax())
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
+    return x[chosen].copy()
+
+
+def spherical_kmeans(
+    sample: np.ndarray, k: int, iters: int = 10
+) -> np.ndarray:
+    """Fit k unit centroids to (n, d) ``sample`` with ``iters`` Lloyd
+    steps.  Fully deterministic: farthest-point init over the
+    canonical-order sample, argmax ties -> lowest centroid index,
+    empty cluster -> previous centroid retained."""
+    x = np.asarray(sample, dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    k = min(k, len(x))
+    cents = _farthest_point_init(x, k)
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)  # (n,), ties -> lowest idx
+        nxt = cents.copy()
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                mean = members.mean(axis=0)
+                norm = np.linalg.norm(mean)
+                if norm > 0:
+                    nxt[j] = mean / norm
+        if np.allclose(nxt, cents):
+            break
+        cents = nxt
+    return cents
+
+
+def lloyd_kmeans(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Plain-L2 Lloyd for PQ subquantizers (slices are not unit
+    vectors, so the objective is squared distance, not cosine).  Same
+    determinism contract as :func:`spherical_kmeans`."""
+    x = np.asarray(sample, dtype=np.float64)
+    k = min(k, len(x))
+    cents = _farthest_point_init(x, k)
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+        assign = d2.argmin(axis=1)
+        nxt = cents.copy()
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                nxt[j] = members.mean(axis=0)
+        if np.allclose(nxt, cents):
+            break
+        cents = nxt
+    return cents
+
+
+def training_sample(
+    df: DataFrame,
+    max_rows: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int = 1,
+) -> np.ndarray:
+    """Bounded, canonical-order training matrix: the ``id % stride == 0``
+    stripe sorted by id, capped at ``max_rows`` — a deterministic
+    driver-side collect however large the corpus (choose ``stride`` so
+    corpus/stride ~ max_rows at the target scale)."""
+    src = df
+    if stride > 1:
+        src = src.filter(F.col(id_col) % stride == 0)
+    rows = src.orderBy(id_col).limit(max_rows).select(vec_col).collect()
+    return np.array([r[0] for r in rows], dtype=np.float64)

@@ -243,6 +243,10 @@ def srp_lsh_topk(
     cand = (
         F.broadcast(q)
         .join(c, ["band", "key"])
+        # self-pairs always collide (identical signatures) and would
+        # burn one of the k slots on cosine(q, q) = 1 — exclude them
+        # here, matching the brute-force/IVF contract
+        .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id")
         .dropDuplicates(["q_id", "c_id"])
     )
@@ -292,25 +296,31 @@ def pq_codebook(
     seed_mod: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_iters: int = 0,
+    train_rows: int = 2048,
 ):
     """Deterministic product-quantization codebook: (m, ksub, dsub).
 
     Product quantization (Jegou, Douze, Schmid — TPAMI 2011, public)
     splits each unit vector into m subspaces and snaps every slice to
     the nearest of ksub per-subspace centroids, so a d-float vector
-    stores as m small codes.  As with the IVF operator, the centroids
+    stores as m small codes.  With ``train_iters == 0`` the centroids
     are a deterministic corpus sample (first ksub rows of the
-    `vec_id % seed_mod == 0` stripe) instead of a fitted k-means model
-    — seed-free and rerun-stable; swap in trained centroids without
-    touching the plan shape.  The codebook is ksub rows however large
-    the corpus: a bounded driver collect, broadcast to executors.
+    `vec_id % seed_mod == 0` stripe) — seed-free and rerun-stable.
+    With ``train_iters > 0`` each subspace's centroids are fitted with
+    deterministic L2 Lloyd iterations (operators/kmeans.py) over the
+    slices of a bounded training stripe — tighter cells, better ADC
+    ranking, same determinism (VERDICT r2 next #8).  Either way the
+    codebook is ksub rows however large the corpus: a bounded driver
+    collect, broadcast to executors.
     """
     import numpy as np
 
+    n_fetch = max(ksub, train_rows) if train_iters > 0 else ksub
     rows = (
         corpus.filter(F.col(id_col) % seed_mod == 0)
         .orderBy(id_col)
-        .limit(ksub)
+        .limit(n_fetch)
         .select(vec_col)
         .collect()
     )
@@ -320,8 +330,13 @@ def pq_codebook(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    # (m, ksub, dsub): subspace j's centroids are the seed slices
-    return np.ascontiguousarray(seeds.reshape(len(seeds), m, dsub).transpose(1, 0, 2))
+    # (m, n, dsub): subspace j's slices of every sampled row
+    slices = np.ascontiguousarray(seeds.reshape(len(seeds), m, dsub).transpose(1, 0, 2))
+    if train_iters == 0:
+        return slices[:, :ksub, :]
+    from qaapi_spark.operators.kmeans import lloyd_kmeans
+
+    return np.stack([lloyd_kmeans(slices[j], ksub, train_iters) for j in range(m)])
 
 
 def pq_encode(
@@ -378,6 +393,7 @@ def pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via PQ asymmetric distance computation.
 
@@ -398,7 +414,7 @@ def pq_topk(
 
     spark = corpus.sparkSession
     corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
-    cb = pq_codebook(corpus, m, ksub, seed_mod, vec_col, id_col)
+    cb = pq_codebook(corpus, m, ksub, seed_mod, vec_col, id_col, train_iters)
 
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
@@ -436,8 +452,16 @@ def pq_topk(
             )
 
     partial = codes.mapInPandas(adc, "q_idx long, cand_id long, approx double")
+    # a query present in the corpus ADC-scores its own code near the
+    # top and would burn one of the k slots on cosine(q, q) = 1 —
+    # exclude self-pairs, matching the brute-force/IVF contract
+    ids_by_idx = {v: k for k, v in q_index.items()}
+    self_of = F.create_map(
+        *[F.lit(x) for pair in ids_by_idx.items() for x in pair]
+    )
     cand = (
         topk_per_group(partial, ["q_idx"], [F.desc("approx"), F.asc("cand_id")], n_keep)
+        .filter(F.col("cand_id") != self_of[F.col("q_idx")])
         .select("q_idx", "cand_id")
         .dropDuplicates(["q_idx", "cand_id"])
     )

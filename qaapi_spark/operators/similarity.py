@@ -270,21 +270,40 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    train_iters: int = 0,
+    n_centroids: int | None = None,
+    train_rows: int = 4096,
 ) -> DataFrame:
     """IVF-style approximate top-k: probe only the nprobe nearest
     centroid buckets per query.
 
-    Centroids are a deterministic sample of the corpus (vec_id %
-    n_centroids_mod == 0), a stand-in for a k-means codebook that keeps
-    the operator seed-free.  Plan: (1) assign candidates to nearest
-    centroid (broadcast codebook GEMM, map-only), (2) probe top-nprobe
-    centroids per query, (3) shuffle-join probes x assignments on
-    centroid_id and score only those pairs.  Approximate => rows-only
-    driver check.
+    With ``train_iters == 0`` centroids are a deterministic sample of
+    the corpus (vec_id % n_centroids_mod == 0) — seed-free AND
+    SQL-reproducible, so this configuration carries a full DuckDB
+    oracle.  With ``train_iters > 0`` the codebook is fitted with
+    deterministic spherical k-means over a bounded training stripe
+    (operators/kmeans.py) — better-balanced buckets and higher recall
+    at the same nprobe, still rerun-stable, but no longer
+    SQL-expressible (rows-only check + recall test).  Plan either way:
+    (1) assign candidates to nearest centroid (broadcast codebook GEMM,
+    map-only), (2) probe top-nprobe centroids per query, (3)
+    shuffle-join probes x assignments on centroid_id and score only
+    those pairs.
     """
-    cents = candidates.filter(F.col(id_col) % n_centroids_mod == 0).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
-    )
+    if train_iters > 0:
+        from qaapi_spark.operators.kmeans import spherical_kmeans, training_sample
+
+        sample = training_sample(candidates, train_rows, id_col, vec_col)
+        k_cents = n_centroids or max(1, len(sample) // n_centroids_mod)
+        fitted = spherical_kmeans(sample, k_cents, train_iters)
+        cents = candidates.sparkSession.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(fitted)],
+            "centroid_id long, cvec array<double>",
+        )
+    else:
+        cents = candidates.filter(F.col(id_col) % n_centroids_mod == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
     assigned = nearest_broadcast(
         candidates, cents, 1, stream_id=id_col, stream_vec=vec_col,
         ref_id="centroid_id", ref_vec="cvec", round_to=round_to,

@@ -46,15 +46,90 @@ def ann_topk_bruteforce(spark, sf_dir):
     )
 
 
+_IVF_MOD = 37  # centroid stripe: vec_id % 37 == 0
+_NPROBE = 3
+
+
 @query(
     "ann_topk_ivf",
-    oracle=None,  # approximate (IVF probing) => rows-only driver check
-    doc="IVF-bucketed approximate cosine top-k: centroid assign + nprobe probe (extension)",
+    # The deterministic-sample centroid configuration makes the WHOLE
+    # IVF pipeline SQL-reproducible (assign -> probe -> score -> top-k),
+    # so a formerly rows-only approximate operator gets an exact hash
+    # oracle (VERDICT r2 next #5).  The k-means-trained configuration
+    # lives in ann_topk_ivf_trained (rows-only + recall test).
+    oracle=f"""
+    WITH u AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
+                            list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                            list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS uv
+        FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS centroid_id, uv AS cuv FROM u
+              WHERE vec_id % {_IVF_MOD} = 0),
+    assigned AS (
+        SELECT cand_id, centroid_id FROM (
+            SELECT c.vec_id AS cand_id, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY ROUND(list_dot_product(c.uv, ct.cuv), 4) DESC,
+                                ct.centroid_id) AS rn
+            FROM u c CROSS JOIN cents ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(q.uv, ct.cuv), 4) DESC,
+                                ct.centroid_id) AS rn
+            FROM u q CROSS JOIN cents ct WHERE q.vec_id % {_QUERY_MOD} = 0
+        ) WHERE rn <= {_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.cand_id,
+               ROUND(list_dot_product(qu.uv, cu.uv), 4) AS cosine
+        FROM probes p JOIN assigned a USING (centroid_id)
+        JOIN u qu ON qu.vec_id = p.query_id
+        JOIN u cu ON cu.vec_id = a.cand_id
+        WHERE p.query_id <> a.cand_id
+    )
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT query_id, cand_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_K}
+    ORDER BY query_id, cosine DESC, cand_id
+    """,
+    doc="IVF-bucketed approximate cosine top-k: centroid assign + nprobe "
+    "probe; deterministic-sample codebook => the full approximate "
+    "pipeline hash-checks against an exact SQL oracle (extension)",
 )
 def ann_topk_ivf(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
-    return cosine_topk_ivf(qs, e, _K).orderBy("query_id", F.desc("cosine"), "cand_id")
+    return cosine_topk_ivf(qs, e, _K, n_centroids_mod=_IVF_MOD, nprobe=_NPROBE).orderBy(
+        "query_id", F.desc("cosine"), "cand_id"
+    )
+
+
+@query(
+    "ann_topk_ivf_trained",
+    oracle=None,  # fitted k-means codebook is not SQL-expressible =>
+    # rows-only driver check; planted-twin recall >= 0.9 asserted in
+    # tests/test_kmeans.py
+    doc="IVF approximate cosine top-k with a spherical-k-means-trained "
+    "codebook (deterministic init + Lloyd over a bounded training "
+    "stripe, operators/kmeans.py): better-balanced cells than the "
+    "sampled codebook at the same nprobe (extension)",
+)
+def ann_topk_ivf_trained(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    return cosine_topk_ivf(
+        qs, e, _K, n_centroids_mod=_IVF_MOD, nprobe=_NPROBE, train_iters=10
+    ).orderBy("query_id", F.desc("cosine"), "cand_id")
 
 
 _DD_UNIT = """
