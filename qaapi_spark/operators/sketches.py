@@ -91,6 +91,225 @@ def cms_point_estimates(
     )
 
 
+def hll_portable(
+    df: DataFrame,
+    key: Column | str,
+    group_cols: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """Engine-portable HyperLogLog distinct estimate per group.
+
+    Classic HLL (Flajolet et al. 2007, public): md5(key) supplies
+    2**p buckets (first p/4 hex chars) and a 48-bit tail whose
+    leading-zero run is the register value; registers aggregate with
+    MAX (mergeable, bounded: 2**p rows per group ever shuffle); the
+    harmonic-mean estimate with small-range (linear-counting)
+    correction is plain arithmetic.  Because the hash family is md5 —
+    not an engine-private seed — the WHOLE estimate reproduces
+    bit-for-bit in DuckDB SQL, upgrading the HLL driver check from
+    rows-only to a value-hash oracle (same trick as the md5 CMS;
+    VERDICT r2 next #5).  The exact-sum term is kept integral
+    (sum of shiftleft(1, 49 - M_j), scale 2**49) so no
+    float-summation-order divergence can creep in.
+
+    Output: group_cols + ``hll_est`` (rounded to 4 dp).  Spark's
+    native approx_count_distinct (HLL++, engine-private) remains the
+    JVM-cheapest path; this is the portable/verifiable one.
+    """
+    if p % 4:
+        raise ValueError("p must be a multiple of 4 (hex-aligned)")
+    k = F.col(key) if isinstance(key, str) else key
+    m = 1 << p
+    hex_b = p // 4
+    two49 = 1 << 49
+    h = F.md5(k.cast("string"))
+    bucket = F.conv(F.substring(h, 1, hex_b), 16, 10).cast("int")
+    w = F.conv(F.substring(h, hex_b + 1, 12), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(w)))
+    regs = (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 49 - mj)")).alias("s_present"),
+        F.count("*").alias("nb"),
+    )
+    v = F.lit(m) - F.col("nb")
+    s = F.col("s_present") + v.cast("long") * F.lit(two49)
+    # one precomputed double numerator (alpha * m^2 * 2^49) so Spark and
+    # the SQL oracle share the exact same literal, and the only runtime
+    # float op is a single division by the exact-integer register sum
+    numer = 0.7213 / (1.0 + 1.079 / m) * float(m) * float(m) * float(two49)
+    e_raw = F.lit(numer) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return per_group.select(*group_cols, F.round(est, 4).alias("hll_est"))
+
+
+def hll_portable_oracle_sql(
+    table: str, key: str, group_cols: list[str], p: int = 8
+) -> str:
+    """The DuckDB mirror of :func:`hll_portable` — same hash family,
+    same integral register sum, same correction arithmetic."""
+    if p % 4:
+        raise ValueError("p must be a multiple of 4 (hex-aligned)")
+    m = 1 << p
+    hex_b = p // 4
+    two49 = 1 << 49
+    numer = 0.7213 / (1.0 + 1.079 / m) * float(m) * float(m) * float(two49)
+    g = ", ".join(group_cols)
+    # every float literal is CAST AS DOUBLE: DuckDB parses bare decimal
+    # literals as DECIMAL, whose arithmetic overflows AND rounds
+    # differently than the IEEE doubles Spark uses
+    e_raw = (
+        f"CAST({numer!r} AS DOUBLE) / "
+        f"(s_present + CAST({m} - nb AS BIGINT) * ({two49}::BIGINT))"
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT {g},
+               CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, {hex_b})) AS BIGINT) AS bucket,
+               CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), {hex_b + 1}, 12)) AS BIGINT) AS w
+        FROM {table}
+    ),
+    regs AS (
+        SELECT {g}, bucket,
+               MAX(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS mj
+        FROM hashed GROUP BY {g}, bucket
+    ),
+    per_group AS (
+        SELECT {g},
+               SUM(1::BIGINT << (49 - mj)) AS s_present,
+               COUNT(*) AS nb
+        FROM regs GROUP BY {g}
+    )
+    SELECT {g},
+           ROUND(CASE WHEN ({e_raw}) <= CAST({2.5 * m!r} AS DOUBLE)
+                       AND ({m} - nb) > 0
+                 THEN CAST({float(m)!r} AS DOUBLE)
+                      * ln(CAST({float(m)!r} AS DOUBLE) / CAST({m} - nb AS DOUBLE))
+                 ELSE {e_raw}
+                 END, 4) AS hll_est
+    FROM per_group
+    """
+
+
+def histogram_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bins: int = 512,
+) -> DataFrame:
+    """Engine-portable approximate percentiles via an equi-width
+    histogram sketch: per group, (min, max, count) in one pass, then a
+    ``bins``-counter histogram (mergeable, bounded memory) whose
+    cumulative walk yields each quantile's bin midpoint.  Error is
+    bounded by one bin width — the classic histogram-quantile tradeoff
+    — and every step is exact-integer or order-independent arithmetic,
+    so the result hash-checks against a DuckDB oracle (unlike Spark's
+    native percentile_approx, whose quantile-sketch sample points are
+    engine-private).
+
+    Output: group_cols + ``p<q>`` per requested quantile, rounded 4 dp.
+    """
+    from pyspark.sql import Window
+
+    stats = df.groupBy(*group_cols).agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.count("*").alias("n"),
+    )
+    vb = (
+        (F.col(value_col) - F.col("lo"))
+        / (F.col("hi") - F.col("lo"))
+        * F.lit(bins)
+    )
+    binc = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(F.least(F.lit(bins - 1), F.floor(vb)))
+        .cast("int")
+    )
+    hist = (
+        df.join(F.broadcast(stats), group_cols)
+        .select(*group_cols, binc.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wspec = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("cnt").over(wspec))
+    labeled = cum.join(F.broadcast(stats), group_cols)
+    aggs = [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bin"))
+        ).alias(f"b{int(q * 100)}")
+        for q in qs
+    ]
+    sel = labeled.groupBy(*group_cols, "lo", "hi").agg(*aggs)
+    outs = [
+        F.round(
+            F.col("lo")
+            + (F.col(f"b{int(q * 100)}").cast("double") + F.lit(0.5))
+            * (F.col("hi") - F.col("lo"))
+            / F.lit(bins),
+            4,
+        ).alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return sel.select(*group_cols, *outs)
+
+
+def histogram_percentiles_oracle_sql(
+    table: str,
+    value_col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    bins: int = 512,
+) -> str:
+    """DuckDB mirror of :func:`histogram_percentiles`."""
+    g = ", ".join(group_cols)
+    bsel = ",\n               ".join(
+        f"MIN(CASE WHEN c.cum >= CEIL({q!r} * s.n) THEN c.bin END) AS b{int(q * 100)}"
+        for q in qs
+    )
+    osel = ",\n           ".join(
+        f"ROUND(lo + (CAST(b{int(q * 100)} AS DOUBLE) + 0.5) * (hi - lo) / {bins}, 4) AS p{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+    WITH stats AS (
+        SELECT {g}, MIN({value_col}) AS lo, MAX({value_col}) AS hi,
+               COUNT(*) AS n
+        FROM {table} GROUP BY {g}
+    ),
+    binned AS (
+        SELECT e.{g},
+               CASE WHEN s.hi = s.lo THEN 0
+                    ELSE CAST(LEAST({bins - 1},
+                         FLOOR((e.{value_col} - s.lo) / (s.hi - s.lo) * {bins})) AS INT)
+               END AS bin
+        FROM {table} e JOIN stats s USING ({g})
+    ),
+    hist AS (SELECT {g}, bin, COUNT(*) AS cnt FROM binned GROUP BY {g}, bin),
+    cum AS (
+        SELECT {g}, bin,
+               SUM(cnt) OVER (PARTITION BY {g} ORDER BY bin) AS cum
+        FROM hist
+    ),
+    sel AS (
+        SELECT c.{g}, MIN(s.lo) AS lo, MIN(s.hi) AS hi,
+               {bsel}
+        FROM cum c JOIN stats s USING ({g}) GROUP BY c.{g}
+    )
+    SELECT {g},
+           {osel}
+    FROM sel
+    """
+
+
 def heavy_hitters_exact(df: DataFrame, key: Column | str, k: int) -> DataFrame:
     """Exact top-k frequent keys (deterministic tie-break on key) —
     the ground truth the sketch approximates; oracle-checkable."""

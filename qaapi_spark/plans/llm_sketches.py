@@ -4,7 +4,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from qaapi_spark.operators.sketches import cms_build, cms_point_estimates, heavy_hitters_exact
+from qaapi_spark.operators.sketches import (
+    cms_build,
+    cms_point_estimates,
+    heavy_hitters_exact,
+    histogram_percentiles,
+    histogram_percentiles_oracle_sql,
+    hll_portable,
+    hll_portable_oracle_sql,
+)
 from qaapi_spark.plans.catalog import query, t
 
 
@@ -79,6 +87,42 @@ def sketch_approx_percentiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sketch_hll_portable",
+    # md5 hash family + integral register sum => the full HLL estimate
+    # (buckets, leading-zero registers, harmonic mean, linear-counting
+    # correction) reproduces bit-for-bit in DuckDB: an approximate
+    # operator with an exact value-hash oracle (VERDICT r2 next #5).
+    oracle=hll_portable_oracle_sql("events", "user_id", ["event_type"])
+    + " ORDER BY event_type",
+    doc="engine-portable HyperLogLog distinct-user estimate per "
+    "event_type (2^8 md5 buckets, MAX-mergeable registers, bounded "
+    "memory — the 100TB distinct-count path, verifiable unlike the "
+    "engine-private HLL++ in sketch_hll_distinct_users) (extension)",
+)
+def sketch_hll_portable(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return hll_portable(e, "user_id", ["event_type"]).orderBy("event_type")
+
+
+@query(
+    "sketch_percentiles_histogram",
+    # equi-width histogram sketch: exact-integer bin counts + a fixed
+    # arithmetic reconstruction => exact SQL oracle for an approximate
+    # quantile operator (VERDICT r2 next #5).
+    oracle=histogram_percentiles_oracle_sql("events", "value", ["event_type"])
+    + " ORDER BY event_type",
+    doc="engine-portable approximate percentiles per event_type via a "
+    "512-bin equi-width histogram (two passes: min/max/count then "
+    "mergeable bin counts; error <= one bin width — verifiable "
+    "companion to the engine-private percentile_approx sketch) "
+    "(extension)",
+)
+def sketch_percentiles_histogram(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return histogram_percentiles(e, "value", ["event_type"]).orderBy("event_type")
 
 
 _CMS_BUCKET = (

@@ -176,3 +176,52 @@ def test_approx_percentile_accuracy(spark):
         # accuracy=10000 => rank error <= N/10000; values are dense, so
         # the value error stays within a tight relative band
         assert abs(approx[k] - p) <= max(abs(p) * 0.05, 0.5)
+
+
+def test_hll_portable_within_error_bound(spark):
+    """The md5-register HLL (hash-verifiable variant) must stay within
+    the standard-error band of the true distinct count: sigma ~ 1.04 /
+    sqrt(m) ~ 6.5% at m=256; assert 3 sigma."""
+    from qaapi_spark.operators.sketches import hll_portable
+
+    e = read_table(spark, SF_SMOKE, "events")
+    est = {
+        r["event_type"]: r["hll_est"]
+        for r in hll_portable(e, "user_id", ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(0.2 * n, 3), (k, est[k], n)
+
+
+def test_histogram_percentiles_within_bin_width(spark):
+    """Histogram-sketch quantiles are exact to one bin width by
+    construction, against the discrete rank statistic they target (the
+    ceil(q*n)-th order statistic — NOT the interpolated percentile,
+    which at small n can sit a whole gap away from any sample)."""
+    import math
+
+    from qaapi_spark.operators.sketches import histogram_percentiles
+
+    e = read_table(spark, SF_SMOKE, "events")
+    bins = 512
+    got = {
+        r["event_type"]: (r["p50"], r["p95"], r["p99"])
+        for r in histogram_percentiles(e, "value", ["event_type"], bins=bins).collect()
+    }
+    by_type: dict[str, list[float]] = {}
+    for r in e.select("event_type", "value").collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    assert got.keys() == by_type.keys()
+    for k, ests in got.items():
+        vals = sorted(by_type[k])
+        width = (vals[-1] - vals[0]) / bins
+        for q, est in zip((0.5, 0.95, 0.99), ests):
+            rank_val = vals[math.ceil(q * len(vals)) - 1]
+            assert abs(est - rank_val) <= width + 1e-9, (k, q, est, rank_val, width)
