@@ -594,12 +594,52 @@ def simhash_fingerprints(
     return hashed.mapInPandas(gen, "id long, fp long")
 
 
+def simhash_fingerprints_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    """(id, fp): SimHash over distinct ws tokens using md5 — the
+    engine-portable hash family, so fingerprints (and everything
+    downstream: bands, candidates, hamming) reproduce bit-for-bit in
+    DuckDB SQL, giving the simhash query an exact value-hash oracle
+    (the md5-CMS/HLL trick; VERDICT r2 next #5).
+
+    Pure Catalyst: one explode + one hash-aggregate carrying ``bits``
+    per-bit majority votes (map-side combine on id), then a horizontal
+    bit-pack.  60 bits = 15 md5 hex chars, so the token hash is one
+    BIGINT-safe conv.  The xxhash64 variant (simhash_fingerprints)
+    remains the JVM-cheapest path.
+    """
+    toks = F.array_distinct(ws_tokens(F.lower(F.col(text_col))))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    votes = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                ).alias(f"v{j}")
+                for j in range(bits)
+            ]
+        )
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return votes.select("id", fp.alias("fp"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bands: int = 4,
+    fingerprints: DataFrame | None = None,
+    band_width: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via band-equality join, verified by hamming distance.
 
@@ -618,9 +658,13 @@ def simhash_near_dup_pairs(
     # fp feeds four consumers of the one returned plan (band build, two
     # expansion joins, same-fp self-join) — persist so fingerprints are
     # computed once; registry lets the harness release it post-query.
-    fp = register_kernel_cache(simhash_fingerprints(df, text_col, id_col).persist())
+    # `fingerprints` lets callers swap the hash family (e.g. the
+    # md5-portable one) without touching the banding/verify plan.
+    if fingerprints is None:
+        fingerprints = simhash_fingerprints(df, text_col, id_col)
+    fp = register_kernel_cache(fingerprints.persist())
     ufp = fp.select("fp").distinct()
-    band_width = 64 // n_bands
+    band_width = band_width or 64 // n_bands
     bands = ufp.select(
         "fp",
         F.explode(

@@ -140,11 +140,84 @@ def dedup_minhash_lsh(spark, sf_dir):
 @query(
     "dedup_simhash",
     oracle=None,  # xxhash64 not available in DuckDB => rows-only check
+    # (dedup_simhash_portable is the hash-verified md5 twin)
     doc="near-dup via 63-bit SimHash + band join + hamming filter (extension)",
 )
 def dedup_simhash(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+_SIMHASH_TOKS = (
+    "unnest(list_distinct(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(trim(lower(text)), '\\s+') END))"
+)
+
+
+@query(
+    "dedup_simhash_portable",
+    # md5 token hashes => the ENTIRE simhash pipeline (per-bit majority,
+    # bit-pack, banding, hamming verify, doc-pair expansion) reproduces
+    # in DuckDB: an exact value-hash oracle for a hashing-based
+    # near-dup operator (VERDICT r2 next #5).
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS id, {_SIMHASH_TOKS} AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT id, j.j,
+               SUM(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashed CROSS JOIN (SELECT unnest(range(0, 60)) AS j) j
+        GROUP BY id, j.j
+    ),
+    fps AS (
+        SELECT id,
+               SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS fp
+        FROM votes GROUP BY id
+    ),
+    ufp AS (SELECT DISTINCT fp FROM fps),
+    bands AS (
+        SELECT fp, b.band, (fp >> (15 * b.band)) & 32767 AS key
+        FROM ufp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    fp_pairs AS (
+        SELECT fp_a, fp_b, bit_count(xor(fp_a, fp_b)) AS hamming FROM (
+            SELECT DISTINCT a.fp AS fp_a, b.fp AS fp_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.fp < b.fp
+        ) WHERE bit_count(xor(fp_a, fp_b)) <= 3
+    ),
+    cross_fp AS (
+        SELECT LEAST(fa.id, fb.id) AS id_a,
+               GREATEST(fa.id, fb.id) AS id_b, p.hamming
+        FROM fp_pairs p
+        JOIN fps fa ON fa.fp = p.fp_a
+        JOIN fps fb ON fb.fp = p.fp_b
+    ),
+    same_fp AS (
+        SELECT a.id AS id_a, b.id AS id_b, 0 AS hamming
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+    )
+    SELECT id_a, id_b, hamming
+    FROM (SELECT * FROM cross_fp UNION ALL SELECT * FROM same_fp)
+    ORDER BY id_a, id_b
+    """,
+    doc="near-dup via engine-portable 60-bit SimHash (md5 token hashes, "
+    "pure Catalyst per-bit majority) + band join + hamming verify — "
+    "the hash-verified twin of dedup_simhash (extension)",
+)
+def dedup_simhash_portable(spark, sf_dir):
+    from qaapi_spark.operators.dedup import simhash_fingerprints_portable
+
+    d = t(spark, sf_dir, "documents")
+    fp = simhash_fingerprints_portable(d, bits=60)
+    return simhash_near_dup_pairs(
+        d, max_hamming=3, fingerprints=fp, band_width=15
+    ).orderBy("id_a", "id_b")
 
 
 @query(
