@@ -89,7 +89,11 @@ def decode_features(media: DataFrame, n_features: int = N_FEATURES) -> DataFrame
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 hist = np.bincount(arr % n_features, minlength=n_features).astype(np.float64)
                 total = hist.sum()
-                feats.append(np.round(hist / total if total else hist, 6))
+                # no rounding here: np.round is banker's, which differs
+                # from SQL ROUND exactly at .5-ulp boundaries (k/2^m
+                # ratios); consumers round once at the query edge where
+                # Spark's HALF_UP matches DuckDB's half-away
+                feats.append(hist / total if total else hist)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
