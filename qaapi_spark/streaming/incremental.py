@@ -179,7 +179,7 @@ def stream_neardup_dedup(
     docs_path: str,
     threshold: float = 0.8,
     num_hashes: int = 64,
-    n_bands: int = 32,
+    n_bands: int = 16,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup: documents arrive in micro-batches
     (one file per trigger) and each batch is screened against the
@@ -202,11 +202,14 @@ def stream_neardup_dedup(
          doc iff a smaller-id batch survivor is a true near-dup;
       4. append survivors' band keys and shingle sets to the stores.
 
-    Because candidates are exactly verified (and r=2 banding misses a
-    true pair with probability (1-j^2)^32 ~ 7e-15 at j=0.8), the kept
-    set is DETERMINISTIC — a pure function of (batch partition, id
-    order, exact pair relation) — which is what lets the driver
-    hash-check this stream against a batch SQL oracle
+    Because candidates are exactly verified (and r=4 banding misses a
+    true pair with probability (1-j^4)^16 ~ 2.2e-4 at j=0.8 — equality
+    with the exact pair relation is asserted empirically by the oracle
+    gate at every SF, same trade as minhash_lsh_verified_pairs, where
+    r=2's moderate-similarity candidate flood made the verify join >80%
+    of runtime), the kept set is DETERMINISTIC — a pure function of
+    (batch partition, id order, exact pair relation) — which is what
+    lets the driver hash-check this stream against a batch SQL oracle
     (VERDICT r2 next-round #5).
 
     State per kept doc: n_bands 24-byte band keys (the probe side) +
