@@ -113,3 +113,38 @@ def test_default_embedding_cosine_is_blocked_grid(spark):
     # blocked miner = applyInPandas over (bi, bj) groups; the broadcast
     # fast path would show MapInPandas instead (corpus collected+bcast)
     assert "FlatMapGroupsInPandas" in p
+
+
+def test_hll_portable_plan_is_two_hash_aggregates(spark):
+    """The portable HLL must stay a pure aggregate pipeline: register
+    build (group+bucket hash-agg with map-side partial) into a
+    per-group fold — no collect, no python, no join."""
+    df = CATALOG["sketch_hll_portable"].fn(spark, SF)
+    p = _plan(df)
+    assert "MapInPandas" not in p and "FlatMapGroupsInPandas" not in p
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in phys
+    assert "Join" not in phys  # registers fold per-group, never join
+
+
+def test_histogram_percentiles_stats_side_broadcasts(spark):
+    """The two-pass histogram sketch joins each row to its group's
+    (lo, hi) — group-count-sized, so it must broadcast, never shuffle
+    the data side on the stats join."""
+    df = CATALOG["sketch_percentiles_histogram"].fn(spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys
+
+
+def test_decode_features_is_maponly(spark):
+    """Payload decode must never shuffle the media relation: metadata
+    synthesis + Arrow kernel are one map-only pipeline."""
+    from qaapi_spark.operators.multimodal import decode_features, synthesize_media
+    from qaapi_spark.plans.catalog import t
+
+    m = synthesize_media(t(spark, SF, "documents"))
+    codes = decode_features(m)
+    phys = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys
+    assert "MapInPandas" in phys
