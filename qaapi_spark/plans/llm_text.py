@@ -327,3 +327,161 @@ def text_filter_below_p10_length(spark, sf_dir):
         .select("doc_id", "lang", "n_chars", F.round("p10", 4).alias("lang_p10"))
         .orderBy("doc_id")
     )
+
+
+_SPAN_K = 10  # tokens per non-overlapping span
+_BOILER_DF = 3  # a span in >= this many distinct docs is boilerplate
+
+# DuckDB fragment: (doc_id, span) — non-overlapping _SPAN_K-token spans
+# of the lowercased token stream (flat corpora have no line breaks, so
+# fixed token windows are the span unit, as in span-level training-data
+# dedup).  Trailing short spans are kept (list_slice clips).
+_DD_SPANS = f"""
+    spans AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_slice({_DD_TOKS}, i * {_SPAN_K} + 1,
+                              i * {_SPAN_K} + {_SPAN_K}), ' ') AS span
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(CEIL(len({_DD_TOKS}) / {_SPAN_K}.0) AS INT))) AS i
+            FROM documents
+        )
+    ),
+    span_df AS (
+        SELECT span, COUNT(DISTINCT doc_id) AS sdf
+        FROM spans GROUP BY span
+    )
+"""
+
+
+def _spark_spans(d):
+    """(doc_id, span): the Spark mirror of _DD_SPANS."""
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    toks = ws_tokens(F.lower(F.col("text")))
+    # empty docs -> no spans (guarded: sequence(0, -1) would descend)
+    spans = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(toks) / F.lit(float(_SPAN_K))).cast("int") - 1,
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * _SPAN_K + 1, F.lit(_SPAN_K))
+            ),
+        )
+    )
+    return d.select("doc_id", F.explode(spans).alias("span"))
+
+
+@query(
+    "dedup_spans_exact",
+    oracle=f"""
+    WITH {_DD_SPANS},
+    stats AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_spans,
+               SUM(CASE WHEN d.sdf >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+        FROM spans s JOIN span_df d USING (span)
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id,
+           COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(n_dup_spans, 0) AS n_dup_spans,
+           ROUND(CASE WHEN COALESCE(n_spans, 0) = 0 THEN 0.0
+                      ELSE COALESCE(n_dup_spans, 0) / n_spans END, 4) AS dup_ratio
+    FROM documents LEFT JOIN stats USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="span-level exact dedup signal (Lee et al. 2022, 'Deduplicating "
+    "Training Data Makes Language Models Better' — public): docs split "
+    "into non-overlapping 10-token spans, span df counted corpus-wide, "
+    "per-doc duplicated-span ratio = the drop/trim signal; one "
+    "span-hash aggregate + a broadcast-ready span_df join (extension)",
+)
+def dedup_spans_exact(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    s = _spark_spans(d)
+    sdf = s.groupBy("span").agg(F.count_distinct("doc_id").alias("sdf"))
+    stats = (
+        s.join(sdf, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("sdf") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0)).otherwise(
+                    F.col("n_dup_spans") / F.col("n_spans")
+                ),
+                4,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_boilerplate_filter",
+    oracle=f"""
+    WITH {_DD_SPANS},
+    kept AS (
+        SELECT s.doc_id,
+               SUM(len(string_split_regex(s.span, '\\s+'))) AS n_tokens,
+               SUM(CASE WHEN d.sdf < {_BOILER_DF}
+                        THEN len(string_split_regex(s.span, '\\s+'))
+                        ELSE 0 END) AS n_kept_tokens,
+               SUM(CASE WHEN d.sdf >= {_BOILER_DF} THEN 1 ELSE 0 END) AS n_boiler_spans
+        FROM spans s JOIN span_df d USING (span)
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           COALESCE(n_kept_tokens, 0) AS n_kept_tokens,
+           COALESCE(n_boiler_spans, 0) AS n_boiler_spans
+    FROM documents LEFT JOIN kept USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="C4-style boilerplate removal signal: spans repeated across >= 3 "
+    "distinct docs are boilerplate; per-doc kept-token counts after "
+    "dropping them (the filter a cleaning pipeline applies before "
+    "training); same span_df relation as dedup_spans_exact (extension)",
+)
+def text_boilerplate_filter(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    s = _spark_spans(d)
+    sdf = s.groupBy("span").agg(F.count_distinct("doc_id").alias("sdf"))
+    span_len = F.size(F.split(F.col("span"), r"\s+"))
+    kept = (
+        s.join(sdf, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(span_len).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("sdf") < _BOILER_DF, span_len).otherwise(F.lit(0))
+            ).alias("n_kept_tokens"),
+            F.sum(F.when(F.col("sdf") >= _BOILER_DF, 1).otherwise(0)).alias(
+                "n_boiler_spans"
+            ),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_kept_tokens", F.lit(0)).alias("n_kept_tokens"),
+            F.coalesce("n_boiler_spans", F.lit(0)).alias("n_boiler_spans"),
+        )
+        .orderBy("doc_id")
+    )
