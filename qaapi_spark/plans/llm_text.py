@@ -332,16 +332,22 @@ def text_filter_below_p10_length(spark, sf_dir):
 _SPAN_K = 10  # tokens per non-overlapping span
 _BOILER_DF = 3  # a span in >= this many distinct docs is boilerplate
 
-# DuckDB fragment: (doc_id, span) — non-overlapping _SPAN_K-token spans
-# of the lowercased token stream (flat corpora have no line breaks, so
-# fixed token windows are the span unit, as in span-level training-data
-# dedup).  Trailing short spans are kept (list_slice clips).
+# DuckDB fragment: (doc_id, span_key, span_len) — non-overlapping
+# _SPAN_K-token spans of the lowercased token stream (flat corpora have
+# no line breaks, so fixed token windows are the span unit, as in
+# span-level training-data dedup).  Trailing short spans are kept
+# (list_slice clips).  Spans shuffle as 60-bit md5 keys, never as
+# strings: at 100 TB the aggregate/join key is 8 bytes instead of a
+# ~60-char span, and the engine-portable hash family keeps the oracle
+# exact (collision odds ~2^-60, identical on both sides either way).
 _DD_SPANS = f"""
     spans AS (
         SELECT doc_id,
-               array_to_string(
+               CAST(('0x' || substr(md5(array_to_string(
                    list_slice({_DD_TOKS}, i * {_SPAN_K} + 1,
-                              i * {_SPAN_K} + {_SPAN_K}), ' ') AS span
+                              i * {_SPAN_K} + {_SPAN_K}), ' ')), 1, 15)) AS BIGINT) AS span_key,
+               len(list_slice({_DD_TOKS}, i * {_SPAN_K} + 1,
+                              i * {_SPAN_K} + {_SPAN_K})) AS span_len
         FROM (
             SELECT doc_id, text,
                    unnest(range(0, CAST(CEIL(len({_DD_TOKS}) / {_SPAN_K}.0) AS INT))) AS i
@@ -349,30 +355,43 @@ _DD_SPANS = f"""
         )
     ),
     span_df AS (
-        SELECT span, COUNT(DISTINCT doc_id) AS sdf
-        FROM spans GROUP BY span
+        SELECT span_key, COUNT(DISTINCT doc_id) AS sdf
+        FROM spans GROUP BY span_key
     )
 """
 
 
 def _spark_spans(d):
-    """(doc_id, span): the Spark mirror of _DD_SPANS."""
+    """(doc_id, span_key, span_len): the Spark mirror of _DD_SPANS."""
     from qaapi_spark.operators.textstats import ws_tokens
 
     toks = ws_tokens(F.lower(F.col("text")))
+
+    def span_struct(i):
+        sl = F.slice(toks, i * _SPAN_K + 1, F.lit(_SPAN_K))
+        key = (
+            F.conv(F.substring(F.md5(F.concat_ws(" ", sl)), 1, 15), 16, 10)
+            .cast("long")
+            .alias("span_key")
+        )
+        return F.struct(key, F.size(sl).alias("span_len"))
+
+    empty = F.array().cast("array<struct<span_key:bigint,span_len:int>>")
     # empty docs -> no spans (guarded: sequence(0, -1) would descend)
-    spans = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+    spans = F.when(F.size(toks) == 0, empty).otherwise(
         F.transform(
             F.sequence(
                 F.lit(0),
                 F.ceil(F.size(toks) / F.lit(float(_SPAN_K))).cast("int") - 1,
             ),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i * _SPAN_K + 1, F.lit(_SPAN_K))
-            ),
+            span_struct,
         )
     )
-    return d.select("doc_id", F.explode(spans).alias("span"))
+    return d.select("doc_id", F.explode(spans).alias("s")).select(
+        "doc_id",
+        F.col("s.span_key").alias("span_key"),
+        F.col("s.span_len").alias("span_len"),
+    )
 
 
 @query(
@@ -383,7 +402,7 @@ def _spark_spans(d):
         SELECT s.doc_id,
                COUNT(*) AS n_spans,
                SUM(CASE WHEN d.sdf >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
-        FROM spans s JOIN span_df d USING (span)
+        FROM spans s JOIN span_df d USING (span_key)
         GROUP BY s.doc_id
     )
     SELECT doc_id,
@@ -403,9 +422,9 @@ def _spark_spans(d):
 def dedup_spans_exact(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     s = _spark_spans(d)
-    sdf = s.groupBy("span").agg(F.count_distinct("doc_id").alias("sdf"))
+    sdf = s.groupBy("span_key").agg(F.count_distinct("doc_id").alias("sdf"))
     stats = (
-        s.join(sdf, "span")
+        s.join(sdf, "span_key")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
@@ -436,12 +455,11 @@ def dedup_spans_exact(spark, sf_dir):
     WITH {_DD_SPANS},
     kept AS (
         SELECT s.doc_id,
-               SUM(len(string_split_regex(s.span, '\\s+'))) AS n_tokens,
-               SUM(CASE WHEN d.sdf < {_BOILER_DF}
-                        THEN len(string_split_regex(s.span, '\\s+'))
+               SUM(s.span_len) AS n_tokens,
+               SUM(CASE WHEN d.sdf < {_BOILER_DF} THEN s.span_len
                         ELSE 0 END) AS n_kept_tokens,
                SUM(CASE WHEN d.sdf >= {_BOILER_DF} THEN 1 ELSE 0 END) AS n_boiler_spans
-        FROM spans s JOIN span_df d USING (span)
+        FROM spans s JOIN span_df d USING (span_key)
         GROUP BY s.doc_id
     )
     SELECT doc_id,
@@ -459,10 +477,10 @@ def dedup_spans_exact(spark, sf_dir):
 def text_boilerplate_filter(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     s = _spark_spans(d)
-    sdf = s.groupBy("span").agg(F.count_distinct("doc_id").alias("sdf"))
-    span_len = F.size(F.split(F.col("span"), r"\s+"))
+    sdf = s.groupBy("span_key").agg(F.count_distinct("doc_id").alias("sdf"))
+    span_len = F.col("span_len")
     kept = (
-        s.join(sdf, "span")
+        s.join(sdf, "span_key")
         .groupBy("doc_id")
         .agg(
             F.sum(span_len).alias("n_tokens"),
