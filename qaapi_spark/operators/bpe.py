@@ -1,0 +1,186 @@
+"""Distributed BPE merge training (byte-pair encoding, Sennrich,
+Haddow & Birch, ACL 2016 — public algorithm).
+
+The tokenizer-training step of a training-data pipeline: learn the
+top-N symbol merges from corpus statistics.  Scale shape follows the
+standard trainer design (word-level pre-aggregation):
+
+  - ONE corpus-sized pass: whitespace words -> (word, count) hash
+    aggregate.  Everything after runs on the VOCABULARY relation,
+    which grows sub-linearly in corpus size — the same reason
+    TF-IDF's df side broadcasts;
+  - each of the n_merges iterations is a vocab-sized aggregate
+    (adjacent-pair counts weighted by word count) + a driver-side
+    argmax (ONE row — a bounded collect by construction) + a map-only
+    merge application (Catalyst fold, no shuffle);
+  - merge application is a left-greedy array fold (F.aggregate): the
+    canonical BPE semantics — a freshly merged symbol never re-merges
+    within the same pass;
+  - determinism: ties on pair count break on (left, right) symbol
+    order, so the merge table is a pure function of the corpus.
+
+Iterative + argmax-per-round => not SQL-expressible; the driver check
+is rows-only and correctness is pinned by a pure-python reference
+implementation in tests/test_bpe.py (same tie-breaks, compared merge
+table for merge table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qaapi_spark.operators.textstats import ws_tokens
+
+#: end-of-word marker, as in the original BPE formulation (keeps word
+#: boundaries; a merge can absorb it to form whole-word symbols).
+EOW = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt): the one corpus-sized aggregate."""
+    return (
+        df.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _initial_symbols() -> "F.Column":
+    """word -> array of single-char symbols + EOW marker."""
+    return F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
+
+
+def _adjacent_pairs(sym_col: str) -> "F.Column":
+    """array<struct<l,r>> of adjacent symbol pairs."""
+    s = F.col(sym_col)
+    n = F.size(s)
+    return F.when(n < 2, F.array().cast("array<struct<l:string,r:string>>")).otherwise(
+        F.zip_with(
+            F.slice(s, 1, n - 1),
+            F.slice(s, 2, n - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+    )
+
+
+def _apply_merge(sym_col: str, left: str, right: str) -> "F.Column":
+    """Left-greedy single-pass merge of adjacent (left, right) pairs:
+    fold symbols into a new array, joining a symbol onto the previous
+    one when they form the target pair.  A merged symbol (left+right)
+    is a NEW symbol, so it cannot chain-merge in the same pass."""
+    s = F.col(sym_col)
+    merged = left + right
+
+    def step(acc, x):
+        can_merge = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right))
+        )
+        return F.when(
+            can_merge,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(s, F.array().cast("array<string>"), step)
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 20,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Learn up to ``n_merges`` merges; returns
+    [(rank, left, right, pair_count), ...] in learned order.
+
+    Stops early when the best remaining pair falls below
+    ``min_pair_count`` (nothing frequent enough left to merge).
+    """
+    vocab = (
+        word_counts(df, text_col)
+        .select(F.col("cnt"), _initial_symbols().alias("syms"))
+        .persist()
+    )
+    from qaapi_spark.session import register_kernel_cache
+
+    register_kernel_cache(vocab)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            vocab.select("cnt", F.explode(_adjacent_pairs("syms")).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pcnt"))
+            .orderBy(F.desc("pcnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pcnt"] < min_pair_count:
+            break
+        l, r, pcnt = best[0]["l"], best[0]["r"], int(best[0]["pcnt"])
+        merges.append((rank, l, r, pcnt))
+        new_vocab = vocab.select(
+            "cnt", _apply_merge("syms", l, r).alias("syms")
+        ).localCheckpoint(eager=True)  # truncate the per-round plan
+        vocab.unpersist()
+        vocab = register_kernel_cache(new_vocab)
+    return merges
+
+
+def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Canonical BPE apply: repeatedly merge the lowest-rank adjacent
+    pair (training-order priority) until no learned pair remains.
+    Shared by the Spark kernel and the pure-python test reference."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank, best_i = rk, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens_bpe): apply a learned merge table to every doc.
+
+    Arrow-batched kernel (the production tokenizer-apply shape: the
+    merge table broadcasts, documents stream map-only; per-word
+    results are memoized within a batch because corpora repeat words
+    heavily).  A Catalyst-fold version exists in principle but a
+    20-merge fold nests transform/aggregate 20 deep and the analysis/
+    codegen cost dwarfs the kernel."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    ranks = {(l, r): rank for rank, l, r, _ in merges}
+    bc = spark.sparkContext.broadcast(ranks)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rk = bc.value
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            counts = []
+            for text in pdf["t"]:
+                total = 0
+                for w in (text or "").lower().split():
+                    n = memo.get(w)
+                    if n is None:
+                        n = memo[w] = len(segment_word(w, rk))
+                    total += n
+                counts.append(total)
+            yield pd.DataFrame({"id": pdf["id"], "n_tokens_bpe": counts})
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    return src.mapInPandas(gen, "id long, n_tokens_bpe long")

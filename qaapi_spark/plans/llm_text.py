@@ -503,3 +503,54 @@ def text_boilerplate_filter(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_BPE_MERGES = 8
+_BPE_MEMO: dict = {}
+
+
+def _bpe_merges(spark, sf_dir):
+    """Memoized merge table per (application, sf_dir): both BPE queries
+    derive from it, so the iterative training runs once per session
+    (same sharing contract as cc_jaccard_labels)."""
+    from qaapi_spark.operators.bpe import bpe_train
+
+    key = (spark.sparkContext.applicationId, sf_dir, _BPE_MERGES)
+    m = _BPE_MEMO.get(key)
+    if m is None:
+        d = t(spark, sf_dir, "documents")
+        m = _BPE_MEMO[key] = bpe_train(d, n_merges=_BPE_MERGES)
+    return m
+
+
+@query(
+    "bpe_train_merges",
+    oracle=None,  # iterative argmax-per-round (genuinely non-SQL-
+    # expressible); pinned instead by a pure-python reference trainer
+    # with identical tie-breaks in tests/test_bpe.py
+    doc="BPE merge-table training (Sennrich et al. 2016): one corpus "
+    "pass to word counts, then vocab-sized pair aggregates + bounded "
+    "argmax per round; deterministic tie-breaks (extension: tokenizer "
+    "training, iterative algorithm)",
+)
+def bpe_train_merges(spark, sf_dir):
+    return spark.createDataFrame(
+        _bpe_merges(spark, sf_dir),
+        "rank int, left string, right string, pair_count long",
+    ).orderBy("rank")
+
+
+@query(
+    "bpe_token_counts",
+    oracle=None,  # output depends on the learned merge table (above);
+    # the apply kernel itself is pinned against the same python
+    # reference in tests/test_bpe.py
+    doc="BPE segmentation apply: learned merge table broadcasts, docs "
+    "stream through an Arrow kernel map-only with per-word "
+    "memoization — the production tokenizer-apply shape (extension)",
+)
+def bpe_token_counts(spark, sf_dir):
+    from qaapi_spark.operators.bpe import bpe_segment
+
+    d = t(spark, sf_dir, "documents")
+    return bpe_segment(d, _bpe_merges(spark, sf_dir)).orderBy("id")

@@ -1,0 +1,101 @@
+"""BPE training/apply vs a pure-python reference with identical
+tie-breaks — the correctness pin for the two rows-only BPE catalog
+entries (iterative argmax is not SQL-expressible)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from qaapi_spark.operators.bpe import EOW, bpe_segment, bpe_train, segment_word
+from qaapi_spark.session import release_kernel_caches
+
+from tests.conftest import SF_SMOKE
+
+
+def reference_bpe_train(texts, n_merges, min_pair_count=2):
+    """Dict-based BPE trainer: same ordering contract as the operator
+    (pair count desc, then (left, right) asc)."""
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            words[w] += 1
+    vocab = {tuple(list(w) + [EOW]): c for w, c in words.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, l, r, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from qaapi_spark.plans.catalog import t
+
+    d = t(spark, SF_SMOKE, "documents")
+    texts = [r.text for r in d.select("text").collect()]
+    got = bpe_train(d, n_merges=6)
+    release_kernel_caches()
+    want = reference_bpe_train(texts, n_merges=6)
+    assert got == want
+
+
+def test_bpe_segment_matches_reference_and_compresses(spark):
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.operators.textstats import ws_tokens
+    from qaapi_spark.plans.catalog import t
+
+    d = t(spark, SF_SMOKE, "documents")
+    merges = bpe_train(d, n_merges=6)
+    release_kernel_caches()
+    ranks = {(l, r): rank for rank, l, r, _ in merges}
+    got = {r.id: r.n_tokens_bpe for r in bpe_segment(d, merges).collect()}
+    rows = d.select("doc_id", "text").collect()
+    for r in rows:
+        want = sum(
+            len(segment_word(w, ranks)) for w in r.text.lower().split()
+        )
+        assert got[r.doc_id] == want
+    # merging must never yield MORE symbols than chars+EOW, and with 6
+    # learned merges over a tiny vocabulary it strictly compresses
+    n_chars_plus = d.select(
+        F.sum(
+            F.aggregate(
+                F.transform(
+                    ws_tokens(F.lower(F.col("text"))), lambda w: F.length(w) + 1
+                ),
+                F.lit(0),
+                lambda a, b: a + b,
+            )
+        )
+    ).collect()[0][0]
+    assert sum(got.values()) < n_chars_plus
+
+
+def test_segment_word_rank_priority():
+    """Apply follows TRAINING ORDER, not left-to-right scan order."""
+    ranks = {("a", "b"): 0, ("b", "c"): 1}
+    # 'abc': pair (a,b) has the lower rank, so it merges first -> ab, c
+    assert segment_word("abc", ranks) == ["ab", "c", EOW]
+    # chain: once 'ab' exists, (ab, c) is not a learned pair
+    ranks2 = {("b", "c"): 0, ("a", "b"): 1}
+    assert segment_word("abc", ranks2) == ["a", "bc", EOW]
