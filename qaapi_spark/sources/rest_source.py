@@ -126,6 +126,27 @@ class FixtureTransport:
                 out.append(r)
         return out
 
+    def get_comments(self, links: list[str]) -> list[dict]:
+        """S4 link-following: a comment belongs to the link whose path
+        prefixes its ``$ref`` (reference: GET base + evaluation's
+        ``comments`` link, `qa_api_handler.py:202-228`)."""
+        out = []
+        for r in self._load("fix_comments_raw.json"):
+            ref = r.get("$ref") or ""
+            if any(ref.startswith(lk) for lk in links):
+                out.append(r)
+        return out
+
+    def get_transcripts(self, contact_ids: list[int]) -> list[dict]:
+        """S5 keyed lookup with empty-result skip
+        (`qa_api_handler.py:163-200`, skip `:187-188`)."""
+        want = set(contact_ids)
+        return [
+            r
+            for r in self._load("fix_transcript_raw.json")
+            if r.get("ccrid") in want and r.get("segments")
+        ]
+
 
 def _to_tuple(obj, dtype):
     """JSON dict -> tuple shaped by the StructType (missing keys ->
@@ -149,6 +170,11 @@ class _IdChunkPartition(InputPartition):
         self.ids = ids
 
 
+class _LinkChunkPartition(InputPartition):
+    def __init__(self, links: list[str]):
+        self.links = links
+
+
 class _RestReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
@@ -163,6 +189,13 @@ class _RestReader(DataSourceReader):
         self.contact_ids = (
             [int(x) for x in options["contact_ids"].split(",")]
             if options.get("contact_ids")
+            else []
+        )
+        # S4: the evaluation rows' `comments` HATEOAS links (comma-safe:
+        # URL paths), one GET per link, chunked into partitions
+        self.links = (
+            [x for x in options["links"].split(",") if x]
+            if options.get("links")
             else []
         )
         self.id_chunk = int(options.get("id_chunk", "8"))
@@ -196,12 +229,18 @@ class _RestReader(DataSourceReader):
                 yield f
 
     def partitions(self):
-        if self.entity == "evaluations":
+        if self.entity in ("evaluations", "transcripts"):
             chunks = [
                 self.contact_ids[i : i + self.id_chunk]
                 for i in range(0, len(self.contact_ids), self.id_chunk)
             ]
             return [_IdChunkPartition(c) for c in chunks] or [_IdChunkPartition([])]
+        if self.entity == "comments":
+            chunks = [
+                self.links[i : i + self.id_chunk]
+                for i in range(0, len(self.links), self.id_chunk)
+            ]
+            return [_LinkChunkPartition(c) for c in chunks] or [_LinkChunkPartition([])]
         if self.entity == "forms":
             return [_WindowPartition(0, 1 << 62)]
         # contacts: one partition per break_size-day window, clipped to
@@ -221,6 +260,10 @@ class _RestReader(DataSourceReader):
             rows = transport.get_forms()
         elif self.entity == "evaluations":
             rows = transport.get_evaluations(partition.ids)
+        elif self.entity == "transcripts":
+            rows = transport.get_transcripts(partition.ids)
+        elif self.entity == "comments":
+            rows = transport.get_comments(partition.links)
         else:
             rows = transport.get_contacts(self.pattern, partition.lo_ms, partition.hi_ms)
         for r in rows:

@@ -119,3 +119,45 @@ def test_transport_resolution_contract():
     # transports are constructed from the reader options dict
     t = FixtureTransport({"base_dir": "fixtures"})
     assert t.base_dir == "fixtures"
+
+
+def test_transcripts_id_lookup_skips_empty(spark):
+    """S5 as a partitioned source read: one id-chunk per partition,
+    empty transcript responses dropped by the transport."""
+    _register(spark)
+    got = (
+        spark.read.format("calabrio_rest")
+        .option("entity", "transcripts")
+        .option("base_dir", FIXTURES)
+        .option("contact_ids", "5,6,7,99999")  # 99999: no transcript
+        .option("id_chunk", "2")
+        .load()
+    )
+    direct = read_entity(spark, f"{FIXTURES}/fix_transcript_raw.json", "transcripts")
+    want = {r.ccrid for r in direct.collect() if r.ccrid in (5, 6, 7)}
+    assert {r.ccrid for r in got.collect()} == want
+    assert got.filter(F.size("segments") == 0).count() == 0
+
+
+def test_comments_link_following(spark):
+    """S4 as a partitioned source read: each evaluation's `comments`
+    link fans out to the comment rows under that link path."""
+    _register(spark)
+    evals = read_entity(spark, f"{FIXTURES}/fix_eval_raw.json", "evaluations")
+    links = [r.comments for r in evals.collect() if r.comments]
+    assert links, "fixture must carry comment links"
+    got = (
+        spark.read.format("calabrio_rest")
+        .option("entity", "comments")
+        .option("base_dir", FIXTURES)
+        .option("links", ",".join(links))
+        .load()
+    )
+    direct = read_entity(spark, f"{FIXTURES}/fix_comments_raw.json", "comments")
+    got_refs = sorted(r["$ref"] for r in got.collect())
+    want_refs = sorted(
+        r["$ref"]
+        for r in direct.collect()
+        if any(r["$ref"].startswith(lk) for lk in links)
+    )
+    assert got_refs == want_refs and got_refs
