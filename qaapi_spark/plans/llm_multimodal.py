@@ -323,3 +323,32 @@ def stream_neardup_dedup_docs(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@query(
+    "stream_attribution_join",
+    # watermark (48h) wider than the bounded replay's disorder => no
+    # late drops, so the streamed inner interval join equals the batch
+    # interval join: a stream-stream join with an exact SQL oracle
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           ROUND(p.value, 2) AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+    doc="Structured Streaming stream-stream event-time interval join "
+    "(click->purchase attribution within 24h): both sides watermarked "
+    "+ time-range predicate so each side's state stays bounded to "
+    "horizon+watermark — the only shape a stream-stream join can run "
+    "forever in (extension, SURVEY §2.9)",
+)
+def stream_attribution_join(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import stream_interval_join
+
+    return stream_interval_join(spark, f"{sf_dir}/events.parquet").orderBy(
+        "click_id", "purchase_id"
+    )

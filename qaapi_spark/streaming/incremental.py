@@ -351,3 +351,76 @@ def stream_neardup_dedup(
     # drop the epoch=N partition-discovery column the idempotent
     # epoch-keyed layout introduces
     return spark.read.parquet(out_dir + "/data").select("doc_id", "lang", "source")
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "24 hours",
+    watermark: str = "48 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join (attribution): each
+    ``right_type`` event joins the same user's ``left_type`` events
+    that happened within ``horizon`` BEFORE it — the canonical
+    click->purchase attribution query.
+
+    Both sides are watermarked and the join carries the event-time
+    range predicate, so Structured Streaming can bound each side's
+    state to the horizon + watermark window — the property that makes
+    a stream-stream join runnable forever at scale (without the time
+    bound, both states grow without limit; Spark refuses outer
+    variants for exactly that reason).  With an availableNow bounded
+    replay and a watermark wider than the data's disorder, no row is
+    late-dropped, so the streamed inner join equals the batch interval
+    join and the query is DuckDB-oracle checkable.
+    """
+    import os
+    import tempfile
+
+    from qaapi_spark.sources.tables import events_stream_spec
+
+    raw_schema, normalize_ts = events_stream_spec(spark, events_path)
+    stage_dir = tempfile.mkdtemp(prefix="events_ssj_")
+    os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, "part-0.parquet"))
+
+    def side(tp: str, alias: str) -> DataFrame:
+        s = normalize_ts(
+            spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
+        )
+        return (
+            s.filter(F.col("event_type") == tp)
+            .withWatermark("ts", watermark)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+                F.col("value").alias(f"{alias}_value"),
+            )
+        )
+
+    clicks, purchases = side(left_type, "c"), side(right_type, "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )
+    name = "attrib_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", stage_dir + "/_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").select(
+        F.col("c_id").alias("click_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("c_user").alias("user_id"),
+        F.round("p_value", 2).alias("purchase_value"),
+    )
