@@ -310,6 +310,135 @@ def histogram_percentiles_oracle_sql(
     """
 
 
+def kmv_overlap(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """KMV (k-minimum-values) set-overlap estimation between every pair
+    of groups: distinct size, Jaccard, and intersection estimates from
+    bounded k-row sketches (Beyer et al., SIGMOD 2007 — public).
+
+    Sketch per group = the k smallest 60-bit md5 hashes of the DISTINCT
+    keys (one distinct aggregate + one windowed top-k: bounded to k
+    rows per group forever).  For a pair (a, b): take the k smallest of
+    the merged sketches (= KMV of the union); est_jaccard = fraction of
+    those present in BOTH sketches; est_union = (k-1) * 2^60 / h_k;
+    est_intersection = est_jaccard * est_union.  All arithmetic is
+    order-statistic + one division — the md5 hash family reproduces
+    bit-for-bit in DuckDB, so this approximate operator carries an
+    exact value-hash oracle like the CMS/HLL/histogram sketches.
+
+    Output: (group_a, group_b, est_jaccard, est_intersection) for
+    group_a < group_b, rounded 4dp.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashes = (
+        df.select(F.col(group_col).alias("g"), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    sk = hashes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    pairs = (
+        sk.select(F.col("g").alias("ga")).distinct()
+        .join(sk.select(F.col("g").alias("gb")).distinct(), F.col("ga") < F.col("gb"))
+    )
+    # merged union sketch per pair: k smallest distinct hashes of a+b
+    merged = (
+        pairs.join(sk.select(F.col("g").alias("ga"), "h"), "ga")
+        .unionByName(pairs.join(sk.select(F.col("g").alias("gb"), "h"), "gb"))
+        .select("ga", "gb", "h")
+        .distinct()
+    )
+    wu = Window.partitionBy("ga", "gb").orderBy("h")
+    topu = merged.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= k)
+    in_a = sk.select(F.col("g").alias("ga"), F.col("h").alias("ha"))
+    in_b = sk.select(F.col("g").alias("gb"), F.col("h").alias("hb"))
+    flagged = (
+        topu.join(in_a, (topu["ga"] == in_a["ga"]) & (topu["h"] == in_a["ha"]), "left")
+        .drop(in_a["ga"])
+        .join(in_b, (topu["gb"] == in_b["gb"]) & (topu["h"] == in_b["hb"]), "left")
+        .drop(in_b["gb"])
+    )
+    two60 = float(1 << 60)
+    agg = flagged.groupBy("ga", "gb").agg(
+        F.count("*").alias("ku"),
+        F.max("h").alias("hk"),
+        F.sum(
+            F.when(F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1).otherwise(0)
+        ).alias("n_both"),
+    )
+    est_union = (F.col("ku").cast("double") - F.lit(1.0)) * F.lit(two60) / F.col(
+        "hk"
+    ).cast("double")
+    est_j = F.col("n_both").cast("double") / F.col("ku").cast("double")
+    return agg.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.round(est_j, 4).alias("est_jaccard"),
+        F.round(est_j * est_union, 4).alias("est_intersection"),
+    )
+
+
+def kmv_overlap_oracle_sql(
+    table: str, key: str, group_col: str, k: int = 256
+) -> str:
+    """DuckDB mirror of :func:`kmv_overlap`."""
+    two60 = float(1 << 60)
+    return f"""
+    WITH hashes AS (
+        SELECT DISTINCT {group_col} AS g,
+               CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM {table}
+    ),
+    sk AS (
+        SELECT g, h FROM (
+            SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM hashes
+        ) WHERE rn <= {k}
+    ),
+    pairs AS (
+        SELECT a.g AS ga, b.g AS gb
+        FROM (SELECT DISTINCT g FROM sk) a
+        JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g
+    ),
+    merged AS (
+        SELECT DISTINCT ga, gb, h FROM (
+            SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.ga
+            UNION ALL
+            SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.gb
+        )
+    ),
+    topu AS (
+        SELECT ga, gb, h FROM (
+            SELECT ga, gb, h,
+                   ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+            FROM merged
+        ) WHERE rn <= {k}
+    ),
+    agg AS (
+        SELECT t.ga, t.gb, COUNT(*) AS ku, MAX(t.h) AS hk,
+               SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                        THEN 1 ELSE 0 END) AS n_both
+        FROM topu t
+        LEFT JOIN sk sa ON sa.g = t.ga AND sa.h = t.h
+        LEFT JOIN sk sb ON sb.g = t.gb AND sb.h = t.h
+        GROUP BY t.ga, t.gb
+    )
+    SELECT ga AS group_a, gb AS group_b,
+           ROUND(CAST(n_both AS DOUBLE) / CAST(ku AS DOUBLE), 4) AS est_jaccard,
+           ROUND((CAST(n_both AS DOUBLE) / CAST(ku AS DOUBLE))
+                 * ((CAST(ku AS DOUBLE) - CAST(1.0 AS DOUBLE)) * CAST({two60!r} AS DOUBLE)
+                    / CAST(hk AS DOUBLE)), 4) AS est_intersection
+    FROM agg
+    """
+
+
 def heavy_hitters_exact(df: DataFrame, key: Column | str, k: int) -> DataFrame:
     """Exact top-k frequent keys (deterministic tie-break on key) —
     the ground truth the sketch approximates; oracle-checkable."""

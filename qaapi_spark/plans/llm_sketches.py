@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 
 from qaapi_spark.operators.sketches import (
     cms_build,
+    kmv_overlap,
+    kmv_overlap_oracle_sql,
     cms_point_estimates,
     heavy_hitters_exact,
     histogram_percentiles,
@@ -162,3 +164,21 @@ def sketch_cms_user_counts(spark, sf_dir):
     sketch = cms_build(e, "user_id", depth=4, width=1024, hash_fn="md5")
     est = cms_point_estimates(e, sketch, "user_id", depth=4, width=1024, hash_fn="md5")
     return est.orderBy("key")
+
+
+@query(
+    "sketch_kmv_user_overlap",
+    # md5 hash family + order statistics only => the whole KMV
+    # estimate reproduces bit-for-bit in DuckDB: a fourth approximate
+    # sketch with an exact value-hash oracle
+    oracle=kmv_overlap_oracle_sql("events", "user_id", "event_type")
+    + " ORDER BY group_a, group_b",
+    doc="KMV (k-minimum-values) set-overlap sketch between event_type "
+    "user sets (Beyer et al., SIGMOD 2007): bounded k-row sketches per "
+    "group, union-sketch merge per pair, Jaccard + intersection "
+    "estimates — the mergeable set-operation sketch the exact "
+    "setops_customer_segments companion grounds (extension)",
+)
+def sketch_kmv_user_overlap(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return kmv_overlap(e, "user_id", "event_type").orderBy("group_a", "group_b")

@@ -225,3 +225,32 @@ def test_histogram_percentiles_within_bin_width(spark):
         for q, est in zip((0.5, 0.95, 0.99), ests):
             rank_val = vals[math.ceil(q * len(vals)) - 1]
             assert abs(est - rank_val) <= width + 1e-9, (k, q, est, rank_val, width)
+
+
+def test_kmv_overlap_accuracy_and_exact_small_regime(spark):
+    """KMV: when |A ∪ B| <= k the sketch holds every distinct hash, so
+    the Jaccard/intersection estimates are EXACT; above k the error is
+    bounded by the k-th order statistic's variance (~1/sqrt(k))."""
+    from itertools import combinations
+
+    from qaapi_spark.operators.sketches import kmv_overlap
+
+    e = read_table(spark, SF_SMOKE, "events")
+    est = {
+        (r.group_a, r.group_b): (r.est_jaccard, r.est_intersection)
+        for r in kmv_overlap(e, "user_id", "event_type", k=256).collect()
+    }
+    users = {}
+    for r in e.select("event_type", "user_id").distinct().collect():
+        users.setdefault(r.event_type, set()).add(r.user_id)
+    for a, b in combinations(sorted(users), 2):
+        inter = len(users[a] & users[b])
+        union = len(users[a] | users[b])
+        ej, ei = est[(a, b)]
+        true_j = inter / union
+        if union <= 256:
+            assert abs(ej - true_j) < 1e-3, (a, b, ej, true_j)
+            assert abs(ei - inter) <= max(0.02 * inter, 1), (a, b, ei, inter)
+        else:
+            assert abs(ej - true_j) <= 0.15, (a, b, ej, true_j)
+            assert abs(ei - inter) <= 0.3 * max(inter, 1), (a, b, ei, inter)
