@@ -394,6 +394,29 @@ def _spark_spans(d):
     )
 
 
+def _shared_spans(spark, sf_dir):
+    """Memoized materialized spans + span_df per (application, sf_dir):
+    both span queries consume the same two relations (same sharing
+    contract as cc_jaccard_labels / the BPE merge table).  Stored as
+    two separate shared-kernel entries so the harness's bulk release
+    can unpersist each."""
+    from qaapi_spark.session import shared_kernel
+
+    s = shared_kernel(
+        spark,
+        ("doc_spans", sf_dir, _SPAN_K),
+        lambda: _spark_spans(t(spark, sf_dir, "documents")).persist(),
+    )
+    sdf = shared_kernel(
+        spark,
+        ("doc_span_df", sf_dir, _SPAN_K),
+        lambda: s.groupBy("span_key")
+        .agg(F.count_distinct("doc_id").alias("sdf"))
+        .persist(),
+    )
+    return s, sdf
+
+
 @query(
     "dedup_spans_exact",
     oracle=f"""
@@ -421,8 +444,7 @@ def _spark_spans(d):
 )
 def dedup_spans_exact(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    s = _spark_spans(d)
-    sdf = s.groupBy("span_key").agg(F.count_distinct("doc_id").alias("sdf"))
+    s, sdf = _shared_spans(spark, sf_dir)
     stats = (
         s.join(sdf, "span_key")
         .groupBy("doc_id")
@@ -476,8 +498,7 @@ def dedup_spans_exact(spark, sf_dir):
 )
 def text_boilerplate_filter(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    s = _spark_spans(d)
-    sdf = s.groupBy("span_key").agg(F.count_distinct("doc_id").alias("sdf"))
+    s, sdf = _shared_spans(spark, sf_dir)
     span_len = F.col("span_len")
     kept = (
         s.join(sdf, "span_key")
