@@ -352,3 +352,25 @@ def stream_attribution_join(spark, sf_dir):
     return stream_interval_join(spark, f"{sf_dir}/events.parquet").orderBy(
         "click_id", "purchase_id"
     )
+
+
+@query(
+    "stream_static_enrich_segments",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Structured Streaming stream-static join: the event stream "
+    "broadcast-joins a static dimension per micro-batch (stateless — "
+    "no watermark needed on the static side), complete-mode replay == "
+    "the batch aggregate (extension, SURVEY §2.9)",
+)
+def stream_static_enrich_segments(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import stream_static_enrich
+
+    return stream_static_enrich(
+        spark, f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet"
+    ).orderBy("c_mktsegment")

@@ -424,3 +424,47 @@ def stream_interval_join(
         F.col("c_user").alias("user_id"),
         F.round("p_value", 2).alias("purchase_value"),
     )
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    events_path: str,
+    customer_path: str,
+) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a STATIC
+    dimension (customers) that Spark re-plans per micro-batch — the
+    stateless counterpart of stream_interval_join (no watermark or
+    state needed on the static side; the dim broadcasts into every
+    batch exactly like a batch BroadcastHashJoin).  Output: per-segment
+    event counts + value sums, complete mode == the batch group-by.
+    """
+    import os
+    import tempfile
+
+    from qaapi_spark.sources.tables import events_stream_spec, read_table
+
+    raw_schema, normalize_ts = events_stream_spec(spark, events_path)
+    stage_dir = tempfile.mkdtemp(prefix="events_enrich_")
+    os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, "part-0.parquet"))
+    stream = normalize_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
+    )
+    dim = (
+        spark.read.parquet(customer_path)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")  # static side: no state
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    name = "enrich_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
