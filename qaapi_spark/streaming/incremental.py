@@ -326,17 +326,20 @@ def stream_neardup_dedup(
             kept_ids = kept_keys.select("id").distinct()
             # epoch-keyed dirs + overwrite = idempotent on foreachBatch
             # retry (a re-run of epoch N replaces its own prior output)
+            # per-epoch frames are micro-batch-sized: one file each
+            # (coalesce(1)) instead of shuffle-partition-many — the
+            # store re-read every later epoch pays per-file open cost
             bdf.join(
                 kept_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
-            ).select("doc_id", "lang", "source").write.mode("overwrite").parquet(
-                f"{out_dir}/data/epoch={epoch_id}"
-            )
-            kept_keys.write.mode("overwrite").parquet(
+            ).select("doc_id", "lang", "source").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/data/epoch={epoch_id}")
+            kept_keys.coalesce(1).write.mode("overwrite").parquet(
                 f"{store_dir}/data/epoch={epoch_id}"
             )
-            sets.join(kept_ids, "id", "left_semi").write.mode("overwrite").parquet(
-                f"{sets_dir}/data/epoch={epoch_id}"
-            )
+            sets.join(kept_ids, "id", "left_semi").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{sets_dir}/data/epoch={epoch_id}")
         finally:
             kept_keys.unpersist()
             sets.unpersist()
