@@ -189,3 +189,61 @@ def cdc_diff_order_snapshots(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("change")
     )
+
+
+@query(
+    "dq_checks_orders",
+    oracle="""
+    SELECT 'not_null_o_orderkey' AS "check",
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'unique_o_orderkey',
+           COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'accepted_values_o_orderstatus',
+           SUM(CASE WHEN o_orderstatus IS NULL
+                      OR o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END) FROM orders
+    UNION ALL
+    SELECT 'in_range_o_totalprice',
+           SUM(CASE WHEN o_totalprice IS NULL
+                      OR o_totalprice < 0 OR o_totalprice > 1000000
+                    THEN 1 ELSE 0 END) FROM orders
+    UNION ALL
+    SELECT 'references_o_custkey',
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    FROM (SELECT 1)
+    ORDER BY "check"
+    """,
+    doc="declarative data-quality constraints (the reference's manual "
+    "probe queries — troubleshooting.sql golden counts, "
+    "trouble_children.sql orphan probe — as a dbt-test/Deequ-style "
+    "surface): null/unique/accepted-values/range checks fold into ONE "
+    "aggregate pass, FK orphans one broadcast anti-join "
+    "(extension: data quality)",
+)
+def dq_checks_orders(spark, sf_dir):
+    from qaapi_spark.operators.quality import (
+        accepted_values,
+        in_range,
+        not_null,
+        run_checks,
+        unique,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return run_checks(
+        o,
+        [
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            in_range("o_totalprice", 0, 1_000_000),
+        ],
+        references=[("o_custkey", c, "c_custkey")],
+    ).orderBy("check")

@@ -116,3 +116,45 @@ def test_session_window_boundary_is_inclusive_merge(spark):
         .collect()
     )
     assert sorted(r["count"] for r in out) == [1, 2]
+
+
+def test_dq_checks_detect_violations(spark):
+    """Each constraint must actually fire on dirty data (the catalog
+    query's clean-corpus zeros alone would not prove detection)."""
+    from qaapi_spark.operators.quality import (
+        accepted_values,
+        in_range,
+        not_null,
+        run_checks,
+        unique,
+    )
+
+    dirty = spark.createDataFrame(
+        [
+            (1, "O", 10.0, 100),
+            (1, "F", -5.0, 101),   # dup key, negative value
+            (None, "X", 20.0, 999),  # null key, bad status, orphan FK
+        ],
+        "k long, status string, price double, fk long",
+    )
+    parent = spark.createDataFrame([(100,), (101,)], "pk long")
+    got = {
+        r["check"]: r.n_violations
+        for r in run_checks(
+            dirty,
+            [
+                not_null("k"),
+                unique("k"),
+                accepted_values("status", ["O", "F"]),
+                in_range("price", 0, 100),
+            ],
+            references=[("fk", parent, "pk")],
+        ).collect()
+    }
+    assert got == {
+        "not_null_k": 1,
+        "unique_k": 1,
+        "accepted_values_status": 1,
+        "in_range_price": 1,
+        "references_fk": 1,
+    }
