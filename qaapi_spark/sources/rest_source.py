@@ -50,6 +50,7 @@ from datetime import date, timedelta
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -270,8 +271,67 @@ class _RestReader(DataSourceReader):
             yield _to_tuple(r, self.schema)
 
 
+class _RestStreamReader(DataSourceStreamReader):
+    """Streaming contacts extraction: the reference's trailing-window
+    incremental model (`Start.py:19,39` — re-pull a date window per
+    scheduled run) as a Structured Streaming source with REAL offset
+    tracking.
+
+    Offsets are epoch-ms window boundaries: ``initialOffset`` =
+    ``begin_date``; each micro-batch advances the offset by up to
+    ``windows_per_batch * break_size`` days (capped at ``end_date`` —
+    a live deployment would cap at now() instead and the stream would
+    simply idle at the head).  ``partitions(start, end)`` splits the
+    offset range into break_size-day request windows — the same unit
+    of parallelism as the batch reader — and each partition fetches
+    through the same injectable transport.  Exactly-once comes from
+    the engine: offsets commit through the checkpoint log, and a
+    retried batch re-fetches the identical window.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.options = options
+        self.lo_ms = _iso_to_ms(options.get("begin_date", "1970-01-01"))
+        self.hi_ms = _iso_to_ms(options["end_date"]) if "end_date" in options else None
+        self.break_ms = int(options.get("break_size", "2")) * _MS_PER_DAY
+        self.windows_per_batch = int(options.get("windows_per_batch", "1"))
+        self.transport_path = options.get("transport", DEFAULT_TRANSPORT)
+        self.pattern = options.get("pattern", "all_contacts_*.json")
+
+    def initialOffset(self) -> dict:
+        return {"ms": self.lo_ms}
+
+    def latestOffset(self) -> dict:
+        # head of stream: advance up to windows_per_batch windows; a
+        # live source would bound by wall clock, fixtures by end_date
+        head = self.hi_ms if self.hi_ms is not None else self.lo_ms
+        cur = getattr(self, "_last", self.lo_ms)
+        nxt = min(head, cur + self.windows_per_batch * self.break_ms)
+        self._last = nxt
+        return {"ms": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["ms"], end["ms"]
+        out = []
+        while lo < hi:
+            nxt = min(lo + self.break_ms, hi)
+            out.append(_WindowPartition(lo, nxt))
+            lo = nxt
+        return out or [_WindowPartition(0, 0)]
+
+    def read(self, partition):
+        transport = _resolve_transport(self.transport_path)(self.options)
+        for r in transport.get_contacts(self.pattern, partition.lo_ms, partition.hi_ms):
+            yield _to_tuple(r, self.schema_)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the engine's checkpoint log
+
+
 class CalabrioRestDataSource(DataSource):
-    """format("calabrio_rest"): the reference extractor as a source."""
+    """format("calabrio_rest"): the reference extractor as a source
+    (batch reader + streaming reader over the same transports)."""
 
     @classmethod
     def name(cls):
@@ -282,3 +342,6 @@ class CalabrioRestDataSource(DataSource):
 
     def reader(self, schema):
         return _RestReader(schema, dict(self.options))
+
+    def streamReader(self, schema):
+        return _RestStreamReader(schema, dict(self.options))

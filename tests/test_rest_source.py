@@ -161,3 +161,62 @@ def test_comments_link_following(spark):
         if any(r["$ref"].startswith(lk) for lk in links)
     )
     assert got_refs == want_refs and got_refs
+
+
+def test_stream_reader_offsets_and_windows():
+    """Offset arithmetic: initial = begin_date; latest advances by
+    windows_per_batch windows capped at end_date; partitions split an
+    offset range into break_size-day request windows."""
+    from qaapi_spark.schemas import ENTITY_SCHEMAS
+    from qaapi_spark.sources.rest_source import _RestStreamReader
+
+    r = _RestStreamReader(
+        ENTITY_SCHEMAS["all_contacts"],
+        {
+            "begin_date": "2024-03-01",
+            "end_date": "2024-03-07",
+            "break_size": "2",
+            "windows_per_batch": "2",
+        },
+    )
+    o0 = r.initialOffset()
+    assert o0 == {"ms": _iso_to_ms("2024-03-01")}
+    o1 = r.latestOffset()
+    assert o1 == {"ms": _iso_to_ms("2024-03-05")}  # 2 x 2-day windows
+    o2 = r.latestOffset()
+    assert o2 == {"ms": _iso_to_ms("2024-03-07")}  # capped at end_date
+    parts = r.partitions(o0, o1)
+    assert [(p.lo_ms, p.hi_ms) for p in parts] == [
+        (_iso_to_ms("2024-03-01"), _iso_to_ms("2024-03-03")),
+        (_iso_to_ms("2024-03-03"), _iso_to_ms("2024-03-05")),
+    ]
+
+
+def test_streamed_contacts_equal_batch_extraction(spark, tmp_path):
+    """End-to-end: the streaming reader over the fixture transport
+    yields exactly the batch reader's rows (availableNow replay)."""
+    _register(spark)
+    batch = _contacts(spark, pattern="all_contacts_*.json")
+    stream = (
+        spark.readStream.format("calabrio_rest")
+        .option("entity", "contacts")
+        .option("base_dir", FIXTURES)
+        .option("pattern", "all_contacts_*.json")
+        .option("begin_date", "2024-03-01")
+        .option("end_date", "2024-03-23")
+        .option("break_size", "2")
+        .option("windows_per_batch", "16")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rest_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.id for r in spark.sql("SELECT id FROM rest_stream_test").collect())
+    want = sorted(r.id for r in batch.select("id").collect())
+    assert got == want and got
