@@ -341,3 +341,57 @@ def calabrio_null_evaluator_probe(spark, sf_dir):
         .select("evaluation_id", "contact_id", "agent_id")
         .orderBy("evaluation_id")
     )
+
+
+@query(
+    "stream_rest_extraction_contacts",
+    oracle="""
+    SELECT id, startTime, assocCallId
+    FROM read_json('/root/repo/fixtures/all_contacts_*.json')
+    ORDER BY id
+    """,
+    doc="S2 extraction as a Structured Streaming source: the trailing "
+    "window re-pull (Start.py:19,39) with engine offset tracking — "
+    "epoch-ms window-boundary offsets, one request window per "
+    "partition, fetches through the injectable transport; bounded "
+    "replay equals the batch extraction (extension, SURVEY §2.9)",
+)
+def stream_rest_extraction_contacts(spark, sf_dir):
+    import tempfile
+
+    from qaapi_spark.sources.rest_source import CalabrioRestDataSource
+
+    spark.dataSource.register(CalabrioRestDataSource)
+    stream = (
+        spark.readStream.format("calabrio_rest")
+        .option("entity", "contacts")
+        .option("base_dir", "/root/repo/fixtures")
+        .option("pattern", "all_contacts_*.json")
+        .option("begin_date", "2024-03-01")
+        .option("end_date", "2024-03-23")
+        .option("break_size", "2")
+        # availableNow snapshots ONE latestOffset call: size the batch
+        # to cover the whole replay range (16 x 2-day windows > 22
+        # days); the multi-batch advancement path is unit-tested in
+        # tests/test_rest_source.py::test_stream_reader_offsets...
+        .option("windows_per_batch", "16")
+        .load()
+    )
+    import uuid as _uuid
+
+    name = "rest_stream_" + _uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="rest_stream_ckpt_"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT id, startTime, assocCallId FROM {name}"
+    ).orderBy("id")
