@@ -130,3 +130,20 @@ def test_simhash_portable_fingerprints_match_duckdb(spark, texts):
     """
     _, want = _duck(pdf, sql, view="documents")
     assert got == want
+
+
+@given(rows=_keys)
+@_SETTINGS
+def test_kmv_overlap_bit_identical_to_duckdb(spark, rows):
+    """KMV overlap estimates must agree bit-for-bit with the SQL
+    formulation on arbitrary inputs (k small enough that both the
+    exact-small and estimated regimes are exercised)."""
+    from qaapi_spark.operators.sketches import kmv_overlap, kmv_overlap_oracle_sql
+
+    pdf = pd.DataFrame(rows, columns=["event_type", "user_id"])
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(
+        map(tuple, kmv_overlap(sdf, "user_id", "event_type", k=8).collect())
+    )
+    _, want = _duck(pdf, kmv_overlap_oracle_sql("events", "user_id", "event_type", k=8))
+    assert got == want
