@@ -203,3 +203,114 @@ def sliding_window_event_counts(spark, sf_dir):
         )
         .orderBy("window_start_s")
     )
+
+
+@query(
+    "cohort_retention_weekly",
+    # ISO week truncation is engine-portable via date_trunc('week', ..)
+    # on both sides; activity offsets are integer week differences.
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+        FROM events WHERE event_type = 'signup'
+        GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_week,
+               CAST(datediff('day', c.cohort_week,
+                             date_trunc('week', e.ts)) / 7 AS INT) AS week_offset
+        FROM events e JOIN cohorts c ON e.user_id = c.user_id
+        WHERE e.ts >= c.cohort_week
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity
+    WHERE week_offset <= 8
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="cohort retention: users grouped by first-signup week, distinct "
+    "active users per week offset — one aggregate to build cohorts "
+    "(broadcastable: one row per user at most), one join + distinct "
+    "aggregate for the retention matrix (extension: event analytics)",
+)
+def cohort_retention_weekly(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    cohorts = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", "ts")).alias("cohort_week"))
+    )
+    activity = (
+        e.join(F.broadcast(cohorts), "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 8)
+        .groupBy(F.col("cohort_week").cast("date").alias("cohort_week"), "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "funnel_conversion_counts",
+    # per-user earliest timestamp per stage; a user converts to stage
+    # k iff every earlier stage happened strictly before it
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT 'signup' AS stage, COUNT(*) AS n_users FROM stages
+    WHERE t_signup IS NOT NULL
+    UNION ALL
+    SELECT 'signup>click', COUNT(*) FROM stages
+    WHERE t_signup IS NOT NULL AND t_click > t_signup
+    UNION ALL
+    SELECT 'signup>click>purchase', COUNT(*) FROM stages
+    WHERE t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click
+    ORDER BY n_users DESC, stage
+    """,
+    doc="funnel analysis (signup -> click -> purchase): one conditional-"
+    "MIN aggregate per user (single shuffle on user_id, map-side "
+    "combined), then three scalar stage counts — no self-joins, no "
+    "window over the event stream (extension: event analytics)",
+)
+def funnel_conversion_counts(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in ("signup", "click", "purchase")
+        ]
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    agg = stages.agg(
+        F.sum(s1.cast("long")).alias("signup"),
+        F.sum(s2.cast("long")).alias("signup>click"),
+        F.sum(s3.cast("long")).alias("signup>click>purchase"),
+    )
+    row = agg.collect()[0]
+    return (
+        e.sparkSession.createDataFrame(
+            [(k, int(row[k] or 0)) for k in row.asDict()],
+            "stage string, n_users long",
+        )
+        .orderBy(F.desc("n_users"), "stage")
+    )
