@@ -148,3 +148,48 @@ def test_decode_features_is_maponly(spark):
     phys = codes._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in phys
     assert "MapInPandas" in phys
+
+
+def test_cohort_join_broadcasts_the_cohort_side(spark):
+    """The cohort relation (<= one row per user) must broadcast; the
+    event side must not shuffle for the join."""
+    df = CATALOG["cohort_retention_weekly"].fn(spark, SF)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys
+
+
+def test_funnel_is_single_aggregate_pass(spark):
+    """Funnel stages come from ONE conditional-MIN aggregate per user —
+    a single shuffle, no self-joins over the event stream."""
+    from qaapi_spark.plans.catalog import t as tbl
+    from pyspark.sql import functions as F
+
+    e = tbl(spark, SF, "events")
+    stages = e.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in ("signup", "click", "purchase")
+        ]
+    )
+    phys = stages._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange") == 1, phys
+    assert "Join" not in phys
+
+
+def test_dq_checks_single_pass_plus_fk_join(spark):
+    """All aggregate constraints fold into one scan; only the FK check
+    adds a broadcast anti-join."""
+    from qaapi_spark.operators.quality import in_range, not_null, run_checks, unique
+    from qaapi_spark.plans.catalog import t as tbl
+
+    o = tbl(spark, SF, "orders")
+    agg = o.agg(
+        *[
+            e.cast("long").alias(n)
+            for n, e in [not_null("o_orderkey"), unique("o_orderkey"), in_range("o_totalprice", 0, 10**6)]
+        ]
+    )
+    phys = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in phys
+    assert phys.count("FileScan") == 1
