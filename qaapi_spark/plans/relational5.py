@@ -305,3 +305,111 @@ def q18_large_quantity_orders(spark, sf_dir):
         .agg(F.round(F.sum("l_quantity"), 1).alias("sum_qty"))
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
     )
+
+
+@query(
+    "timeseries_interpolate_daily",
+    # interpolation consumes the ROUNDED observed means so both engines
+    # interpolate from bit-identical inputs; day offsets are exact ints
+    oracle="""
+    WITH b AS (
+        SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
+               CAST(date_trunc('day', MAX(ts)) AS DATE) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN b
+    ),
+    obs AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               ROUND(AVG(value), 4) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT s.event_type, s.day, o.v FROM spine s
+        LEFT JOIN obs o ON o.event_type = s.event_type AND o.day = s.day
+    ),
+    w AS (
+        SELECT event_type, day, v,
+               last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+               first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+        FROM j
+    )
+    SELECT event_type, day,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + (nv - pv) * CAST(datediff('day', pd, day) AS DOUBLE)
+                               / CAST(datediff('day', pd, nd) AS DOUBLE)
+                      ELSE COALESCE(pv, nv) END, 4) AS v_interp,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS interpolated
+    FROM w
+    ORDER BY event_type, day
+    """,
+    doc="time-series linear interpolation: dense per-type daily spine "
+    "(O(days x types), broadcastable), observed means rounded BEFORE "
+    "interpolation so the reconstruction is engine-exact, missing days "
+    "filled by the line between surrounding observations (edges clamp "
+    "to the nearest observation) — the densification step before "
+    "rolling features on irregular series (extension: time series)",
+)
+def timeseries_interpolate_daily(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    bounds = e.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        e.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    obs = e.groupBy("event_type", "day").agg(F.round(F.avg("value"), 4).alias("v"))
+    j = spine.join(obs, ["event_type", "day"], "left")
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wnext = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    vday = F.when(F.col("v").isNotNull(), F.col("day"))
+    w = j.select(
+        "event_type",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wprev).alias("pv"),
+        F.last(vday, ignorenulls=True).over(wprev).alias("pd"),
+        F.first("v", ignorenulls=True).over(wnext).alias("nv"),
+        F.first(vday, ignorenulls=True).over(wnext).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff("day", "pd").cast("double")
+        / F.datediff("nd", "pd").cast("double")
+    )
+    return w.select(
+        "event_type",
+        "day",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(
+                F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
+            )
+            .otherwise(F.coalesce("pv", "nv")),
+            4,
+        ).alias("v_interp"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("interpolated"),
+    ).orderBy("event_type", "day")
