@@ -309,8 +309,11 @@ def q18_large_quantity_orders(spark, sf_dir):
 
 @query(
     "timeseries_interpolate_daily",
-    # interpolation consumes the ROUNDED observed means so both engines
-    # interpolate from bit-identical inputs; day offsets are exact ints
+    # interpolation consumes ROUNDED observed MEDIANS: an order
+    # statistic is summation-order-free (AVG of doubles differs in the
+    # last ulp between engines and can round across a 4dp boundary),
+    # so both engines interpolate from bit-identical inputs; day
+    # offsets are exact ints
     oracle="""
     WITH b AS (
         SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
@@ -323,7 +326,7 @@ def q18_large_quantity_orders(spark, sf_dir):
     ),
     obs AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               ROUND(AVG(value), 4) AS v
+               ROUND(median(value), 4) AS v
         FROM events GROUP BY 1, 2
     ),
     j AS (
@@ -355,8 +358,8 @@ def q18_large_quantity_orders(spark, sf_dir):
     ORDER BY event_type, day
     """,
     doc="time-series linear interpolation: dense per-type daily spine "
-    "(O(days x types), broadcastable), observed means rounded BEFORE "
-    "interpolation so the reconstruction is engine-exact, missing days "
+    "(O(days x types), broadcastable), observed daily medians rounded "
+    "BEFORE interpolation so the reconstruction is engine-exact, gaps "
     "filled by the line between surrounding observations (edges clamp "
     "to the nearest observation) — the densification step before "
     "rolling features on irregular series (extension: time series)",
@@ -374,7 +377,9 @@ def timeseries_interpolate_daily(spark, sf_dir):
             F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
         )
     )
-    obs = e.groupBy("event_type", "day").agg(F.round(F.avg("value"), 4).alias("v"))
+    obs = e.groupBy("event_type", "day").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("v")
+    )
     j = spine.join(obs, ["event_type", "day"], "left")
     wprev = (
         Window.partitionBy("event_type")
