@@ -147,3 +147,62 @@ def test_partitioned_pipeline_equals_full_rewrite(spark, tmp_path):
         rel for rel, st in before.items() if after.get(rel) == st
     ]
     assert untouched, "batch 2 rewrote every evaluation bucket"
+
+
+def test_partitioned_merge_equals_plain_merge_on_random_batches(spark, tmp_path):
+    """Property (hypothesis-generated batches): applying any sequence
+    of upsert batches through the partition-scoped path yields exactly
+    the relation the plain in-memory merge yields — bucket scoping must
+    never change WHAT the merge computes, only which files it rewrites."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    batch_strategy = st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 99)),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+
+    @given(batches=batch_strategy)
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    def run(batches):
+        import shutil
+        import uuid
+
+        path = str(tmp_path / ("t_" + uuid.uuid4().hex[:8]))
+        expected: dict[int, int] = {}
+        for i, rows in enumerate(batches):
+            # batch-internal dedup: last value per key wins, like a real
+            # extraction snapshot
+            dedup = {k: v for k, v in rows}
+            batch = spark.createDataFrame(
+                [(k, v) for k, v in sorted(dedup.items())], "id long, v long"
+            )
+            merge_partitioned(
+                spark,
+                path,
+                batch,
+                ["id"],
+                lambda t, b: merge_upsert(t, b, ["id"]),
+                key_col="id",
+                n_buckets=4,
+            )
+            expected.update(dedup)
+        got = {
+            (r.id, r.v) for r in read_partitioned(spark, path).collect()
+        }
+        assert got == set(expected.items())
+        shutil.rmtree(path, ignore_errors=True)
+
+    run()

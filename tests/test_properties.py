@@ -18,7 +18,10 @@ from hypothesis import strategies as st
 _WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
 _texts = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(" ".join)
 _corpora = st.lists(_texts, min_size=1, max_size=10)
-_thresholds = st.sampled_from([0.25, 0.4, 0.5, 0.75, 1.0])
+# 0.07 / 0.14 / 0.35 sit exactly where t * |X| lands an epsilon above
+# an integer in doubles (e.g. 0.07 * 100 = 7.000000000000001), the
+# boundary the prefix-length epsilon guard exists for (ADVICE r2 #1)
+_thresholds = st.sampled_from([0.07, 0.14, 0.25, 0.35, 0.4, 0.5, 0.75, 1.0])
 
 _SETTINGS = settings(
     max_examples=12,
