@@ -101,3 +101,32 @@ def test_zorder_bounds_both_dimensions(spark):
     # Morton tiles: both dimensions bounded well below the full domain
     assert mean_span_frac(zdir, "o_custkey") < 0.5
     assert mean_span_frac(zdir, "o_orderkey") < 0.5
+
+
+def test_parquet_scan_pushdown_and_column_pruning(spark):
+    """The q6-shaped predicate must reach the parquet scan
+    (PushedFilters) and the scan must read ONLY the referenced columns
+    (ReadSchema pruned to 3 of 16) — the two properties SCALE.md's
+    global posture rests on."""
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.sources.tables import read_table
+    from tests.conftest import SF_SMOKE
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    q = li.filter(
+        (F.col("l_shipdate") >= "1994-01-01") & (F.col("l_discount") > 0.05)
+    ).select("l_extendedprice", "l_discount")
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    try:
+        plan = q._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, plan
+    scan = scan_lines[0]
+    assert "PushedFilters" in plan and "GreaterThan(l_discount" in plan
+    # pruned projection: only the three touched columns in the scan
+    assert "l_extendedprice" in scan and "l_shipdate" in scan
+    assert "l_orderkey" not in scan and "l_comment" not in scan
