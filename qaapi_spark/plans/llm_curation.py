@@ -6,6 +6,7 @@ training order, and source-mixture weighting over the documents table
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from qaapi_spark.operators.curation import (
@@ -139,3 +140,58 @@ def curation_source_mixture_weights(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     targets = {f"src{i}": 0.05 for i in range(20)}
     return source_mixture_weights(d, targets).orderBy("source")
+
+
+@query(
+    "curation_apply_mixture_sample",
+    # keep-decision = integer compare of the md5 16-bit prefix against
+    # floor(weight * 2^16): weight arithmetic is the same expression
+    # order both engines, truncation (not rounding) avoids the .5
+    # boundary, and the hash family is portable — so the MATERIALIZED
+    # mix is hash-verifiable, not just the weights
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total FROM c),
+    w AS (
+        SELECT source, n_docs,
+               LEAST(1.0, 0.05 / (n_docs / total)) AS keep_w
+        FROM c CROSS JOIN tot
+    )
+    SELECT d.source, MIN(w.n_docs) AS n_docs,
+           SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                    < CAST(FLOOR(w.keep_w * 65536) AS BIGINT)
+                    THEN 1 ELSE 0 END) AS n_kept
+    FROM documents d JOIN w ON d.source = w.source
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    doc="mixture application: the per-source resampling weights "
+    "(curation_source_mixture_weights) applied as a deterministic "
+    "md5-threshold sampler — the map-only filter that MATERIALIZES the "
+    "training mix; weight relation broadcasts (one row per source) "
+    "(extension: domain mixing, composes curation + sampling)",
+)
+def curation_apply_mixture_sample(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy())
+    w = c.select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0), F.lit(0.05) / (F.col("n_docs") / total.cast("double"))
+        ).alias("keep_w"),
+    )
+    h16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    kept = h16 < F.floor(F.col("keep_w") * 65536).cast("long")
+    return (
+        d.join(F.broadcast(w), "source")
+        .groupBy("source")
+        .agg(
+            F.min("n_docs").alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
