@@ -418,3 +418,55 @@ def timeseries_interpolate_daily(spark, sf_dir):
         ).alias("v_interp"),
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("interpolated"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "w5_range_frame_trailing_revenue",
+    # RANGE frame keyed on the VALUE of the ordering column (trailing
+    # 7 days by timestamp), not row position — the frame semantics
+    # ROWS (w3) cannot express when days are missing or duplicated
+    oracle="""
+    WITH daily AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey, d,
+           ROUND(SUM(rev) OVER (
+               PARTITION BY o_custkey ORDER BY d
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_7d_rev
+    FROM daily
+    WHERE o_custkey % 100 = 0
+    ORDER BY o_custkey, d
+    """,
+    doc="RANGE window frame (trailing 7 calendar days BY VALUE of the "
+    "order date): unlike the W3 ROWS frame, missing days shrink the "
+    "window and same-day peers aggregate together — the frame "
+    "semantics gaps/duplicates require (W-family extension; "
+    "daily pre-aggregate keeps the window input one row per "
+    "(customer, day))",
+)
+def w5_range_frame_trailing_revenue(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    daily = (
+        o.select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            "o_totalprice",
+        )
+        .groupBy("o_custkey", "d")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_custkey",
+        "d",
+        F.round(F.sum("rev").over(w), 2).alias("trailing_7d_rev"),
+    ).orderBy("o_custkey", "d")
