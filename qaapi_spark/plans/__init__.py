@@ -13,6 +13,7 @@ from qaapi_spark.plans import relational2  # noqa: E402,F401
 from qaapi_spark.plans import relational3  # noqa: E402,F401
 from qaapi_spark.plans import relational4  # noqa: E402,F401
 from qaapi_spark.plans import relational5  # noqa: E402,F401
+from qaapi_spark.plans import relational6  # noqa: E402,F401
 from qaapi_spark.plans import maintenance  # noqa: E402,F401
 from qaapi_spark.plans import calabrio  # noqa: E402,F401
 from qaapi_spark.plans import llm_text  # noqa: E402,F401
@@ -23,6 +24,7 @@ from qaapi_spark.plans import llm_sketches  # noqa: E402,F401
 from qaapi_spark.plans import llm_sampling  # noqa: E402,F401
 from qaapi_spark.plans import llm_retrieval  # noqa: E402,F401
 from qaapi_spark.plans import llm_curation  # noqa: E402,F401
+from qaapi_spark.plans import llm_pipeline  # noqa: E402,F401
 from qaapi_spark.plans import profiling  # noqa: E402,F401
 from qaapi_spark.plans import mining  # noqa: E402,F401
 

@@ -1,0 +1,273 @@
+"""Training-data pipeline operators, wave 2 (extended surface):
+telemetry rate-thinning, bag-of-words canonical dedup, per-source
+quota capping (RefinedWeb-style domain caps), leakage-safe dataset
+splits (near-dup clusters never straddle train/holdout), and int8
+embedding quantization.
+
+All five are the day-2 operations of a large-scale corpus pipeline
+that the reference's ELT surface (SURVEY §2) does not name but a user
+switching from it at 100 TB immediately needs.  Scale posture per op:
+
+- debounce: one window shuffle keyed on user_id (the natural
+  high-cardinality partitioner), conditional aggregate after.
+- bag-of-words dedup: map-side fingerprint (sorted distinct tokens →
+  md5) then ONE hash aggregate — the exact-dedup shape, robust to
+  token order / repetition, no pairwise work.
+- quota cap: per-source row_number window; sources are the partition
+  key so skewed mega-sources are the only hot partitions (salt or
+  pre-aggregate candidates per source if a source exceeds an
+  executor's memory).
+- leakage-safe split: reuses the memoized connected-components labels
+  (cc_jaccard_labels — computed once per session) and assigns the
+  SPLIT from a hash of the component id, so every member of a
+  near-dup cluster lands in the same split; map-only on top of CC.
+- int8 quantization: pure per-row array expressions (transform/
+  aggregate), no shuffle at all; floats widen to double before any
+  arithmetic so the scale and codes are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from qaapi_spark.operators.sampling import frac_to_hex
+from qaapi_spark.plans.catalog import query, t
+from qaapi_spark.plans.llm_dedup import _DD_JACCARD_PAIRS, cc_jaccard_labels
+
+_DEBOUNCE_US = 6 * 3600 * 1_000_000  # 6 hours, in exact integer microseconds
+_QUOTA_K = 10
+_TRAIN_FRAC = 0.9
+
+
+@query(
+    "event_debounce_user_6h",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS gap
+        FROM events
+    )
+    SELECT event_type,
+           SUM(CASE WHEN gap IS NULL OR gap > {_DEBOUNCE_US}
+                    THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN gap IS NOT NULL AND gap <= {_DEBOUNCE_US}
+                    THEN 1 ELSE 0 END) AS n_dropped
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+    doc="telemetry rate-thinning (debounce): drop an event when the "
+    "same user's previous event is within 6 hours — one lag window "
+    "keyed on user_id (high-cardinality partitioner, no global sort) "
+    "and one conditional aggregate; gaps compare as exact integer "
+    "microseconds so both engines agree bit-for-bit (extension: "
+    "event-stream thinning before feature extraction)",
+)
+def event_debounce_user_6h(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC by t(), so the cast
+    # to TIMESTAMP is the same wall-clock instant DuckDB's epoch_us sees
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    keep = gap.isNull() | (gap > _DEBOUNCE_US)
+    return (
+        e.withColumn("keep", keep)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "dedup_bow_fingerprint",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS bow
+        FROM documents
+    )
+    SELECT bow, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+    FROM fp GROUP BY bow HAVING COUNT(*) >= 2
+    ORDER BY bow
+    """,
+    doc="bag-of-words canonical dedup: documents collapse to the md5 "
+    "of their SORTED DISTINCT token set, so permutations and "
+    "repetition-only variants of the same vocabulary group together "
+    "— a one-aggregate middle ground between exact dedup (too "
+    "strict) and pairwise Jaccard (quadratic-ish); fingerprints are "
+    "computed map-side, the only shuffle is the hash aggregate on "
+    "the 16-byte digest (extension: canonicalizing dedup)",
+)
+def dedup_bow_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bow = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                )
+            ),
+            " ",
+        )
+    )
+    return (
+        d.select(F.col("doc_id"), bow.alias("bow"))
+        .groupBy("bow")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("bow")
+    )
+
+
+@query(
+    "curation_domain_quota_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, rk FROM ranked WHERE rk <= {_QUOTA_K}
+    ORDER BY source, rk
+    """,
+    doc="per-source quota capping (RefinedWeb/C4-style domain caps): "
+    "keep the top-10 documents per source by length (quality proxy), "
+    "so no single domain dominates the training mix — one row_number "
+    "window partitioned by source; at 100 TB a pathologically large "
+    "source is the only hot partition and pre-filtering candidates "
+    "per source (top-k via partial aggregation) bounds it "
+    "(extension: corpus curation)",
+)
+def curation_domain_quota_cap(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _QUOTA_K)
+        .orderBy("source", "rk")
+    )
+
+
+@query(
+    "sample_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {_DD_JACCARD_PAIRS},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS comp FROM reach GROUP BY node)
+    SELECT doc_id, comp,
+           CASE WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 4)
+                     < '{frac_to_hex(_TRAIN_FRAC)}'
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM comp ORDER BY doc_id
+    """,
+    doc="leakage-safe train/holdout split: the split bucket hashes the "
+    "near-dup COMPONENT id (memoized cc_jaccard_labels), not the "
+    "doc id, so two near-duplicate documents can never straddle the "
+    "split boundary and leak training text into holdout — the failure "
+    "mode of naive per-doc splits that near-dup analysis exists to "
+    "prevent; map-only on top of the shared CC relation (extension: "
+    "contamination-safe splitting)",
+)
+def sample_split_leakage_safe(spark, sf_dir):
+    labels = cc_jaccard_labels(spark, sf_dir)
+    split = F.when(
+        F.substring(F.md5(F.col("comp").cast("string")), 1, 4)
+        < frac_to_hex(_TRAIN_FRAC),
+        F.lit("train"),
+    ).otherwise(F.lit("holdout"))
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), "comp", split.alias("split")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                   v -> abs(CAST(v AS DOUBLE)))) AS maxabs,
+               embedding
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id,
+               ROUND(maxabs / 127.0, 8) AS scale,
+               list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / maxabs + 0.5)
+                             AS BIGINT)) AS codes
+        FROM m WHERE maxabs > 0
+    )
+    SELECT vec_id, scale,
+           list_sum(codes) AS sum_codes,
+           list_min(codes) AS min_code,
+           list_max(codes) AS max_code,
+           len(list_filter(codes, c -> c = 0)) AS n_zero
+    FROM q ORDER BY vec_id
+    """,
+    doc="int8 embedding quantization (symmetric, per-vector absmax "
+    "scale): codes = floor(x*127/absmax + 0.5), the storage/transport "
+    "compression step before ANN at scale (4x smaller than float32, "
+    "8x than float64) — pure per-row array expressions, NO shuffle; "
+    "every float widens to double before arithmetic and rounding is "
+    "floor(+0.5), so scale and codes are bit-identical across "
+    "engines (extension: vector compression; PQ in "
+    "operators/retrieval.py is the sub-vector generalization)",
+)
+def emb_quantize_int8(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    xd = lambda v: v.cast("double")  # noqa: E731
+    m = e.select(
+        "vec_id",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda v: F.abs(xd(v)))
+        ).alias("maxabs"),
+    ).filter(F.col("maxabs") > 0)
+    codes = F.transform(
+        "embedding",
+        lambda v: F.floor(
+            xd(v) * F.lit(127.0) / F.col("maxabs") + F.lit(0.5)
+        ),
+    )
+    q = m.select(
+        "vec_id",
+        F.round(F.col("maxabs") / F.lit(127.0), 8).alias("scale"),
+        codes.alias("codes"),
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "codes", F.lit(0).cast("bigint"), lambda acc, c: acc + c
+        ).alias("sum_codes"),
+        F.array_min("codes").alias("min_code"),
+        F.array_max("codes").alias("max_code"),
+        F.size(F.filter("codes", lambda c: c == 0)).alias("n_zero"),
+    ).orderBy("vec_id")
