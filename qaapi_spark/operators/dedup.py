@@ -615,17 +615,24 @@ def simhash_fingerprints_portable(
     """
     toks = F.array_distinct(ws_tokens(F.lower(F.col(text_col))))
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    votes = (
-        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
-        .groupBy("id")
-        .agg(
-            *[
-                F.sum(
-                    F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                ).alias(f"v{j}")
-                for j in range(bits)
-            ]
-        )
+    # materialize the token hash ONCE per token in its own projection:
+    # inside the 60 per-bit aggregate expressions Spark's subexpression
+    # elimination is not guaranteed, and an un-eliminated `h` means 60
+    # md5+conv evaluations per token (observed 3-5x wall-clock on the
+    # portable simhash query); after this projection each bit vote is
+    # a bitwise shift on a ready long.
+    hashed = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok")).select(
+        "id", h.alias("h")
+    )
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
     )
     fp = None
     for j in range(bits):
