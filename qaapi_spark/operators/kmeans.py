@@ -93,6 +93,98 @@ def lloyd_kmeans(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
     return cents
 
 
+def lloyd_kmeans_distributed(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Fully DISTRIBUTED Lloyd k-means with engine-exact arithmetic:
+    (id, cluster, dist) after ``iters`` iterations from the
+    deterministic prefix init (ids < k).
+
+    Unlike :func:`lloyd_kmeans` (bounded driver-side sample for ANN
+    codebooks), every step here is a DataFrame op, so the full corpus
+    participates:
+
+    - **assignment** is map-only: the k centroids ride along as ONE
+      broadcast row holding an array of (cid, centroid) structs, and
+      each vector computes argmin via a sequential left-fold distance
+      (``F.aggregate`` over ``zip_with``) + lexicographic
+      ``array_min(struct(dist, cid))`` — ties to the lowest cid;
+    - **update** is one shuffle: posexplode to (cluster, dim, value),
+      per-(cluster, dim) mean, arrays reassembled with
+      ``array_sort(collect_list(struct(dim, m)))``.
+
+    Cross-engine exactness (the property that makes the catalog query
+    hash-verifiable against DuckDB): per-dimension sums run in
+    DECIMAL(28,14) — exact and summation-order-independent — the mean
+    divides two identical numbers in IEEE doubles, and every centroid
+    component is rounded to ``round_dp`` decimals each iteration, so
+    both engines iterate from bit-identical centroids.  Empty clusters
+    drop (deterministically) on both sides.
+
+    At 100 TB: per iteration one tiny broadcast (k rows) + one
+    aggregate shuffle whose map side combines to k x dims rows per
+    task — the textbook scalable k-means shape (no driver collect of
+    the corpus, no per-row subqueries).
+    """
+    x = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda v: v.cast("double")).alias("x"),
+    )
+    cents = x.filter(F.col("id") < k).select(
+        F.col("id").cast("int").alias("cid"),
+        F.transform("x", lambda v: F.round(v, round_dp)).alias("c"),
+    )
+
+    def assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+        carr = cents.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cs")
+        )
+        dist_to = lambda s: F.aggregate(  # noqa: E731
+            F.zip_with("x", s["c"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        best = F.array_min(
+            F.transform(
+                "cs", lambda s: F.struct(dist_to(s).alias("dist"), s["cid"].alias("cid"))
+            )
+        )
+        return points.crossJoin(F.broadcast(carr)).select(
+            "id", "x", best.alias("best")
+        )
+
+    for _ in range(iters):
+        assigned = assign(x, cents).select("id", "x", F.col("best.cid").alias("cid"))
+        cents = (
+            assigned.select("cid", F.posexplode("x").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(28,14)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: F.round(s["m"], round_dp),
+                ).alias("c")
+            )
+        )
+    final = assign(x, cents)
+    return final.select(
+        F.col("id").alias(id_col),
+        F.col("best.cid").alias("cluster"),
+        F.round(F.col("best.dist"), round_dp).alias("dist"),
+    )
+
+
 def training_sample(
     df: DataFrame,
     max_rows: int,

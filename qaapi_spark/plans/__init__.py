@@ -25,6 +25,7 @@ from qaapi_spark.plans import llm_sampling  # noqa: E402,F401
 from qaapi_spark.plans import llm_retrieval  # noqa: E402,F401
 from qaapi_spark.plans import llm_curation  # noqa: E402,F401
 from qaapi_spark.plans import llm_pipeline  # noqa: E402,F401
+from qaapi_spark.plans import llm_clustering  # noqa: E402,F401
 from qaapi_spark.plans import profiling  # noqa: E402,F401
 from qaapi_spark.plans import mining  # noqa: E402,F401
 

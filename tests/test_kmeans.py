@@ -100,3 +100,30 @@ def test_ivf_trained_planted_twin_recall(spark):
     hits = got.filter(F.col("cand_id") == F.col("query_id") + 1_000_000).count()
     total = queries.count()
     assert hits / total >= 0.9, f"trained-IVF twin recall {hits}/{total}"
+
+
+def test_distributed_lloyd_matches_catalog_and_is_distributed(spark):
+    """lloyd_kmeans_distributed: assignments are total and exclusive,
+    clusters reduce within-cluster distance vs init, and the plan
+    keeps the corpus distributed (broadcast centroids, no
+    LocalTableScan of the embeddings)."""
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.operators.kmeans import lloyd_kmeans_distributed
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = lloyd_kmeans_distributed(e, k=4, iters=2)
+    n = e.count()
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r.cluster for r in rows} <= set(range(4))
+    assert all(r.dist >= 0 for r in rows)
+    # iterating must not do worse than the 0-iteration assignment
+    d0 = lloyd_kmeans_distributed(e, k=4, iters=0)
+    assert (
+        out.agg(F.sum("dist")).first()[0]
+        <= d0.agg(F.sum("dist")).first()[0] + 1e-9
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "embeddings.parquet" in p
