@@ -113,3 +113,26 @@ def overwrite(df: DataFrame, path: str) -> None:
 def append(df: DataFrame, path: str) -> None:
     """S15: INSERT INTO ... SELECT."""
     df.write.mode("append").parquet(path)
+
+
+def merge_partial_aggregates(
+    mv: DataFrame, delta_partial: DataFrame, keys: list[str], merges: dict[str, str]
+) -> DataFrame:
+    """Incremental materialized-view maintenance for DISTRIBUTIVE
+    aggregates: fold a new batch's partial aggregates into an existing
+    MV without touching the base data.
+
+    ``merges`` maps column -> merge function name ('sum', 'min', 'max'
+    — the mergeable trio; count folds as sum of partial counts, avg is
+    derived sum/count at read time).  Both inputs must already be
+    aggregated to one row per key.
+
+    At 100 TB this is THE reason to keep an MV: refreshing daily
+    revenue re-aggregates only the day's batch (tiny) and merges
+    |keys| rows, instead of rescanning the fact table (the
+    full-recompute shape).  The union re-aggregate shuffles only
+    2x|MV| pre-aggregated rows, with map-side combine.
+    """
+    merged = mv.unionByName(delta_partial)
+    aggs = [getattr(F, fn)(c).alias(c) for c, fn in merges.items()]
+    return merged.groupBy(*keys).agg(*aggs)

@@ -99,3 +99,60 @@ def j5_delete_semi_anti_orders(spark, sf_dir):
         keep=batch.select(F.col("o_orderkey")),
         keep_keys=["o_orderkey"],
     )
+
+
+@query(
+    "mv_incremental_daily_revenue",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders,
+           ROUND(MAX(o_totalprice), 2) AS max_order
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-06-01'
+      AND o_orderdate < TIMESTAMP '2000-02-01'
+    GROUP BY day ORDER BY day
+    """,
+    doc="incremental materialized-view refresh (distributive "
+    "aggregates): the daily-revenue MV over the base period folds in "
+    "a new month's batch via operators/maintain.merge_partial_"
+    "aggregates — partial SUM/COUNT/MAX merge as sum/sum/max, so the "
+    "refresh re-aggregates ONLY the batch and shuffles 2x|MV| "
+    "pre-aggregated rows, never rescanning the base fact table; the "
+    "oracle proves merge(MV(base), agg(delta)) == MV(base UNION "
+    "delta) (extension: MV maintenance; reference trailing-window "
+    "reconciliation Start.py:19,39 applied to aggregates)",
+)
+def mv_incremental_daily_revenue(spark, sf_dir):
+    from qaapi_spark.operators.maintain import merge_partial_aggregates
+
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-06-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-02-01").cast("timestamp"))
+    )
+    base = o.filter(F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    delta = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+
+    def daily_partial(df):
+        return (
+            df.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+                F.count("*").alias("n_orders"),
+                F.round(F.max("o_totalprice"), 2).alias("max_order"),
+            )
+        )
+
+    mv = daily_partial(base)  # the stored MV (materialized in a real pipeline)
+    refreshed = merge_partial_aggregates(
+        mv,
+        daily_partial(delta),
+        keys=["day"],
+        merges={"rev": "sum", "n_orders": "sum", "max_order": "max"},
+    )
+    return refreshed.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        "n_orders",
+        "max_order",
+    ).orderBy("day")

