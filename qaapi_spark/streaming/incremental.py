@@ -363,6 +363,7 @@ def stream_interval_join(
     right_type: str = "purchase",
     horizon: str = "24 hours",
     watermark: str = "48 hours",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Stream-stream event-time interval join (attribution): each
     ``right_type`` event joins the same user's ``left_type`` events
@@ -412,15 +413,26 @@ def stream_interval_join(
         "inner",
     )
     name = "attrib_" + uuid.uuid4().hex[:8]
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", stage_dir + "/_ckpt")
-        .start()
-    )
-    q.awaitTermination()
+    # a stream-stream join keeps FOUR state stores per shuffle
+    # partition (left/right x keyToNumValues/keyWithIndexToValue), so
+    # store open/commit overhead scales with partitions x 4 per batch;
+    # same sizing rule as stream_dedup_events: keys-per-batch / ~500k
+    # on a real cluster, 8 here (measured ~9s -> ~4s at sf0.1)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", stage_dir + "/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return spark.sql(f"SELECT * FROM {name}").select(
         F.col("c_id").alias("click_id"),
         F.col("p_id").alias("purchase_id"),
