@@ -130,3 +130,47 @@ def test_transform_with_state_running_totals(spark, sf_dir):
         )
     )
     assert sorted(streamed.collect()) == sorted(batch.collect())
+
+
+def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Stop/restart a file-source stream against the SAME checkpoint:
+    the restarted query must process only the files that arrived while
+    it was down — no reprocessing, no duplicates (the §2.9 recovery
+    contract an unbounded deployment relies on)."""
+    import os
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    spark.range(0, 10).coalesce(1).write.parquet(src + "/batch_a")
+    for f in os.listdir(src + "/batch_a"):
+        if f.endswith(".parquet"):
+            os.rename(src + f"/batch_a/{f}", src + "/a.parquet")
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 10
+
+    spark.range(100, 105).coalesce(1).write.parquet(src + "/batch_b")
+    for f in os.listdir(src + "/batch_b"):
+        if f.endswith(".parquet"):
+            os.rename(src + f"/batch_b/{f}", src + "/b.parquet")
+
+    run_once()  # resume from the same checkpoint
+    rows = sorted(r.id for r in spark.read.parquet(sink).collect())
+    # batch_a rows exactly once (not re-emitted on resume) + batch_b
+    assert rows == list(range(0, 10)) + list(range(100, 105))
