@@ -99,3 +99,13 @@ def test_segment_word_rank_priority():
     # chain: once 'ab' exists, (ab, c) is not a learned pair
     ranks2 = {("b", "c"): 0, ("a", "b"): 1}
     assert segment_word("abc", ranks2) == ["a", "bc", EOW]
+
+
+def test_driver_and_distributed_trainers_agree(spark, sf_dir):
+    """bpe_train (capped-collect driver trainer) and
+    bpe_train_distributed (Spark-loop trainer) learn byte-identical
+    merge tables when the vocabulary fits the cap."""
+    from qaapi_spark.operators.bpe import bpe_train, bpe_train_distributed
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert bpe_train(d, n_merges=8) == bpe_train_distributed(d, n_merges=8)
