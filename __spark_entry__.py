@@ -57,17 +57,44 @@ def _driver_state() -> tuple[set[str], set[str], int]:
     return hash_verified, rows_checked, rounds
 
 
+# Queries VERDICT r2 flagged as never-driver-verified (plus the one
+# known driver hash-FAIL, since fixed) — they must land inside the
+# gate window before anything newer.
+_PRIORITY = (
+    "pack_sequences_by_lang",
+    "dedup_keep_representatives",
+    "ann_topk_srp_lsh",
+    "ann_topk_pq",
+    "corpus_profile_by_source_lang",
+    "curation_benchmark_contamination",
+    "curation_training_order",
+    "curation_bigram_lm_quality",
+    "curation_source_mixture_weights",
+    "skew_profile_orders_custkey",
+    "profile_orders_columns",
+    "user_interevent_stats",
+    "cdc_diff_order_snapshots",
+    "event_type_cooccurrence_lift",
+    "sliding_window_event_counts",
+)
+
+
 def _ordered_names() -> list[str]:
     """Catalog order for the driver gate.
 
     Front of the window: (1) oracle-paired queries with no green hash
-    row yet, (2) rows-only queries the driver never executed, then
-    (3) a deterministic rotating sample of already-verified queries so
-    regressions in verified code still surface (ADVICE r2 #5) instead
-    of coverage resting on stale CORRECTNESS artifacts.
+    row yet — VERDICT-r2-flagged ones first, (2) rows-only queries the
+    driver never executed, then (3) a deterministic rotating sample of
+    already-verified queries so regressions in verified code still
+    surface (ADVICE r2 #5) instead of coverage resting on stale
+    CORRECTNESS artifacts.  When unverified queries outnumber the
+    window, the hash-checkable (oracle-paired) ones take the slots —
+    a hash row is strictly stronger signal than a rows-only row.
     """
     hash_verified, rows_checked, rounds = _driver_state()
     names = list(CATALOG)
+    idx = {n: i for i, n in enumerate(names)}
+    prio = {n: i for i, n in enumerate(_PRIORITY)}
     unverified = [
         n
         for n in names
@@ -76,6 +103,13 @@ def _ordered_names() -> list[str]:
             or (CATALOG[n].oracle is None and n in rows_checked)
         )
     ]
+    unverified.sort(
+        key=lambda n: (
+            prio.get(n, len(_PRIORITY)),
+            0 if CATALOG[n].oracle is not None else 1,
+            idx[n],
+        )
+    )
     rest = [n for n in names if n not in set(unverified)]
     slots = max(0, _GATE_WINDOW - len(unverified))
     if rest and slots:
