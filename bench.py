@@ -34,6 +34,34 @@ from qaapi_spark.session import get_spark, release_kernel_caches  # noqa: E402
 BENCH_QUERIES = sorted(CATALOG)
 
 
+def _calib_cpu() -> float:
+    """Seconds for a fixed single-thread workload (sha256 over 768 MB,
+    best of 3) — a pure host-speed probe, independent of Spark."""
+    import hashlib
+
+    block = b"\x00" * (1 << 22)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        h = hashlib.sha256()
+        for _ in range(192):
+            h.update(block)
+        h.hexdigest()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def _calib_spark(spark) -> float:
+    """Seconds for one fixed tiny Spark job (sum over range(2**24),
+    best of 3, warm JVM) — probes JVM + scheduler speed on this host."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(1 << 24).selectExpr("sum(id)").collect()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -116,6 +144,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # Host-speed calibration: the same catalog on the same data has
+        # measured 35-45% apart across rounds purely from VM/host
+        # placement.  Two fixed workloads (single-thread CPU hash; one
+        # tiny fixed Spark job) let a reader normalize round-over-round
+        # deltas before calling anything a regression.
+        "calib_cpu_s": _calib_cpu(),
+        "calib_spark_s": _calib_spark(spark),
     }
     prev_round, prev_source, prev = _latest_prev_bench(sf_val)
     if prev:

@@ -1,0 +1,179 @@
+"""Distributed embedding linear algebra with engine-exact arithmetic.
+
+Two building blocks a training-data pipeline runs over its embedding
+columns before curation decisions (whitening, PCA-space semantic
+dedup, drift monitoring):
+
+- :func:`covariance_upper` — the d x d covariance matrix as rows,
+  computed with the same cross-engine-exact recipe as
+  ``operators/kmeans.lloyd_kmeans_distributed``: elementwise products
+  in IEEE doubles (deterministic), per-cell sums in DECIMAL(28,14)
+  (exact, summation-order-independent), the final covariance formula
+  in doubles over bit-identical operands.  This makes a *linear
+  algebra aggregate* value-hash-verifiable against DuckDB.
+- :func:`power_iteration_pc1` — the leading eigenvector of that
+  matrix via power iteration with per-iteration 6-decimal snapping
+  and *sequential left-fold* dot products, so an unrolled DuckDB SQL
+  oracle iterates bit-identically (same trick that makes the Lloyd
+  k-means query hash-checkable).
+
+Scale notes (100 TB): the covariance aggregate generates n*d(d+1)/2
+product rows but map-side combines to d(d+1)/2 cells per task, so the
+shuffle is O(d^2) regardless of corpus size; the eigen step touches
+only the d x d matrix (driver-side, bounded — the ANN-codebook
+pattern), and the projection is map-only with the eigenvector riding
+as a literal.  The reference has no linear-algebra surface; this is
+part of the extended LLM-pipeline surface (SURVEY §2 extension).
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SUM_DECIMAL = "decimal(28,14)"
+
+
+def _snap(x: float, dp: int) -> float:
+    """Round-half-up decimal snap matching Spark's ``F.round`` exactly
+    (``BigDecimal.valueOf(double)`` goes through the shortest decimal
+    representation, as ``repr`` does here, then HALF_UP) — Python's
+    built-in ``round`` is banker's rounding and could diverge at a
+    midpoint."""
+    q = Decimal(1).scaleb(-dp)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def covariance_upper(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Upper-triangle covariance rows ``(i, j, cov)`` (1-based dims,
+    ``i <= j``, population covariance) of ``vec_col``.
+
+    Shape: one projection explodes each vector to its d(d+1)/2
+    products (posexplode + column-start ``slice`` — no self-join),
+    one hash aggregate with map-side combine reduces them to d(d+1)/2
+    cells.  Per-dimension means come from the same exploded relation,
+    so the corpus is scanned once.
+    """
+    x = df.select(F.transform(vec_col, lambda v: v.cast("double")).alias("x"))
+    d = F.size("x")
+    # (i, xi, tail) where tail = x[i..d]; second explode walks j >= i.
+    e1 = x.select(
+        "x", d.alias("d"), F.posexplode("x").alias("i0", "xi")
+    ).select(
+        (F.col("i0") + 1).alias("i"),
+        "xi",
+        F.posexplode(
+            F.slice("x", F.col("i0") + 1, F.col("d") - F.col("i0"))
+        ).alias("j0", "xj"),
+    )
+    cells = e1.groupBy(
+        "i", (F.col("i") + F.col("j0")).alias("j")
+    ).agg(
+        F.sum((F.col("xi") * F.col("xj")).cast(_SUM_DECIMAL)).alias("sxy"),
+        F.count("*").alias("n"),
+    )
+    means = (
+        df.select(F.posexplode(
+            F.transform(vec_col, lambda v: v.cast("double"))
+        ).alias("k0", "xk"))
+        .groupBy((F.col("k0") + 1).alias("k"))
+        .agg(
+            (
+                F.sum(F.col("xk").cast(_SUM_DECIMAL)).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+    )
+    mi = means.select(F.col("k").alias("i"), F.col("m").alias("mi"))
+    mj = means.select(F.col("k").alias("j"), F.col("m").alias("mj"))
+    return (
+        cells.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            # + 0.0 normalizes IEEE negative zero (ROUND of a tiny
+            # negative yields -0.0, which value-hashes as "-0.0")
+            (
+                F.round(
+                    F.col("sxy").cast("double") / F.col("n")
+                    - F.col("mi") * F.col("mj"),
+                    round_dp,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def _seq_dot(row: list[float], v: list[float]) -> float:
+    """Sequential left-fold dot product — matches DuckDB
+    ``list_reduce`` and Spark ``F.aggregate`` fold order exactly
+    (numpy's pairwise/SIMD dot would drift in the last ulp and break
+    the per-iteration rounding contract)."""
+    acc = 0.0
+    for a, b in zip(row, v):
+        acc += a * b
+    return acc
+
+
+def power_iteration_pc1(
+    cov_rows: list[tuple[int, int, float]],
+    dim: int,
+    iters: int = 8,
+    round_dp: int = 6,
+) -> list[float]:
+    """Leading eigenvector of the symmetric matrix given as
+    ``(i, j, cov)`` upper-triangle rows (1-based), via ``iters`` power
+    iterations from the uniform start vector.
+
+    Engine-exact: every matvec entry and the norm are sequential
+    left folds in IEEE doubles, and the vector snaps to ``round_dp``
+    decimals after each normalization, so an unrolled SQL oracle
+    (DuckDB ``list_reduce``) reproduces every iterate bit-for-bit.
+    Pure Python on a d x d matrix — bounded driver work by design.
+    """
+    c = [[0.0] * dim for _ in range(dim)]
+    for i, j, cov in cov_rows:
+        c[i - 1][j - 1] = cov
+        c[j - 1][i - 1] = cov
+    v = [_snap(1.0 / dim**0.5, round_dp)] * dim
+    for _ in range(iters):
+        w = [_seq_dot(c[i], v) for i in range(dim)]
+        norm = _seq_dot(w, w) ** 0.5
+        if norm == 0.0:
+            break
+        v = [_snap(x / norm, round_dp) for x in w]
+    return v
+
+
+def project_scores(
+    df: DataFrame,
+    v: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pc1",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Map-only projection of every vector onto ``v`` (sequential
+    left-fold dot, rounded) — the eigenvector rides as a literal
+    array, no join, no shuffle."""
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    score = F.aggregate(
+        F.zip_with(
+            F.transform(vec_col, lambda c: c.cast("double")),
+            vlit,
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    return df.select(
+        F.col(id_col), (F.round(score, round_dp) + F.lit(0.0)).alias(out_col)
+    )

@@ -15,6 +15,8 @@ the lowest cluster id on both engines.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from qaapi_spark.operators.kmeans import lloyd_kmeans_distributed
 from qaapi_spark.plans.catalog import query, t
 
@@ -31,9 +33,11 @@ def _dist(x: str, c: str) -> str:
     )
 
 
-def _kmeans_oracle(k: int, iters: int, dp: int) -> str:
-    sql = f"""
-    WITH e AS (
+def _kmeans_ctes(k: int, iters: int, dp: int) -> tuple[str, str]:
+    """(WITH-clause body, last-centroid relation name) for the unrolled
+    Lloyd oracle — shared by the clustering query and the SemDeDup
+    query so both iterate from the identical SQL."""
+    sql = f"""e AS (
         SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
         FROM embeddings
     ),
@@ -65,7 +69,13 @@ def _kmeans_oracle(k: int, iters: int, dp: int) -> str:
     ),
     c{i} AS (SELECT cid, list(m ORDER BY dim) AS c FROM m{i} GROUP BY cid)"""
         prev = f"c{i}"
-    sql += f"""
+    return sql, prev
+
+
+def _kmeans_oracle(k: int, iters: int, dp: int) -> str:
+    body, prev = _kmeans_ctes(k, iters, dp)
+    return f"""
+    WITH {body}
     SELECT vec_id, cid AS cluster, ROUND(d, {dp}) AS dist FROM (
         SELECT e.vec_id, c.cid, {_dist('e.x', 'c.c')} AS d,
                ROW_NUMBER() OVER (
@@ -75,7 +85,6 @@ def _kmeans_oracle(k: int, iters: int, dp: int) -> str:
         FROM e CROSS JOIN {prev} c
     ) WHERE rn = 1
     ORDER BY vec_id"""
-    return sql
 
 
 @query(
@@ -92,7 +101,252 @@ def _kmeans_oracle(k: int, iters: int, dp: int) -> str:
     "distributed clustering; cf. operators/kmeans.py ANN codebooks)",
 )
 def emb_kmeans_lloyd3(spark, sf_dir):
+    return _lloyd_kernel(spark, sf_dir).orderBy("vec_id")
+
+
+def _lloyd_kernel(spark, sf_dir):
+    """(vec_id, cluster, dist) Lloyd result, memoized per
+    (application, sf_dir) and materialized lazily — emb_kmeans_lloyd3
+    and dedup_semantic_kmeans share it, so the 3-iteration fit runs
+    once per session (the cc_jaccard_labels pattern)."""
+    from qaapi_spark.session import shared_kernel
+
+    def build():
+        e = t(spark, sf_dir, "embeddings")
+        return lloyd_kmeans_distributed(
+            e, k=_K, iters=_ITERS, id_col="vec_id", vec_col="embedding",
+            round_dp=_DP,
+        ).localCheckpoint(eager=False)
+
+    return shared_kernel(
+        spark, ("kmeans_lloyd", sf_dir, _K, _ITERS, _DP), build
+    )
+
+
+# --- SemDeDup: semantic dedup inside k-means clusters ---------------
+#
+# Abbas et al. 2023 ("SemDeDup", public): cluster the embedding space,
+# then drop any vector whose cosine similarity to a LOWER-ID vector in
+# the SAME cluster clears a threshold.  Clustering bounds the pairwise
+# work to O(sum |cluster|^2) — at 100 TB you grow k so clusters stay
+# bounded and the per-cluster pair scan stays constant-size, which is
+# exactly why the method exists; the assignment itself is map-only.
+
+_SEM_THRESHOLD = 0.4  # same planted-twin threshold as dedup_embedding_cosine
+
+
+def _semdedup_oracle(k: int, iters: int, dp: int, thr: float) -> str:
+    body, prev = _kmeans_ctes(k, iters, dp)
+    return f"""
+    WITH {body},
+    asg AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_dist('e.x', 'c.c')}, c.cid
+                   ) AS rn
+            FROM e CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ),
+    u AS (
+        SELECT vec_id,
+               list_transform(x, v -> v / sqrt(list_dot_product(x, x))) AS uv
+        FROM e
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM asg a
+        JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN u ua ON ua.vec_id = a.vec_id
+        JOIN u ub ON ub.vec_id = b.vec_id
+        WHERE ROUND(list_dot_product(ua.uv, ub.uv), 4) >= {thr}
+    )
+    SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS is_kept
+    FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    ORDER BY a.vec_id"""
+
+
+@query(
+    "dedup_semantic_kmeans",
+    oracle=_semdedup_oracle(_K, _ITERS, _DP, _SEM_THRESHOLD),
+    doc="SemDeDup (Abbas et al. 2023): k-means-bucketed semantic "
+    "near-dup removal — reuses the memoized Lloyd assignment "
+    "(map-only argmin vs broadcast centroids), then one "
+    "cluster-partitioned self-join computes cosine only WITHIN "
+    "clusters (pairwise work bounded by cluster size; at scale k "
+    "grows with the corpus so clusters stay constant); drop rule is "
+    "similar-to-any-lower-id — one join, no sequential greedy pass "
+    "(extension: LLM-pipeline dedup family)",
+)
+def dedup_semantic_kmeans(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
-    return lloyd_kmeans_distributed(
-        e, k=_K, iters=_ITERS, id_col="vec_id", vec_col="embedding", round_dp=_DP
-    ).orderBy("vec_id")
+    asg = _lloyd_kernel(spark, sf_dir).select("vec_id", "cluster")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    u = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda v: v.cast("double") / norm
+        ).alias("uv"),
+    ).join(asg, "vec_id")
+    a, b = u.alias("a"), u.alias("b")
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("a.uv"), F.col("b.uv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        4,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _SEM_THRESHOLD)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        asg.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("hit"), F.lit(True)).alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --- Embedding covariance + hash-verifiable distributed PCA ---------
+#
+# Same exactness recipe as the Lloyd query, applied to linear algebra:
+# products in IEEE doubles, cell sums in DECIMAL(28,14) (exact and
+# summation-order-independent), per-iteration 6dp snapping of the
+# power-iteration vector, sequential left-fold dots everywhere — so a
+# distributed PCA carries a full value-hash oracle end-to-end.
+
+_PCA_ITERS = 8
+
+_COV_CTES = """e AS (
+        SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT s.i AS i, s.j AS j,
+               SUM(CAST(s.p AS DECIMAL(28,14))) AS sxy, COUNT(*) AS n
+        FROM e, UNNEST(flatten(list_transform(range(1, len(x)+1),
+              i -> list_transform(range(i, len(x)+1),
+                   j -> {'i': i, 'j': j, 'p': x[i]*x[j]})))) AS t(s)
+        GROUP BY s.i, s.j
+    ),
+    means AS (
+        SELECT u.k AS k,
+               CAST(SUM(CAST(u.v AS DECIMAL(28,14))) AS DOUBLE)/COUNT(*) AS m
+        FROM e, UNNEST(list_transform(range(1, len(x)+1),
+              k -> {'k': k, 'v': x[k]})) AS tt(u)
+        GROUP BY u.k
+    ),
+    covu AS (
+        SELECT c.i AS i, c.j AS j,
+               ROUND(CAST(c.sxy AS DOUBLE)/c.n - mi.m*mj.m, 6) + 0.0 AS cov
+        FROM cells c JOIN means mi ON mi.k=c.i JOIN means mj ON mj.k=c.j
+    )"""
+
+
+def _pca_oracle(iters: int) -> str:
+    sql = f"""
+    WITH {_COV_CTES},
+    covf AS (
+        SELECT i, j, cov FROM covu
+        UNION ALL SELECT j AS i, i AS j, cov FROM covu WHERE i <> j
+    ),
+    cmat AS (SELECT i, list(cov ORDER BY j) AS row FROM covf GROUP BY i),
+    dd AS (SELECT len(x) AS d FROM e LIMIT 1),
+    v0 AS (SELECT list_transform(range(1, d+1),
+                  q -> ROUND(1.0/sqrt(d), 6)) AS v FROM dd)"""
+    prev = "v0"
+    for it in range(1, iters + 1):
+        sql += f""",
+    w{it} AS (
+        SELECT list(wi ORDER BY i) AS ws FROM (
+            SELECT c.i AS i,
+                   list_reduce(list_transform(range(1, len(c.row)+1),
+                       q -> c.row[q]*v.v[q]), (a,b) -> a + b) AS wi
+            FROM cmat c CROSS JOIN {prev} v)
+    ),
+    v{it} AS (
+        SELECT list_transform(ws, w -> ROUND(w / sqrt(
+            list_reduce(list_transform(ws, y -> y*y), (a,b) -> a+b)), 6)) AS v
+        FROM w{it}
+    )"""
+        prev = f"v{it}"
+    sql += f"""
+    SELECT e.vec_id AS vec_id,
+           ROUND(list_reduce(list_transform(range(1, len(e.x)+1),
+                 q -> e.x[q]*v.v[q]), (a,b) -> a+b), 4) + 0.0 AS pc1
+    FROM e CROSS JOIN {prev} v ORDER BY vec_id"""
+    return sql
+
+
+@query(
+    "emb_covariance_upper",
+    oracle=f"""
+    WITH {_COV_CTES}
+    SELECT i, j, cov FROM covu ORDER BY i, j
+    """,
+    doc="d x d embedding covariance as upper-triangle rows — one "
+    "corpus scan (posexplode + column-start slice, no self-join), "
+    "one hash aggregate whose map side combines to d(d+1)/2 cells "
+    "per task so the shuffle is O(d^2) regardless of corpus size; "
+    "DECIMAL(28,14) cell sums make a linear-algebra aggregate "
+    "value-hash-verifiable (extension: embedding analytics)",
+)
+def emb_covariance_upper(spark, sf_dir):
+    return _cov_kernel(spark, sf_dir).orderBy("i", "j")
+
+
+def _cov_kernel(spark, sf_dir):
+    """Memoized covariance rows — shared by emb_covariance_upper and
+    emb_pca_pc1_power so the corpus-scanning aggregate runs once."""
+    from qaapi_spark.operators.linalg import covariance_upper
+    from qaapi_spark.session import shared_kernel
+
+    def build():
+        e = t(spark, sf_dir, "embeddings")
+        return covariance_upper(e).localCheckpoint(eager=False)
+
+    return shared_kernel(spark, ("emb_covariance", sf_dir), build)
+
+
+@query(
+    "emb_pca_pc1_power",
+    oracle=_pca_oracle(_PCA_ITERS),
+    doc="distributed PCA, first principal-component scores: the "
+    "covariance aggregate is the only corpus pass (shared with "
+    "emb_covariance_upper), the power iteration runs on the d x d "
+    "matrix driver-side (bounded by design — the ANN-codebook "
+    "pattern) with sequential-fold matvecs + per-iteration 6dp "
+    "snapping so DuckDB's unrolled list_reduce oracle reproduces "
+    "every iterate bit-for-bit, and the projection is MAP-ONLY with "
+    "the eigenvector riding as a literal (extension: embedding "
+    "analytics; the strongest-check family, cf. emb_kmeans_lloyd3)",
+)
+def emb_pca_pc1_power(spark, sf_dir):
+    from qaapi_spark.operators.linalg import power_iteration_pc1, project_scores
+
+    e = t(spark, sf_dir, "embeddings")
+    cov_rows = [
+        (r["i"], r["j"], r["cov"]) for r in _cov_kernel(spark, sf_dir).collect()
+    ]
+    dim = max(j for _, j, _ in cov_rows)
+    v = power_iteration_pc1(cov_rows, dim, iters=_PCA_ITERS)
+    return project_scores(e, v).orderBy("vec_id")
