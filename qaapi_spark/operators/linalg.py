@@ -177,3 +177,69 @@ def project_scores(
     return df.select(
         F.col(id_col), (F.round(score, round_dp) + F.lit(0.0)).alias(out_col)
     )
+
+
+def power_iteration_two(
+    cov_rows: list[tuple[int, int, float]],
+    dim: int,
+    iters: int = 8,
+    round_dp: int = 6,
+) -> tuple[list[float], list[float]]:
+    """(v1, v2): the two leading eigenvectors via power iteration plus
+    Hotelling deflation, every step snapped like
+    :func:`power_iteration_pc1` so the unrolled SQL oracle reproduces
+    both vectors bit-for-bit: lambda1 = v1·(C v1) (sequential folds,
+    snapped), C2 = snap(C - lambda1 v1 v1ᵀ), then the same iteration
+    on C2."""
+    c = [[0.0] * dim for _ in range(dim)]
+    for i, j, cov in cov_rows:
+        c[i - 1][j - 1] = cov
+        c[j - 1][i - 1] = cov
+    v1 = power_iteration_pc1(cov_rows, dim, iters=iters, round_dp=round_dp)
+    w = [_seq_dot(c[i], v1) for i in range(dim)]
+    lam = _snap(_seq_dot(v1, w), round_dp)
+    c2_rows = [
+        (i + 1, j + 1, _snap(c[i][j] - lam * v1[i] * v1[j], round_dp))
+        for i in range(dim)
+        for j in range(i, dim)
+    ]
+    v2 = power_iteration_pc1(c2_rows, dim, iters=iters, round_dp=round_dp)
+    # one snapped Gram-Schmidt pass: finite iterations + snapping leave
+    # a small v1 component in v2 (|v1·v2| ~ 0.06 at 8 iters); removing
+    # it is itself engine-exact (raw fold dot, then normalize + snap)
+    dp_ = _seq_dot(v1, v2)
+    u = [v2[i] - dp_ * v1[i] for i in range(dim)]
+    norm = _seq_dot(u, u) ** 0.5
+    v2 = [_snap(x / norm, round_dp) for x in u]
+    return v1, v2
+
+
+def project_scores2(
+    df: DataFrame,
+    v1: list[float],
+    v2: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Map-only 2-D projection (pc1, pc2) — both eigenvectors ride as
+    literal arrays; zero joins, zero shuffles."""
+
+    def score(v: list[float]):
+        vlit = F.array(*[F.lit(float(x)) for x in v])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.transform(vec_col, lambda cc: cc.cast("double")),
+                    vlit,
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            ),
+            round_dp,
+        ) + F.lit(0.0)
+
+    return df.select(
+        F.col(id_col), score(v1).alias("pc1"), score(v2).alias("pc2")
+    )

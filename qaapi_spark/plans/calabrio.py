@@ -249,9 +249,7 @@ def _dd_evals_curated(path: str) -> str:
     """
 
 
-@query(
-    "calabrio_pipeline_incremental",
-    oracle=f"""
+_PIPELINE_ORACLE = f"""
     WITH b1 AS ({_dd_evals_curated(FIXTURES_DIR + "/fix_eval_raw.json")}),
     b2 AS ({_dd_evals_curated(FIXTURES_DIR + "/batch2/fix_eval_raw.json")}),
     -- J5: delete target evals whose contact is in batch 2 but whose
@@ -282,7 +280,12 @@ def _dd_evals_curated(path: str) -> str:
     )
     SELECT * FROM merged UNION ALL SELECT * FROM inserted
     ORDER BY evaluation_id
-    """,
+    """
+
+
+@query(
+    "calabrio_pipeline_incremental",
+    oracle=_PIPELINE_ORACLE,
     doc="EP1/EP2 end-to-end: two trailing-window batches through the full "
     "pipeline (full-replace, insert-only merge, delete-vanished + upsert, "
     "delete-then-insert), returning the final t_qa_evaluations; the oracle "
@@ -300,12 +303,45 @@ def calabrio_pipeline_incremental(spark, sf_dir):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        # partitioned=True: batch 2 reconciles via partition-scoped
-        # merges (only contact buckets the batch touches are rewritten)
-        # — the 100 TB maintenance path, hard-verified by this oracle
+        # full write-then-swap maintenance (the r1/r2-measured path);
+        # the partition-scoped 100 TB path is its own catalog query
+        # below (calabrio_pipeline_partitioned) so both maintenance
+        # modes stay independently oracle-verified and timed
         pipe = CalabrioPipeline(
             spark,
             tempfile.mkdtemp(prefix="calabrio_e2e_"),
+            output_partitions=1,
+        )
+        pipe.run_batch(FIXTURES_DIR, collect_counts=False)
+        pipe.run_batch(f"{FIXTURES_DIR}/batch2", collect_counts=False)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return pipe.read("t_qa_evaluations").orderBy("evaluation_id")
+
+
+@query(
+    "calabrio_pipeline_partitioned",
+    oracle=_PIPELINE_ORACLE,
+    doc="same two-batch reconciliation through the PARTITION-SCOPED "
+    "maintenance path (operators/partitioned.py): curated tables are "
+    "contact-id hash buckets and batch 2 rewrites ONLY affected "
+    "buckets via dynamic partition overwrite (untouched-file "
+    "invariant asserted in tests/test_partitioned_merge.py) — the "
+    "100 TB merge shape; identical result, hence identical oracle; "
+    "small-fixture wall time is job-latency-bound (~30 tiny jobs), "
+    "see SCALE.md",
+)
+def calabrio_pipeline_partitioned(spark, sf_dir):
+    import tempfile
+
+    from qaapi_spark.pipeline import CalabrioPipeline
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        pipe = CalabrioPipeline(
+            spark,
+            tempfile.mkdtemp(prefix="calabrio_part_"),
             output_partitions=1,
             partitioned=True,
         )

@@ -265,11 +265,11 @@ _COV_CTES = """e AS (
 def _pca_oracle(iters: int) -> str:
     sql = f"""
     WITH {_COV_CTES},
-    covf AS (
+    covf AS MATERIALIZED (
         SELECT i, j, cov FROM covu
         UNION ALL SELECT j AS i, i AS j, cov FROM covu WHERE i <> j
     ),
-    cmat AS (SELECT i, list(cov ORDER BY j) AS row FROM covf GROUP BY i),
+    cmat AS MATERIALIZED (SELECT i, list(cov ORDER BY j) AS row FROM covf GROUP BY i),
     dd AS (SELECT len(x) AS d FROM e LIMIT 1),
     v0 AS (SELECT list_transform(range(1, d+1),
                   q -> ROUND(1.0/sqrt(d), 6)) AS v FROM dd)"""
@@ -350,3 +350,116 @@ def emb_pca_pc1_power(spark, sf_dir):
     dim = max(j for _, j, _ in cov_rows)
     v = power_iteration_pc1(cov_rows, dim, iters=_PCA_ITERS)
     return project_scores(e, v).orderBy("vec_id")
+
+
+def _iter_chain(cmat: str, vpfx: str, iters: int) -> tuple[str, str]:
+    """(sql fragment, last relation name): power-iteration CTE chain
+    ``{vpfx}1..{vpfx}{iters}`` over matrix relation ``cmat``, starting
+    from the uniform vector relation ``{vpfx}0`` (caller defines it).
+    Every step is MATERIALIZED: DuckDB inlines plain CTEs, and a chain
+    of inlined self-referencing steps re-evaluates its whole prefix
+    per reference (measured 232 s for the 2-component oracle at
+    sf0.001 vs ~1 s materialized)."""
+    sql, prev = "", f"{vpfx}0"
+    for it in range(1, iters + 1):
+        sql += f""",
+    {vpfx}w{it} AS MATERIALIZED (
+        SELECT list(wi ORDER BY i) AS ws FROM (
+            SELECT c.i AS i,
+                   list_reduce(list_transform(range(1, len(c.row)+1),
+                       q -> c.row[q]*v.v[q]), (a,b) -> a + b) AS wi
+            FROM {cmat} c CROSS JOIN {prev} v)
+    ),
+    {vpfx}{it} AS MATERIALIZED (
+        SELECT list_transform(ws, w -> ROUND(w / sqrt(
+            list_reduce(list_transform(ws, y -> y*y), (a,b) -> a+b)), 6)) AS v
+        FROM {vpfx}w{it}
+    )"""
+        prev = f"{vpfx}{it}"
+    return sql, prev
+
+
+def _pca2_oracle(iters: int) -> str:
+    sql = f"""
+    WITH {_COV_CTES},
+    covf AS MATERIALIZED (
+        SELECT i, j, cov FROM covu
+        UNION ALL SELECT j AS i, i AS j, cov FROM covu WHERE i <> j
+    ),
+    cmat AS MATERIALIZED (SELECT i, list(cov ORDER BY j) AS row FROM covf GROUP BY i),
+    dd AS (SELECT len(x) AS d FROM e LIMIT 1),
+    p0 AS MATERIALIZED (SELECT list_transform(range(1, d+1),
+                  q -> ROUND(1.0/sqrt(d), 6)) AS v FROM dd)"""
+    frag, v1 = _iter_chain("cmat", "p", iters)
+    sql += frag
+    sql += f""",
+    wlam AS (
+        SELECT list(wi ORDER BY i) AS ws FROM (
+            SELECT c.i AS i,
+                   list_reduce(list_transform(range(1, len(c.row)+1),
+                       q -> c.row[q]*v.v[q]), (a,b) -> a + b) AS wi
+            FROM cmat c CROSS JOIN {v1} v)
+    ),
+    lam AS (
+        SELECT ROUND(list_reduce(list_transform(range(1, len(v.v)+1),
+                   q -> v.v[q]*w.ws[q]), (a,b) -> a + b), 6) AS l
+        FROM {v1} v CROSS JOIN wlam w
+    ),
+    c2 AS MATERIALIZED (
+        SELECT f.i AS i, f.j AS j,
+               ROUND(f.cov - lam.l * v.v[f.i] * v.v[f.j], 6) AS cov
+        FROM covf f CROSS JOIN lam CROSS JOIN {v1} v
+    ),
+    cmat2 AS MATERIALIZED (SELECT i, list(cov ORDER BY j) AS row FROM c2 GROUP BY i),
+    q0 AS MATERIALIZED (SELECT list_transform(range(1, d+1),
+                  q -> ROUND(1.0/sqrt(d), 6)) AS v FROM dd)"""
+    frag2, v2raw = _iter_chain("cmat2", "q", iters)
+    sql += frag2
+    sql += f""",
+    gsd AS MATERIALIZED (
+        SELECT list_reduce(list_transform(range(1, len(a.v)+1),
+                   q -> a.v[q]*b.v[q]), (x1,x2) -> x1+x2) AS dp
+        FROM {v1} a CROSS JOIN {v2raw} b
+    ),
+    gsu AS MATERIALIZED (
+        SELECT list_transform(range(1, len(b.v)+1),
+                   q -> b.v[q] - g.dp * a.v[q]) AS u
+        FROM {v1} a CROSS JOIN {v2raw} b CROSS JOIN gsd g
+    ),
+    gsv AS MATERIALIZED (
+        SELECT list_transform(u, w -> ROUND(w / sqrt(
+            list_reduce(list_transform(u, y -> y*y), (x1,x2) -> x1+x2)), 6)) AS v
+        FROM gsu
+    )"""
+    v2 = "gsv"
+    sql += f"""
+    SELECT e.vec_id AS vec_id,
+           ROUND(list_reduce(list_transform(range(1, len(e.x)+1),
+                 q -> e.x[q]*a.v[q]), (x1,x2) -> x1+x2), 4) + 0.0 AS pc1,
+           ROUND(list_reduce(list_transform(range(1, len(e.x)+1),
+                 q -> e.x[q]*b.v[q]), (x1,x2) -> x1+x2), 4) + 0.0 AS pc2
+    FROM e CROSS JOIN {v1} a CROSS JOIN {v2} b ORDER BY vec_id"""
+    return sql
+
+
+@query(
+    "emb_pca_project2d",
+    oracle=_pca2_oracle(_PCA_ITERS),
+    doc="2-component PCA projection: leading vector by power iteration, "
+    "second by snapped Hotelling deflation (lambda1 = v1·Cv1, C2 = "
+    "snap(C - lambda1 v1 v1ᵀ)), both on the d x d matrix driver-side; "
+    "projection is MAP-ONLY with two literal eigenvectors — the whole "
+    "2-D semantic map of the corpus costs one covariance pass "
+    "(shared kernel) + one map-only scan (extension: embedding "
+    "analytics)",
+)
+def emb_pca_project2d(spark, sf_dir):
+    from qaapi_spark.operators.linalg import power_iteration_two, project_scores2
+
+    e = t(spark, sf_dir, "embeddings")
+    cov_rows = [
+        (r["i"], r["j"], r["cov"]) for r in _cov_kernel(spark, sf_dir).collect()
+    ]
+    dim = max(j for _, j, _ in cov_rows)
+    v1, v2 = power_iteration_two(cov_rows, dim, iters=_PCA_ITERS)
+    return project_scores2(e, v1, v2).orderBy("vec_id")

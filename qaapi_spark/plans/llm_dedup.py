@@ -78,8 +78,27 @@ def dedup_exact_docs(spark, sf_dir):
     "(extension)",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs_auto(d, _JACCARD_THRESHOLD, n=2).orderBy("id_a", "id_b")
+    return jaccard_pairs_kernel(spark, sf_dir).orderBy("id_a", "id_b")
+
+
+def jaccard_pairs_kernel(spark, sf_dir):
+    """Exact-Jaccard near-dup pairs at the module threshold, memoized
+    per (application, sf_dir): dedup_ngram_jaccard and the
+    connected-components kernel both consume this relation, so the
+    prefix-filtered inverted-index join runs once per session (the
+    cc_jaccard_labels pattern; plan-shape assertions live against the
+    operator fn in tests/test_scale_defaults.py, not this memo)."""
+    from qaapi_spark.session import shared_kernel
+
+    def build():
+        d = t(spark, sf_dir, "documents")
+        return ngram_jaccard_pairs_auto(
+            d, _JACCARD_THRESHOLD, n=2
+        ).localCheckpoint(eager=False)
+
+    return shared_kernel(
+        spark, ("jaccard_pairs", sf_dir, _JACCARD_THRESHOLD, 2), build
+    )
 
 
 @query(
@@ -347,7 +366,7 @@ def cc_jaccard_labels(spark, sf_dir):
 
     def build():
         d = t(spark, sf_dir, "documents")
-        pairs = ngram_jaccard_pairs_auto(d, _JACCARD_THRESHOLD, n=2)
+        pairs = jaccard_pairs_kernel(spark, sf_dir)
         return connected_components(
             d.select("doc_id"),
             pairs,
@@ -401,3 +420,68 @@ def dedup_fuzzy_part_names(spark, sf_dir):
         .filter(F.col("dist") <= _LEV_MAX)
         .orderBy("name_a", "name_b")
     )
+
+
+def _pagerank_oracle(iters: int, dp: int) -> str:
+    """Unrolled PageRank over the near-dup pair graph.  Every float
+    literal is CAST to DOUBLE so DuckDB's decimal literal arithmetic
+    cannot diverge from Spark's IEEE evaluation (1.0 - 0.85 is
+    0.15000000000000002 in doubles, 0.15 exactly in decimals)."""
+    damp = "CAST(0.85 AS DOUBLE)"
+    base = f"(CAST(1.0 AS DOUBLE) - {damp})"
+    sql = f"""
+    WITH {_DD_JACCARD_PAIRS},
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+    nn AS (SELECT COUNT(*) AS cnt FROM deg),
+    r0 AS (
+        SELECT a AS node, ROUND(CAST(1.0 AS DOUBLE)/cnt, {dp}) AS r
+        FROM deg CROSS JOIN nn
+    )"""
+    prev = "r0"
+    for it in range(1, iters + 1):
+        sql += f""",
+    r{it} AS (
+        SELECT s.b AS node,
+               ROUND({base}/nn.cnt + {damp} *
+                     CAST(SUM(CAST(r.r/d.deg AS DECIMAL(28,14))) AS DOUBLE),
+                     {dp}) AS r
+        FROM sym s
+        JOIN {prev} r ON r.node = s.a
+        JOIN deg d ON d.a = s.a
+        CROSS JOIN nn
+        GROUP BY s.b, nn.cnt
+    )"""
+        prev = f"r{it}"
+    sql += f"""
+    SELECT node AS doc_id, r AS pagerank FROM {prev} ORDER BY doc_id"""
+    return sql
+
+
+_PR_ITERS = 5
+
+
+@query(
+    "graph_pagerank_neardup",
+    oracle=_pagerank_oracle(_PR_ITERS, 8),
+    doc="PageRank over the exact-Jaccard near-dup graph (duplication "
+    "centrality: high-rank docs sit in dense duplicate neighborhoods) "
+    "— reuses the memoized pairs kernel; per iteration ONE cached-edge "
+    "join + one map-side-combining aggregate on the edge-node-sized "
+    "rank relation (textbook distributed PageRank, corpus never "
+    "touched); DECIMAL(28,14) contribution sums + per-iteration 8dp "
+    "snapping make a THIRD iterative algorithm family (after Lloyd "
+    "k-means and power-iteration PCA) fully value-hash-verifiable "
+    "(extension: graph analytics)",
+)
+def graph_pagerank_neardup(spark, sf_dir):
+    from qaapi_spark.operators.graph import pagerank
+
+    prs = pagerank(jaccard_pairs_kernel(spark, sf_dir), iters=_PR_ITERS)
+    return prs.select(
+        F.col("node").alias("doc_id"), "pagerank"
+    ).orderBy("doc_id")

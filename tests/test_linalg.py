@@ -96,3 +96,24 @@ def test_semdedup_drops_planted_twin(spark):
             o["cluster"] == r["cluster"] and o["vec_id"] < r["vec_id"]
             for o in out
         ), r
+
+
+def test_deflated_second_component_orthogonal(spark):
+    import numpy as np
+
+    from qaapi_spark.operators.linalg import power_iteration_two
+
+    x = _det_matrix()
+    rows = [
+        (r["i"], r["j"], r["cov"])
+        for r in covariance_upper(_vec_df(spark, x.astype(np.float32))).collect()
+    ]
+    d = x.shape[1]
+    v1, v2 = power_iteration_two(rows, d, iters=30)
+    a, b = np.array(v1), np.array(v2)
+    assert abs(float(a @ b)) < 1e-5  # Gram-Schmidt pass holds
+    c = np.cov(x.astype(np.float32).astype(np.float64), rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(c)
+    order = np.argsort(w)[::-1]
+    assert abs(abs(float(vecs[:, order[0]] @ a)) - 1.0) < 1e-3
+    assert abs(abs(float(vecs[:, order[1]] @ b)) - 1.0) < 1e-2

@@ -109,3 +109,28 @@ def test_exact_k_per_group_counts_and_stability(spark):
     # partitioning-independent: same rows under a different layout
     again = exact_k_per_group(df.repartition(7), "grp", 5, "doc_id")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_pagerank_path_graph_mass_and_order(spark):
+    from qaapi_spark.operators.graph import pagerank
+
+    # path graph 1-2, 2-3: node 2 has degree 2 and must rank highest
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    r = {row["node"]: row["pagerank"] for row in pagerank(edges, iters=20).collect()}
+    assert set(r) == {1, 2, 3}
+    assert r[2] > r[1] and r[2] > r[3]
+    assert abs(r[1] - r[3]) < 1e-6  # symmetry of the path ends
+    assert abs(sum(r.values()) - 1.0) < 1e-4  # mass conserved mod rounding
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    from qaapi_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "id_a long, id_b long"
+    )
+    a = sorted(map(tuple, pagerank(edges, iters=7).collect()))
+    b = sorted(map(tuple, pagerank(edges, iters=7).collect()))
+    assert a == b
