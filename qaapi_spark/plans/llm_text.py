@@ -575,3 +575,79 @@ def bpe_token_counts(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return bpe_segment(d, _bpe_merges(spark, sf_dir)).orderBy("id")
+
+
+_GOPHER_MARKERS = "['the', 'a', 'of', 'and', 'to']"
+
+
+@query(
+    "text_gopher_rules_filter",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               (SELECT MAX(c) FROM (
+                    SELECT COUNT(*) AS c FROM UNNEST(toks) AS t(tok)
+                    GROUP BY tok)) AS maxc
+        FROM w
+    ),
+    s AS (
+        SELECT w.doc_id AS doc_id, len(toks) AS n,
+               len(list_distinct(toks)) AS nd,
+               len(list_intersect(toks, {_GOPHER_MARKERS})) AS sw,
+               m.maxc AS maxc
+        FROM w JOIN m ON w.doc_id = m.doc_id
+    )
+    SELECT doc_id,
+           (n >= 25 AND n <= 5000) AS r_length,
+           (3*nd >= n) AS r_diversity,
+           (8*maxc <= n) AS r_repetition,
+           (sw >= 1) AS r_stopwords,
+           (n >= 25 AND n <= 5000 AND 3*nd >= n AND 8*maxc <= n
+            AND sw >= 1) AS kept
+    FROM s ORDER BY doc_id
+    """,
+    doc="Gopher-style composite quality rules (Rae et al. 2021, "
+    "public): word-count window, lexical diversity >= 1/3, max "
+    "single-word share <= 1/8, stopword presence — every rule "
+    "compares INTEGER cross-products (3*nd >= n), never float "
+    "ratios, so boundary docs cannot flip between engines; one "
+    "token explode + two-level aggregate, map-side combining "
+    "(extension: quality filtering)",
+)
+def text_gopher_rules_filter(spark, sf_dir):
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = ws_tokens(F.lower(F.col("text")))
+    markers = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+        F.size(F.array_intersect(toks, markers)).alias("sw"),
+        toks.alias("toks"),
+    )
+    maxc = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("maxc"))
+    )
+    r_len = (F.col("n") >= 25) & (F.col("n") <= 5000)
+    r_div = 3 * F.col("nd") >= F.col("n")
+    r_rep = 8 * F.col("maxc") <= F.col("n")
+    r_sw = F.col("sw") >= 1
+    return (
+        base.join(maxc, "doc_id")
+        .select(
+            "doc_id",
+            r_len.alias("r_length"),
+            r_div.alias("r_diversity"),
+            r_rep.alias("r_repetition"),
+            r_sw.alias("r_stopwords"),
+            (r_len & r_div & r_rep & r_sw).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

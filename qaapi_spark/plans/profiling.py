@@ -247,3 +247,56 @@ def dq_checks_orders(spark, sf_dir):
         ],
         references=[("o_custkey", c, "c_custkey")],
     ).orderBy("check")
+
+
+@query(
+    "events_winsorize_stats_by_type",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS lo,
+               quantile_cont(value, 0.99) AS hi
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type AS event_type, COUNT(*) AS n,
+           SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS n_clip_low,
+           SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS n_clip_high,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi)
+                     AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 4)
+               AS mean_winsorized
+    FROM events e JOIN b ON e.event_type = b.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    doc="winsorization (p01/p99 clip) per event type: exact "
+    "interpolated percentiles once per group, bounds broadcast back "
+    "(group-count rows), clip is map-only, mean over DECIMAL sums "
+    "(order-independent, engine-exact); the standard robust-stats "
+    "prep before feature scaling (extension: profiling family)",
+)
+def events_winsorize_stats_by_type(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("lo"),
+        F.percentile("value", F.lit(0.99)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias(
+                "n_clip_low"
+            ),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias(
+                "n_clip_high"
+            ),
+            F.round(
+                F.sum(clipped.cast("decimal(28,14)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )
