@@ -374,3 +374,31 @@ def stream_static_enrich_segments(spark, sf_dir):
     return stream_static_enrich(
         spark, f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet"
     ).orderBy("c_mktsegment")
+
+
+@query(
+    "stream_attribution_left_outer",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           ROUND(p.value, 2) AS purchase_value
+    FROM events c LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+    WHERE c.event_type = 'click'
+    ORDER BY click_id, purchase_id
+    """,
+    doc="Structured Streaming LEFT OUTER stream-stream interval join: "
+    "unmatched clicks emit null-extended rows once the watermark "
+    "passes their window (a sentinel event advances the final "
+    "watermark so the bounded replay flushes completely — unneeded "
+    "on a real unbounded stream); state bounded to horizon+watermark "
+    "per side as in the inner variant (extension, SURVEY §2.9)",
+)
+def stream_attribution_left_outer(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import stream_interval_join_left
+
+    return stream_interval_join_left(spark, f"{sf_dir}/events.parquet").orderBy(
+        "click_id", "purchase_id"
+    )

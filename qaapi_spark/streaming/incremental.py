@@ -483,3 +483,114 @@ def stream_static_enrich(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def stream_interval_join_left(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "24 hours",
+    watermark: str = "48 hours",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """LEFT OUTER stream-stream event-time interval join: like
+    :func:`stream_interval_join`, plus every unmatched ``left_type``
+    event emits a null-extended row once the watermark passes its join
+    window — the attribution variant that also surfaces clicks that
+    never converted.
+
+    Outer emission is watermark-driven, so a bounded replay needs the
+    watermark to cross the LAST real event's window before the query
+    stops.  A sentinel file (one far-future event per joined type,
+    negative ids, disjoint users) rides behind the data: it passes the
+    per-side type filters, advances the event-time watermark past
+    every real window, and the no-data finalization batch then flushes
+    all pending state.  Sentinels are filtered from the result by id
+    sign.  This makes the streamed LEFT join value-equal to the batch
+    LEFT interval join — and therefore oracle-checkable.
+
+    At scale the sentinel trick is not needed (an unbounded stream's
+    watermark keeps advancing); state stays bounded to horizon +
+    watermark per side exactly as in the inner variant.
+    """
+    import datetime
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from qaapi_spark.sources.tables import events_stream_spec
+
+    raw_schema, normalize_ts = events_stream_spec(spark, events_path)
+    stage_dir = tempfile.mkdtemp(prefix="events_ssjl_")
+    os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, "part-0.parquet"))
+
+    max_ts = (
+        normalize_ts(spark.read.schema(raw_schema).parquet(events_path))
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    flush1 = max_ts + datetime.timedelta(days=10)
+    flush2 = max_ts + datetime.timedelta(days=20)
+    sent = spark.createDataFrame(
+        [
+            (-1, flush1, -1, left_type, None, None),
+            (-2, flush2, -2, right_type, None, None),
+        ],
+        raw_schema,
+    )
+    tmp = tempfile.mkdtemp(prefix="events_ssjl_sent_")
+    sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.copy(
+        glob.glob(tmp + "/part-*.parquet")[0],
+        os.path.join(stage_dir, "part-1.parquet"),
+    )
+
+    def side(tp: str, alias: str) -> DataFrame:
+        s = normalize_ts(
+            spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
+        )
+        return (
+            s.filter(F.col("event_type") == tp)
+            .withWatermark("ts", watermark)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+                F.col("value").alias(f"{alias}_value"),
+            )
+        )
+
+    joined = side(left_type, "c").join(
+        side(right_type, "p"),
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    )
+    name = "attribl_" + uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .filter(F.col("c_id") >= 0)
+        .select(
+            F.col("c_id").alias("click_id"),
+            F.col("p_id").alias("purchase_id"),
+            F.col("c_user").alias("user_id"),
+            F.round(F.col("p_value"), 2).alias("purchase_value"),
+        )
+    )
