@@ -431,3 +431,41 @@ def stream_rest_extraction_contacts(spark, sf_dir):
     return spark.sql(
         f"SELECT id, startTime, assocCallId FROM {name}"
     ).orderBy("id")
+
+
+@query(
+    "csv_agents_roster",
+    oracle=f"""
+    SELECT team,
+           COUNT(*) AS n_agents,
+           ROUND(SUM(fte), 2) AS total_fte,
+           MIN(hired) AS earliest_hire
+    FROM read_csv('{FIXTURES_DIR}/agents_roster.csv', header=true,
+                  columns={{'agent_id': 'BIGINT', 'name': 'VARCHAR',
+                            'team': 'VARCHAR', 'hired': 'DATE',
+                            'fte': 'DOUBLE'}})
+    GROUP BY team ORDER BY team
+    """,
+    doc="CSV source with declared schema (S-family format extension: "
+    "the reference lands JSON; an engine swap needs the same typed "
+    "ingest for delimited files) — schema-up-front read, no inference "
+    "pass, aggregate pushes through column pruning so the scan reads "
+    "only the grouped/aggregated columns",
+)
+def csv_agents_roster(spark, sf_dir):
+    df = (
+        spark.read.schema(
+            "agent_id bigint, name string, team string, hired date, fte double"
+        )
+        .option("header", "true")
+        .csv(f"{FIXTURES_DIR}/agents_roster.csv")
+    )
+    return (
+        df.groupBy("team")
+        .agg(
+            F.count("*").alias("n_agents"),
+            F.round(F.sum("fte"), 2).alias("total_fte"),
+            F.min("hired").alias("earliest_hire"),
+        )
+        .orderBy("team")
+    )

@@ -94,3 +94,41 @@ def test_read_entity_drops_malformed_file(spark, tmp_path):
 
     df = read_entity(spark, f"{tmp_path}/all_contacts_*.json", "all_contacts")
     assert df.count() == 30  # only the intact batch file's rows
+
+
+def test_csv_permissive_corrupt_record_capture(spark):
+    """CSV ingest (S-family format extension): PERMISSIVE mode lands
+    well-formed rows and captures the malformed line verbatim in
+    _corrupt_record instead of failing the batch (the CSV analogue of
+    the concatenated-JSON repair path)."""
+    df = (
+        spark.read.schema(
+            "agent_id bigint, name string, team string, hired date, "
+            "fte double, _corrupt_record string"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv("/root/repo/fixtures/agents_roster_dirty.csv")
+        .cache()
+    )
+    good = df.filter(df._corrupt_record.isNull())
+    bad = df.filter(df._corrupt_record.isNotNull())
+    assert good.count() == 2
+    assert {r["agent_id"] for r in good.collect()} == {201, 202}
+    assert bad.count() == 1
+    assert "not_a_number" in bad.collect()[0]["_corrupt_record"]
+    df.unpersist()
+
+
+def test_orc_round_trip_preserves_values(spark, tmp_path):
+    """ORC sink/source round trip (format extension): values, nulls,
+    and decimal types survive write->read bit-for-bit."""
+    src = spark.createDataFrame(
+        [(1, "a", 1.5, None), (2, "b", -2.25, "x"), (3, None, 0.0, "y")],
+        "id long, s string, v double, o string",
+    )
+    path = str(tmp_path / "orc_rt")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
