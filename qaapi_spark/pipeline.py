@@ -120,30 +120,54 @@ class CalabrioPipeline:
 
     # -- one incremental batch ------------------------------------------
     def run_batch(self, landing_dir: str, collect_counts: bool = True) -> dict[str, int]:
+        """One trailing-window batch.  An entity whose landing file is
+        absent is SKIPPED (its curated table keeps its prior state) —
+        the reference's partial flows (`Start.py:14-32` lands only
+        contacts) stage nothing for the other tables, so their merges
+        see an empty staging relation and no-op; skipping is the
+        engine-side equivalent that also cannot wipe a full-replace
+        table with an accidental empty batch."""
+        import glob as _glob
+
         spark = self.spark
-        forms = read_entity(spark, f"{landing_dir}/forms.json", "forms")
-        contacts = read_entity(spark, f"{landing_dir}/all_contacts_*.json", "all_contacts")
-        evals = read_entity(spark, f"{landing_dir}/fix_eval_raw.json", "evaluations")
-        comments = read_entity(spark, f"{landing_dir}/fix_comments_raw.json", "comments")
+
+        def _landed(pattern: str) -> bool:
+            return bool(_glob.glob(f"{landing_dir}/{pattern}"))
+
+        forms = contacts = evals = comments = None
+        if _landed("forms.json"):
+            forms = read_entity(spark, f"{landing_dir}/forms.json", "forms")
+        if _landed("all_contacts_*.json"):
+            contacts = read_entity(
+                spark, f"{landing_dir}/all_contacts_*.json", "all_contacts"
+            )
+        if _landed("fix_eval_raw.json"):
+            evals = read_entity(spark, f"{landing_dir}/fix_eval_raw.json", "evaluations")
+        if _landed("fix_comments_raw.json"):
+            comments = read_entity(
+                spark, f"{landing_dir}/fix_comments_raw.json", "comments"
+            )
 
         # forms: full replace (S14) — inherently a whole-table write
-        self._swap_write(T.forms_flatten(forms), "t_qa_forms")
+        if forms is not None:
+            self._swap_write(T.forms_flatten(forms), "t_qa_forms")
 
         # contacts: insert-only merge (J2) — existing rows keep their
         # original values; batch-internal duplicates collapse first
-        new_contacts = T.contacts_curated(contacts).dropDuplicates(["contact_id"])
-        self._reconcile(
-            "t_contacts",
-            new_contacts,
-            ["contact_id"],
-            lambda t, b: merge_insert_only(t, b, ["contact_id"]),
-        )
+        if contacts is not None:
+            new_contacts = T.contacts_curated(contacts).dropDuplicates(["contact_id"])
+            self._reconcile(
+                "t_contacts",
+                new_contacts,
+                ["contact_id"],
+                lambda t, b: merge_insert_only(t, b, ["contact_id"]),
+            )
 
         # evaluations: delete evals whose contact is in this batch but
         # which vanished upstream (J5), then upsert the batch (J3).
         # The matched-update column list excludes evaluated_date,
         # mirroring Update...sql:128-130.
-        batch_evals = T.evaluations_curated(evals)
+        batch_evals = T.evaluations_curated(evals) if evals is not None else None
 
         def _merge_evals(t: DataFrame, b: DataFrame) -> DataFrame:
             t = delete_semi_anti(
@@ -163,36 +187,45 @@ class CalabrioPipeline:
                 ],
             )
 
-        self._reconcile(
-            "t_qa_evaluations", batch_evals, ["evaluation_id"], _merge_evals
-        )
+        if batch_evals is not None:
+            self._reconcile(
+                "t_qa_evaluations", batch_evals, ["evaluation_id"], _merge_evals
+            )
 
-        # scores: delete-then-insert per contact in batch (S15/J5); the
-        # delete scope (batch contacts) can shrink buckets the inserted
-        # rows never touch, so it rides along as scope_df
-        batch_scores = T.scores_flatten(evals)
-        eval_contacts = batch_evals.select("contact_id").distinct()
-        self._reconcile(
-            "t_qa_evaluation_scores",
-            batch_scores,
-            ["contact_id"],
-            lambda t, b: t.join(eval_contacts, "contact_id", "left_anti").unionByName(b),
-            scope_df=eval_contacts,
-        )
+            # scores: delete-then-insert per contact in batch (S15/J5);
+            # the delete scope (batch contacts) can shrink buckets the
+            # inserted rows never touch, so it rides along as scope_df
+            batch_scores = T.scores_flatten(evals)
+            eval_contacts = batch_evals.select("contact_id").distinct()
+            self._reconcile(
+                "t_qa_evaluation_scores",
+                batch_scores,
+                ["contact_id"],
+                lambda t, b: t.join(
+                    eval_contacts, "contact_id", "left_anti"
+                ).unionByName(b),
+                scope_df=eval_contacts,
+            )
 
         # comments: delete-then-insert per contact in batch (S15,
         # Update...sql:176-182 "to address the possibility that a
         # comment was deleted")
-        batch_comments = T.comments_curated(comments)
-        contact_ids = contacts.select(contacts.id.alias("contact_id")).distinct()
-        self._reconcile(
-            "t_qa_evaluation_comments",
-            batch_comments,
-            ["contact_id"],
-            lambda t, b: t.join(contact_ids, "contact_id", "left_anti").unionByName(b),
-            scope_df=contact_ids,
-        )
+        if comments is not None and contacts is not None:
+            batch_comments = T.comments_curated(comments)
+            contact_ids = contacts.select(contacts.id.alias("contact_id")).distinct()
+            self._reconcile(
+                "t_qa_evaluation_comments",
+                batch_comments,
+                ["contact_id"],
+                lambda t, b: t.join(
+                    contact_ids, "contact_id", "left_anti"
+                ).unionByName(b),
+                scope_df=contact_ids,
+            )
 
         if not collect_counts:
             return {}
-        return {t: self.read(t).count() for t in CURATED}
+        return {
+            t: (df.count() if (df := self.read(t)) is not None else 0)
+            for t in CURATED
+        }

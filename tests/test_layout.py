@@ -130,3 +130,43 @@ def test_parquet_scan_pushdown_and_column_pruning(spark):
     # pruned projection: only the three touched columns in the scan
     assert "l_extendedprice" in scan and "l_shipdate" in scan
     assert "l_orderkey" not in scan and "l_comment" not in scan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketed co-located join (the 100 TB join strategy SCALE.md
+    names): both sides written with bucketBy+sortBy on the join key
+    join WITHOUT an Exchange on either side — pre-shuffled layout
+    replaces the runtime shuffle entirely."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    ta, tb = (f"bj_{uuid.uuid4().hex[:6]}_{s}" for s in ("a", "b"))
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("va")
+    )
+    right = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 31).alias("vb")
+    )
+    try:
+        for name, df in ((ta, left), (tb, right)):
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, "k")
+                .sortBy("k")
+                .saveAsTable(name)
+            )
+        # AQE off for a deterministic final plan; broadcast off so the
+        # join would otherwise need a full shuffle on both sides
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(ta).join(spark.table(tb), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 5_000
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for name in (ta, tb):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
