@@ -197,6 +197,8 @@ def main() -> None:
         "q_order": "sorted_names",
         "q_cs": [int(round(timings[n] * 100)) for n in names_sorted],
         "slowest": slowest,
+        "calib_cpu_s": out["calib_cpu_s"],
+        "calib_spark_s": out["calib_spark_s"],
     }
     if prev:
         compact["prev_round"] = prev_round
