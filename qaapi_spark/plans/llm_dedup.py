@@ -485,3 +485,45 @@ def graph_pagerank_neardup(spark, sf_dir):
     return prs.select(
         F.col("node").alias("doc_id"), "pagerank"
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_minhash_mllib",
+    doc="idiomatic-MLlib near-dup path (SURVEY §7.2-7: "
+    "ml.feature.MinHashLSH): shingles -> binary HashingTF vectors "
+    "(fixed 2^18 feature space) -> seeded MinHashLSH "
+    "approxSimilarityJoin at Jaccard distance <= 0.2 — the "
+    "banded-LSH candidate join runs inside MLlib; rows-only check "
+    "(LSH recall < 1 by design, so the result is a high-recall "
+    "SUBSET of the exact pair set; tests/test_mllib_lsh.py pins the "
+    "subset + planted-twin recall properties); the custom "
+    "dedup_minhash_lsh kernel remains the hash-verified default",
+)
+def dedup_minhash_mllib(spark, sf_dir):
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from qaapi_spark.operators.textstats import word_ngrams
+
+    d = t(spark, sf_dir, "documents")
+    sets = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(word_ngrams(F.lower(F.col("text")), 2)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feat = tf.transform(sets)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    )
+    model = lsh.fit(feat)
+    pairs = (
+        model.approxSimilarityJoin(feat, feat, 0.2, distCol="jdist")
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(1.0 - F.col("jdist"), 4).alias("jaccard"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return pairs.orderBy("id_a", "id_b")
