@@ -624,23 +624,29 @@ def simhash_fingerprints_portable(
     hashed = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok")).select(
         "id", h.alias("h")
     )
-    votes = hashed.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(bits)
-        ]
+    # per-bit votes as a narrow posexplode + two-level aggregate rather
+    # than one `bits`-wide aggregate: the wide form generated a Janino
+    # class whose one-time compile dominated the query (measured ~6.3 s
+    # cold vs ~5.6 s for this shape, and 2.0 s vs 0.1 s re-run); the
+    # (id, bit) relation map-side combines to id x bits rows per task,
+    # so the extra shuffle is tiny at any corpus size.
+    signs = F.expr(
+        f"transform(sequence(0, {bits - 1}), "
+        "j -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)"
     )
-    fp = None
-    for j in range(bits):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = term if fp is None else fp + term
-    return votes.select("id", fp.alias("fp"))
+    votes = (
+        hashed.select("id", F.posexplode(signs))
+        .toDF("id", "j", "s")
+        .groupBy("id", "j")
+        .agg(F.sum("s").alias("v"))
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, j)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("fp")
+    )
 
 
 def simhash_near_dup_pairs(
