@@ -527,3 +527,72 @@ def dedup_minhash_mllib(spark, sf_dir):
         .filter(F.col("id_a") < F.col("id_b"))
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+_CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id AS id, {_DD_WORDS} AS w FROM documents
+    ),
+    sets AS (
+        SELECT id,
+               list_distinct(CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS sh
+        FROM words
+    ),
+    sizes AS (SELECT id, len(sh) AS set_size FROM sets),
+    posting AS (SELECT id, unnest(sh) AS shingle FROM sets),
+    inter AS (
+        SELECT a.id AS src, b.id AS dst, COUNT(*) AS inter
+        FROM posting a JOIN posting b
+          ON a.shingle = b.shingle AND a.id <> b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT i.src, i.dst,
+           ROUND(i.inter * 1.0 / s.set_size, 4) AS containment
+    FROM inter i JOIN sizes s ON i.src = s.id
+    WHERE ROUND(i.inter * 1.0 / s.set_size, 4) >= {_CONTAINMENT_THRESHOLD}
+    ORDER BY src, dst
+    """,
+    doc="DIRECTED containment similarity |A∩B|/|A| >= threshold over "
+    "bigram shingles — catches near-SUBSET duplication (a doc quoted "
+    "or wrapped inside another) that symmetric Jaccard misses when "
+    "sizes differ; one inverted-index self-join with map-side "
+    "combining on the (src,dst) count, divisor broadcast back "
+    "(extension: dedup family; Broder 1997's containment measure)",
+)
+def dedup_containment_pairs(spark, sf_dir):
+    from qaapi_spark.operators.textstats import word_ngrams
+
+    d = t(spark, sf_dir, "documents")
+    sets = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(word_ngrams(F.lower(F.col("text")), 2)).alias("sh"),
+    )
+    sizes = sets.select("id", F.size("sh").alias("set_size"))
+    posting = sets.select("id", F.explode("sh").alias("shingle"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .agg(F.count("*").alias("inter"))
+    )
+    cont = F.round(F.col("inter") / F.col("set_size"), 4)
+    return (
+        # divisor side grows with the corpus: no explicit broadcast —
+        # AQE picks the strategy (the r2 policy: broadcast only fixed-
+        # size dims)
+        inter.join(sizes.select(F.col("id").alias("src"), "set_size"), "src")
+        .filter(cont >= _CONTAINMENT_THRESHOLD)
+        .select("src", "dst", cont.alias("containment"))
+        .orderBy("src", "dst")
+    )

@@ -193,3 +193,53 @@ def test_dq_checks_single_pass_plus_fk_join(spark):
     phys = agg._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in phys
     assert phys.count("FileScan") == 1
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_round3_ops_have_distributed_shapes(spark):
+    """Plan-shape guards for the round-3 wave: no cartesian products,
+    no corpus broadcasts, partial (map-side) aggregation where the
+    reduction is the scale lever."""
+    from qaapi_spark.plans import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+
+    # covariance: the d(d+1)/2-cell reduction must partial-aggregate
+    # (assert on the operator — the catalog query memoizes through a
+    # localCheckpoint, which replaces the plan with Scan ExistingRDD)
+    from qaapi_spark.operators.linalg import covariance_upper
+    from qaapi_spark.sources.tables import read_table
+
+    cov = covariance_upper(read_table(spark, sf, "embeddings"))
+    p = _physical(cov)
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2, "expected partial+final aggregate"
+
+    # PCA projection: map-only over the corpus — a single scan, no join
+    # against the embeddings relation beyond the covariance kernel
+    pca = CATALOG["emb_pca_pc1_power"].fn(spark, sf)
+    pp = _physical(pca)
+    assert "Join" not in pp.split("Scan parquet")[0], pp
+
+    # containment: inverted-index equi-join, never a cartesian product
+    cont = CATALOG["dedup_containment_pairs"].fn(spark, sf)
+    cp = _physical(cont)
+    assert "CartesianProduct" not in cp
+    assert "BroadcastNestedLoopJoin" not in cp
+
+
+def test_pagerank_plan_joins_on_edges_not_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.operators.graph import pagerank
+
+    edges = spark.range(0, 200).select(
+        F.col("id").alias("id_a"), ((F.col("id") * 7 + 1) % 200).alias("id_b")
+    )
+    pr = pagerank(edges, iters=3)
+    p = _physical(pr)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
