@@ -402,3 +402,86 @@ def stream_attribution_left_outer(spark, sf_dir):
     return stream_interval_join_left(spark, f"{sf_dir}/events.parquet").orderBy(
         "click_id", "purchase_id"
     )
+
+
+@query(
+    "multimodal_phash_dedup",
+    # aHash over the decode features: bit j set iff feature[j] exceeds
+    # the (sequential-fold) feature mean.  Feature values derive from
+    # identical integer histogram/total divisions on both engines, so
+    # the unrounded comparisons agree and the 8-bit hash reproduces in
+    # SQL — exact-hash bucketing then groups duplicates.
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    bytes AS (
+        SELECT media_id, unnest(range(0, n_bytes)) AS i FROM media
+    ),
+    vals AS (
+        SELECT b.media_id,
+               CAST(('0x' || substr(m.hx, CAST(2 * b.i + 1 AS INT), 2)) AS INT) % 8 AS bucket
+        FROM bytes b JOIN media m USING (media_id)
+    ),
+    hist AS (SELECT media_id, bucket, COUNT(*) AS cnt FROM vals GROUP BY 1, 2),
+    tot AS (SELECT media_id, SUM(cnt) AS total FROM hist GROUP BY 1),
+    featlist AS (
+        SELECT media_id, list(val ORDER BY bucket) AS fl FROM (
+            SELECT m.media_id, g.j AS bucket,
+                   COALESCE(h.cnt, 0) * 1.0 / t.total AS val
+            FROM media m
+            CROSS JOIN (SELECT unnest(range(0, 8)) AS j) g
+            LEFT JOIN hist h ON h.media_id = m.media_id AND h.bucket = g.j
+            JOIN tot t ON t.media_id = m.media_id
+        ) GROUP BY media_id
+    ),
+    hashes AS (
+        SELECT f.media_id, m.kind,
+               CAST((
+                   SELECT SUM(CASE WHEN f.fl[CAST(g.j AS INT) + 1] >
+                       list_reduce(f.fl, (a, b) -> a + b) / 8.0
+                       THEN 1 << CAST(g.j AS INT) ELSE 0 END)
+                   FROM (SELECT unnest(range(0, 8)) AS j) g
+               ) AS BIGINT) AS phash
+        FROM featlist f JOIN media m USING (media_id)
+    )
+    SELECT kind, phash, COUNT(*) AS n_items,
+           MIN(media_id) AS keep_id, MAX(media_id) AS max_id
+    FROM hashes GROUP BY kind, phash HAVING COUNT(*) > 1
+    ORDER BY kind, phash
+    """,
+    doc="perceptual-hash media dedup over the decode features (aHash: "
+    "bit j = feature j above the feature mean), exact-hash bucketing "
+    "per media kind — ONE hash aggregate, the scale shape of "
+    "image/audio near-dup grouping; with real codecs the same "
+    "plumbing hashes DCT lowpass coefficients instead (extension: "
+    "multimodal x dedup)",
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    from qaapi_spark.operators.multimodal import decode_features, synthesize_media
+
+    f = decode_features(synthesize_media(t(spark, sf_dir, "documents")))
+    mean = F.aggregate(
+        "features", F.lit(0.0), lambda acc, v: acc + v
+    ) / F.lit(8.0)
+    phash = None
+    for j in range(8):
+        term = F.when(
+            F.element_at("features", j + 1) > mean, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        phash = term if phash is None else phash + term
+    return (
+        f.select("kind", phash.alias("phash"), "media_id")
+        .groupBy("kind", "phash")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("media_id").alias("keep_id"),
+            F.max("media_id").alias("max_id"),
+        )
+        .filter(F.col("n_items") > 1)
+        .orderBy("kind", "phash")
+    )
