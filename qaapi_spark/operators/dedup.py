@@ -229,6 +229,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     _sets: DataFrame | None = None,
+    measure: str = "jaccard",
 ) -> DataFrame:
     """Exact ngram-Jaccard pairs via bitset intersection kernel.
 
@@ -336,6 +337,16 @@ def ngram_jaccard_pairs(
                             .sum(axis=2)
                             .astype(np.int64)
                         )
+                if measure == "containment":
+                    # DIRECTED: inter / |A| for the slice's rows as A
+                    score = np.round(inter / np.maximum(s_sizes[:, None], 1), 4)
+                    ii, jj = np.nonzero(
+                        (score >= threshold) & (s_ids[:, None] != c_ids[None, :])
+                    )
+                    yield pd.DataFrame(
+                        {"src": s_ids[ii], "dst": c_ids[jj], "containment": score[ii, jj]}
+                    )
+                    continue
                 union = s_sizes[:, None] + c_sizes[None, :] - inter
                 jac = np.round(inter / np.maximum(union, 1), 4)
                 ii, jj = np.nonzero((jac >= threshold) & (s_ids[:, None] < c_ids[None, :]))
@@ -343,6 +354,8 @@ def ngram_jaccard_pairs(
                     {"id_a": s_ids[ii], "id_b": c_ids[jj], "jaccard": jac[ii, jj]}
                 )
 
+    if measure == "containment":
+        return slices.mapInPandas(gen, "src long, dst long, containment double")
     return slices.mapInPandas(gen, "id_a long, id_b long, jaccard double")
 
 
@@ -728,3 +741,72 @@ def simhash_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.lit(0).alias("hamming"))
     )
     return cross_fp.unionByName(same_fp).select("id_a", "id_b", "hamming")
+
+
+def containment_pairs_sparse(
+    df: DataFrame,
+    threshold: float,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DIRECTED containment pairs (src, dst, containment = |A∩B|/|A|)
+    via the inverted-index posting join — the open-vocabulary shape
+    (posting lists cold, the equi-join stays sparse).  Containment has
+    no AllPairs prefix bound (the measure is asymmetric), so there is
+    no prefix filter here; for bounded vocabularies use the dense GEMM
+    path (`containment_pairs_auto` selects)."""
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    sizes = sets.select("id", F.size("sh").alias("set_size"))
+    posting = sets.select("id", F.explode("sh").alias("shingle"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .agg(F.count("*").alias("inter"))
+    )
+    cont = F.round(F.col("inter") / F.col("set_size"), 4)
+    return (
+        inter.join(sizes.select(F.col("id").alias("src"), "set_size"), "src")
+        .filter(cont >= threshold)
+        .select("src", "dst", cont.alias("containment"))
+    )
+
+
+def containment_pairs_auto(
+    df: DataFrame,
+    threshold: float,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dense_max_vocab: int = 4096,
+    dense_max_docs: int = 200_000,
+) -> DataFrame:
+    """Regime selector for directed containment, mirroring
+    `ngram_jaccard_pairs_auto`: bounded vocab + bounded corpus -> the
+    packed-bitset GEMM kernel scoring inter/|A| (a hot-posting corpus
+    degenerates the index join to ~n^2 joined rows — measured 61 s vs
+    ~3 s at sf0.1); anything bigger -> the sparse posting join."""
+    spark = df.sparkSession
+    from qaapi_spark.session import register_kernel_cache
+
+    sets = register_kernel_cache(
+        _hashed_shingle_sets(
+            df.repartition(spark.sparkContext.defaultParallelism), n, text_col, id_col
+        ).persist()
+    )
+    nvocab = (
+        sets.select(F.explode("sh").alias("shingle")).distinct().count()
+    )
+    if nvocab <= dense_max_vocab and sets.count() <= dense_max_docs:
+        return ngram_jaccard_pairs(
+            df, threshold, n, text_col, id_col, _sets=sets, measure="containment"
+        )
+    return containment_pairs_sparse(df, threshold, n, text_col, id_col)

@@ -514,7 +514,7 @@ def dedup_minhash_mllib(spark, sf_dir):
     )
     feat = tf.transform(sets)
     lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+        inputCol="features", outputCol="hashes", numHashTables=4, seed=42
     )
     model = lsh.fit(feat)
     pairs = (
@@ -567,32 +567,9 @@ _CONTAINMENT_THRESHOLD = 0.8
     "(extension: dedup family; Broder 1997's containment measure)",
 )
 def dedup_containment_pairs(spark, sf_dir):
-    from qaapi_spark.operators.textstats import word_ngrams
+    from qaapi_spark.operators.dedup import containment_pairs_auto
 
     d = t(spark, sf_dir, "documents")
-    sets = d.select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(word_ngrams(F.lower(F.col("text")), 2)).alias("sh"),
-    )
-    sizes = sets.select("id", F.size("sh").alias("set_size"))
-    posting = sets.select("id", F.explode("sh").alias("shingle"))
-    a, b = posting.alias("a"), posting.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
-        .agg(F.count("*").alias("inter"))
-    )
-    cont = F.round(F.col("inter") / F.col("set_size"), 4)
-    return (
-        # divisor side grows with the corpus: no explicit broadcast —
-        # AQE picks the strategy (the r2 policy: broadcast only fixed-
-        # size dims)
-        inter.join(sizes.select(F.col("id").alias("src"), "set_size"), "src")
-        .filter(cont >= _CONTAINMENT_THRESHOLD)
-        .select("src", "dst", cont.alias("containment"))
-        .orderBy("src", "dst")
+    return containment_pairs_auto(d, _CONTAINMENT_THRESHOLD, n=2).orderBy(
+        "src", "dst"
     )
