@@ -463,3 +463,74 @@ def emb_pca_project2d(spark, sf_dir):
     dim = max(j for _, j, _ in cov_rows)
     v1, v2 = power_iteration_two(cov_rows, dim, iters=_PCA_ITERS)
     return project_scores2(e, v1, v2).orderBy("vec_id")
+
+
+@query(
+    "emb_pca_explained_variance",
+    oracle=f"""
+    WITH {_COV_CTES},
+    covf AS MATERIALIZED (
+        SELECT i, j, cov FROM covu
+        UNION ALL SELECT j AS i, i AS j, cov FROM covu WHERE i <> j
+    ),
+    cmat AS MATERIALIZED (
+        SELECT i, list(cov ORDER BY j) AS row FROM covf GROUP BY i
+    ),
+    dd AS (SELECT len(x) AS d FROM e LIMIT 1),
+    p0 AS MATERIALIZED (SELECT list_transform(range(1, d+1),
+                  q -> ROUND(1.0/sqrt(d), 6)) AS v FROM dd)
+    {_iter_chain("cmat", "p", _PCA_ITERS)[0]},
+    lamw AS (
+        SELECT list(wi ORDER BY i) AS ws FROM (
+            SELECT c.i AS i,
+                   list_reduce(list_transform(range(1, len(c.row)+1),
+                       q -> c.row[q]*v.v[q]), (a,b) -> a + b) AS wi
+            FROM cmat c CROSS JOIN p{_PCA_ITERS} v)
+    ),
+    lam AS (
+        SELECT ROUND(list_reduce(list_transform(range(1, len(v.v)+1),
+                   q -> v.v[q]*w.ws[q]), (a,b) -> a + b), 6) AS l
+        FROM p{_PCA_ITERS} v CROSS JOIN lamw w
+    ),
+    trace AS (
+        SELECT ROUND(SUM(cov), 6) AS tr FROM covu WHERE i = j
+    )
+    SELECT lam.l AS lambda1, trace.tr AS total_variance,
+           ROUND(lam.l / trace.tr, 4) AS explained_ratio
+    FROM lam CROSS JOIN trace
+    """,
+    doc="PCA summary statistics: leading eigenvalue lambda1 = v1·Cv1 "
+    "(sequential folds over the snapped eigenvector — engine-exact), "
+    "total variance = trace(C) from the same covariance kernel, and "
+    "the explained-variance ratio — the number a curation pipeline "
+    "checks before trusting a 1-D/2-D semantic projection "
+    "(extension: embedding analytics)",
+)
+def emb_pca_explained_variance(spark, sf_dir):
+    from qaapi_spark.operators.linalg import (
+        _seq_dot,
+        _snap,
+        power_iteration_pc1,
+    )
+
+    cov_rows = [
+        (r["i"], r["j"], r["cov"]) for r in _cov_kernel(spark, sf_dir).collect()
+    ]
+    dim = max(j for _, j, _ in cov_rows)
+    c = [[0.0] * dim for _ in range(dim)]
+    for i, j, cv in cov_rows:
+        c[i - 1][j - 1] = cv
+        c[j - 1][i - 1] = cv
+    v1 = power_iteration_pc1(cov_rows, dim, iters=_PCA_ITERS)
+    w = [_seq_dot(c[i], v1) for i in range(dim)]
+    lam = _snap(_seq_dot(v1, w), 6)
+    # trace in the same decimal-snap arithmetic as the oracle's SUM of
+    # 6dp-rounded diagonal cells (exact decimal addition, then snap)
+    from decimal import Decimal
+
+    tr = float(sum(Decimal(repr(cv)) for i, j, cv in cov_rows if i == j))
+    tr = _snap(tr, 6)
+    row = [(lam, tr, _snap(lam / tr, 4) + 0.0)]
+    return spark.createDataFrame(
+        row, "lambda1 double, total_variance double, explained_ratio double"
+    )

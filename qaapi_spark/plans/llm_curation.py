@@ -195,3 +195,60 @@ def curation_apply_mixture_sample(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "curation_ngram_novelty",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id AS id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+        FROM documents
+    ),
+    sets AS (
+        SELECT id,
+               list_distinct(CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS sh
+        FROM words
+    ),
+    posting AS (SELECT id, unnest(sh) AS shingle FROM sets),
+    firsts AS (SELECT shingle, MIN(id) AS first_id FROM posting GROUP BY shingle)
+    SELECT p.id AS doc_id, COUNT(*) AS n_shingles,
+           SUM(CASE WHEN p.id = f.first_id THEN 1 ELSE 0 END) AS n_novel,
+           ROUND(SUM(CASE WHEN p.id = f.first_id THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS novelty
+    FROM posting p JOIN firsts f ON p.shingle = f.shingle
+    GROUP BY p.id ORDER BY doc_id
+    """,
+    doc="n-gram novelty per document: the share of a doc's bigrams "
+    "FIRST introduced by it in id order — the streaming-novelty "
+    "signal curation pipelines use to deprioritize late near-copies "
+    "without pairwise comparison; one shingle-min aggregate + one "
+    "equi-join back, both map-side combining, no pair explosion "
+    "(extension: curation family)",
+)
+def curation_ngram_novelty(spark, sf_dir):
+    from qaapi_spark.operators.dedup import word_shingles
+
+    d = t(spark, sf_dir, "documents")
+    sets = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(word_shingles(F.col("text"), 2)).alias("sh"),
+    )
+    posting = sets.select("id", F.explode("sh").alias("shingle"))
+    firsts = posting.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    novel = F.sum(
+        F.when(F.col("id") == F.col("first_id"), 1).otherwise(0)
+    )
+    return (
+        posting.join(firsts, "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(novel / F.count("*"), 4).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
