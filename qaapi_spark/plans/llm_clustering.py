@@ -180,6 +180,11 @@ def _semdedup_oracle(k: int, iters: int, dp: int, thr: float) -> str:
     "(extension: LLM-pipeline dedup family)",
 )
 def dedup_semantic_kmeans(spark, sf_dir):
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     e = t(spark, sf_dir, "embeddings")
     asg = _lloyd_kernel(spark, sf_dir).select("vec_id", "cluster")
     norm = F.sqrt(
@@ -195,24 +200,30 @@ def dedup_semantic_kmeans(spark, sf_dir):
             "embedding", lambda v: v.cast("double") / norm
         ).alias("uv"),
     ).join(asg, "vec_id")
-    a, b = u.alias("a"), u.alias("b")
-    cos = F.round(
-        F.aggregate(
-            F.zip_with(F.col("a.uv"), F.col("b.uv"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        4,
-    )
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    # per-cluster upper-triangle GEMM (the SemDeDup paper's own shape:
+    # clustering exists precisely to bound this quadratic kernel) — a
+    # vec drops iff some LOWER-ID cluster-mate has rounded cosine >=
+    # threshold.  Rounding to 4dp matches the SQL oracle's
+    # ROUND(list_dot_product(...), 4) (same contract the exact
+    # embedding-cosine queries hash-pass with).
+    def drop_scan(
+        key, pdf: pd.DataFrame
+    ) -> pd.DataFrame:  # one pandas group per cluster
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["uv"].iloc[order]]
         )
-        .filter(cos >= _SEM_THRESHOLD)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
+        sims = np.round(m @ m.T, 4)
+        lower = np.tril(np.ones_like(sims, dtype=bool), k=-1)
+        dropped = ((sims >= _SEM_THRESHOLD) & lower).any(axis=1)
+        return pd.DataFrame({"vec_id": ids[dropped]})
+
+    dropped = (
+        u.groupBy("cluster")
+        .applyInPandas(drop_scan, "vec_id long")
         .withColumn("hit", F.lit(True))
     )
     return (

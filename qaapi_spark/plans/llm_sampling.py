@@ -112,3 +112,62 @@ def sample_exact_k_per_source(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "sample_quality_weighted",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, lang,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               len(list_distinct(w)) AS nd, len(w) AS n,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) AS u24
+        FROM words
+    )
+    SELECT doc_id, lang,
+           ROUND(nd * 1.0 / n, 4) AS weight
+    FROM scored
+    WHERE u24 * n < nd * 16777216
+    ORDER BY doc_id
+    """,
+    doc="deterministic importance sampling: accept doc iff its "
+    "portable md5-uniform (24 hex bits) falls below its quality "
+    "weight (lexical diversity nd/n) — acceptance compared as an "
+    "INTEGER cross-product (u24 * n < nd * 2^24), so no float "
+    "boundary can flip between engines; map-only, seed-free, "
+    "rerun-stable — the curation move that upsamples high-quality "
+    "documents without any global pass (extension: sampling family)",
+)
+def sample_quality_weighted(spark, sf_dir):
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.array_distinct(toks)).alias("nd"),
+        F.size(toks).alias("n"),
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        )
+        .cast("long")
+        .alias("u24"),
+    )
+    return (
+        scored.filter(
+            F.col("u24") * F.col("n") < F.col("nd") * F.lit(1 << 24)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("nd") / F.col("n"), 4).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
