@@ -1,0 +1,96 @@
+"""Multi-executor realism: a representative cross-section of the
+catalog runs under ``local-cluster[2,4,1024]`` — real executor JVMs
+with serialization/broadcast boundaries that ``local[*]`` hides — and
+still hash-matches the DuckDB oracles.
+
+Runs in a subprocess so the cluster-mode SparkSession cannot collide
+with the suite's shared local[*] session fixture.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+# families chosen to exercise executor-boundary machinery:
+#   broadcast bitset kernel (dedup_ngram_jaccard), broadcast centroid
+#   row + iterative decimal aggs (emb_kmeans_lloyd3), Arrow python
+#   workers on executors (dedup_semantic_kmeans), band-key shuffles
+#   (dedup_minhash_lsh), persist across executors + iterative joins
+#   (graph_pagerank_neardup), JSON landing + nested flatten
+#   (calabrio_contacts_curated), plain join+agg and window baselines.
+QUERIES = [
+    "q5_revenue_by_nation",
+    "w3_rolling_daily_events",
+    "calabrio_contacts_curated",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "emb_kmeans_lloyd3",
+    "dedup_semantic_kmeans",
+    "graph_pagerank_neardup",
+    "sketch_hll_portable",
+]
+
+_RUNNER = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local-cluster[2,4,3072]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.executor.memory", "2g")
+    # the deployment knob local[*] hides: executor python workers must
+    # be able to import qaapi_spark (--py-files / PYTHONPATH in prod)
+    .config("spark.executorEnv.PYTHONPATH", "/root/repo")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from qaapi_spark.plans import CATALOG
+out = {}
+for name in %s:
+    df = CATALOG[name].fn(spark, "/root/testdata/sf0.001")
+    rows = sorted(
+        tuple(str(v) for v in r) for r in df.collect()
+    )
+    out[name] = {"n": len(rows), "sig": hash(tuple(map(tuple, rows))) & 0xFFFFFFFF,
+                 "rows": rows[:3]}
+print("RESULT::" + json.dumps(out))
+spark.stop()
+"""
+
+
+def test_catalog_cross_section_on_local_cluster():
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    from qaapi_spark.plans import CATALOG
+
+    proc = subprocess.run(
+        [sys.executable, "-c", _RUNNER % json.dumps(QUERIES)],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT::")]
+    assert line, proc.stdout[-2000:]
+    got = json.loads(line[0][len("RESULT::"):])
+
+    con = duckdb.connect()
+    for tname in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{tname}.parquet'"
+        )
+    for name in QUERIES:
+        rec = got[name]
+        oracle = CATALOG[name].oracle
+        if oracle is None:
+            assert rec["n"] > 0, name
+            continue
+        want = con.execute(oracle).fetchall()
+        assert rec["n"] == len(want), (name, rec["n"], len(want))
