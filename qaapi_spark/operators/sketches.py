@@ -449,3 +449,136 @@ def heavy_hitters_exact(df: DataFrame, key: Column | str, k: int) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("key"))
         .limit(k)
     )
+
+
+def hll_windowed_users(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    window_hours: int = 6,
+    p: int = 8,
+) -> DataFrame:
+    """Sliding-window distinct-count via SKETCH MERGE: hourly HLL
+    registers are computed ONCE from the raw events, then each hour's
+    2**p registers replicate into the ``window_hours`` windows that
+    contain the hour and merge by register MAX — the raw data is never
+    rescanned per window.  That merge step is the whole reason
+    mergeable sketches exist at 100 TB: pre-aggregated hourly sketches
+    (2**p rows/hour) roll into any window length for free.
+
+    Output: (window_start_s, hll_est, exact_users) — the exact
+    companion rides along so the estimate's error is visible in every
+    result row.  Same md5 hash family + integral register sums as
+    :func:`hll_portable`, so the whole thing value-hash-reproduces in
+    DuckDB.
+    """
+    if p % 4:
+        raise ValueError("p must be a multiple of 4 (hex-aligned)")
+    m = 1 << p
+    hex_b = p // 4
+    two49 = 1 << 49
+    h = F.md5(F.col(key).cast("string"))
+    bucket = F.conv(F.substring(h, 1, hex_b), 16, 10).cast("int")
+    w = F.conv(F.substring(h, hex_b + 1, 12), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(w)))
+    hour = (F.floor(F.unix_timestamp(F.col(ts_col)) / 3600) * 3600).cast("long")
+
+    hourly = (
+        df.select(hour.alias("h"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("h", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    ks = F.array(*[F.lit(k) for k in range(window_hours)])
+    merged = (
+        hourly.select(
+            F.explode(ks).alias("k"), "h", "bucket", "mj"
+        )
+        .select((F.col("h") - F.col("k") * 3600).alias("ws"), "bucket", "mj")
+        .groupBy("ws", "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+    per_w = merged.groupBy("ws").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 49 - mj)")).alias("s_present"),
+        F.count("*").alias("nb"),
+    )
+    v = F.lit(m) - F.col("nb")
+    s = F.col("s_present") + v.cast("long") * F.lit(two49)
+    numer = 0.7213 / (1.0 + 1.079 / m) * float(m) * float(m) * float(two49)
+    e_raw = F.lit(numer) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    ests = per_w.select(F.col("ws"), F.round(est, 4).alias("hll_est"))
+
+    exact = (
+        df.select(hour.alias("h"), F.col(key).alias("k_"))
+        .distinct()
+        .select(F.explode(ks).alias("k"), "h", "k_")
+        .select((F.col("h") - F.col("k") * 3600).alias("ws"), "k_")
+        .groupBy("ws")
+        .agg(F.countDistinct("k_").alias("exact_users"))
+    )
+    return ests.join(exact, "ws").select(
+        F.col("ws").alias("window_start_s"), "hll_est", "exact_users"
+    )
+
+
+def hll_windowed_oracle_sql(
+    table: str,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    window_hours: int = 6,
+    p: int = 8,
+) -> str:
+    """DuckDB mirror of :func:`hll_windowed_users`."""
+    m = 1 << p
+    hex_b = p // 4
+    two49 = 1 << 49
+    numer = 0.7213 / (1.0 + 1.079 / m) * float(m) * float(m) * float(two49)
+    e_raw = (
+        f"CAST({numer!r} AS DOUBLE) / "
+        f"(s_present + CAST({m} - nb AS BIGINT) * ({two49}::BIGINT))"
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT CAST(FLOOR(epoch({ts_col}) / 3600) AS BIGINT) * 3600 AS h,
+               CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, {hex_b})) AS BIGINT) AS bucket,
+               CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), {hex_b + 1}, 12)) AS BIGINT) AS w,
+               {key} AS k_
+        FROM {table}
+    ),
+    hourly AS (
+        SELECT h, bucket,
+               MAX(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS mj
+        FROM hashed GROUP BY h, bucket
+    ),
+    merged AS (
+        SELECT h - k.k * 3600 AS ws, bucket, MAX(mj) AS mj
+        FROM hourly CROSS JOIN (SELECT unnest(range(0, {window_hours})) AS k) k
+        GROUP BY ws, bucket
+    ),
+    per_w AS (
+        SELECT ws, SUM(1::BIGINT << (49 - mj)) AS s_present, COUNT(*) AS nb
+        FROM merged GROUP BY ws
+    ),
+    ests AS (
+        SELECT ws,
+               ROUND(CASE WHEN ({e_raw}) <= CAST({2.5 * m!r} AS DOUBLE)
+                           AND ({m} - nb) > 0
+                     THEN CAST({float(m)!r} AS DOUBLE)
+                          * ln(CAST({float(m)!r} AS DOUBLE) / CAST({m} - nb AS DOUBLE))
+                     ELSE {e_raw}
+                     END, 4) AS hll_est
+        FROM per_w
+    ),
+    exact AS (
+        SELECT ws, COUNT(DISTINCT k_) AS exact_users FROM (
+            SELECT DISTINCT h, k_ FROM hashed
+        ) CROSS JOIN (SELECT unnest(range(0, {window_hours})) AS k) k2,
+        LATERAL (SELECT h - k2.k * 3600 AS ws) w
+        GROUP BY ws
+    )
+    SELECT e.ws AS window_start_s, e.hll_est, x.exact_users
+    FROM ests e JOIN exact x ON e.ws = x.ws
+    """

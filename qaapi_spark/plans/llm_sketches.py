@@ -5,6 +5,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from qaapi_spark.operators.sketches import (
+    hll_windowed_oracle_sql,
+    hll_windowed_users,
     cms_build,
     kmv_overlap,
     kmv_overlap_oracle_sql,
@@ -182,3 +184,18 @@ def sketch_cms_user_counts(spark, sf_dir):
 def sketch_kmv_user_overlap(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     return kmv_overlap(e, "user_id", "event_type").orderBy("group_a", "group_b")
+
+
+@query(
+    "sketch_hll_windowed_users",
+    oracle=hll_windowed_oracle_sql("events") + " ORDER BY window_start_s",
+    doc="sliding-window distinct users via SKETCH MERGE: hourly HLL "
+    "registers computed once from the raw events, replicated into the "
+    "6 containing windows, merged by register MAX — the raw data is "
+    "never rescanned per window (the mergeability property that makes "
+    "sketches the 100 TB distinct-count path); exact companion rides "
+    "in every row so the estimate's error is visible (extension)",
+)
+def sketch_hll_windowed_users(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return hll_windowed_users(e).orderBy("window_start_s")
