@@ -573,3 +573,68 @@ def dedup_containment_pairs(spark, sf_dir):
     return containment_pairs_auto(d, _CONTAINMENT_THRESHOLD, n=2).orderBy(
         "src", "dst"
     )
+
+
+@query(
+    "dedup_cluster_report",
+    oracle=f"""
+    WITH RECURSIVE {_DD_JACCARD_PAIRS},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    labels AS (
+        SELECT node AS doc_id, MIN(r) AS comp FROM reach GROUP BY node
+    ),
+    toks AS (
+        SELECT doc_id,
+               len(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                   ELSE string_split_regex(trim(lower(text)), '\\s+') END)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT l.comp AS comp, COUNT(*) AS n_docs,
+           MIN(l.doc_id) AS keeper_id,
+           SUM(t.n_tokens) AS total_tokens,
+           SUM(CASE WHEN l.doc_id <> l.comp THEN t.n_tokens ELSE 0 END)
+               AS removable_tokens
+    FROM labels l JOIN toks t ON t.doc_id = l.doc_id
+    GROUP BY l.comp HAVING COUNT(*) > 1
+    ORDER BY comp
+    """,
+    doc="near-dup cluster report: per connected component with >1 doc "
+    "— member count, min-id keeper, total and removable token mass "
+    "(what dedup would delete) — the artifact a curation run reviews "
+    "before committing a dedup pass; reuses the memoized CC labels, "
+    "adds one token-count join + aggregate (extension: dedup family)",
+)
+def dedup_cluster_report(spark, sf_dir):
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    d = t(spark, sf_dir, "documents")
+    labels = cc_jaccard_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "comp"
+    )
+    toks = d.select(
+        "doc_id", F.size(ws_tokens(F.lower(F.col("text")))).alias("n_tokens")
+    )
+    return (
+        labels.join(toks, "doc_id")
+        .groupBy("comp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_id"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("comp"), F.col("n_tokens")).otherwise(0)
+            ).alias("removable_tokens"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("comp")
+    )
