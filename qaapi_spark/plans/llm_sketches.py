@@ -199,3 +199,24 @@ def sketch_kmv_user_overlap(spark, sf_dir):
 def sketch_hll_windowed_users(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     return hll_windowed_users(e).orderBy("window_start_s")
+
+
+@query(
+    "stream_hll_running_users",
+    oracle=hll_portable_oracle_sql("events", "user_id", ["event_type"])
+    + " ORDER BY event_type",
+    doc="STREAMING distinct-count via mergeable HLL register state: "
+    "each micro-batch max-merges its (group, bucket) registers into a "
+    "2^p-row store (foreachBatch; the input staged as 3 disjoint "
+    "slices so cross-batch merging really happens).  Register-max is "
+    "associative + commutative, so the final stream state is "
+    "bit-equal to the batch sketch — the streamed approximate "
+    "operator shares the batch query's exact SQL oracle "
+    "(extension, SURVEY §2.9 x sketches)",
+)
+def stream_hll_running_users(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import stream_hll_running
+
+    return stream_hll_running(spark, f"{sf_dir}/events.parquet").orderBy(
+        "event_type"
+    )

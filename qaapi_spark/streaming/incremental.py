@@ -594,3 +594,115 @@ def stream_interval_join_left(
             F.round(F.col("p_value"), 2).alias("purchase_value"),
         )
     )
+
+
+def stream_hll_running(
+    spark: SparkSession,
+    events_path: str,
+    state_partitions: int | None = 8,
+    n_splits: int = 3,
+    p: int = 8,
+) -> DataFrame:
+    """Streaming distinct-count via MERGEABLE HLL register state: each
+    micro-batch computes its own (group, bucket) -> max-rho registers
+    and MAX-merges them into a tiny parquet register store (2**p rows
+    per group, however much data streams through).  Register-max merge
+    is associative and commutative, so the final state is bit-equal to
+    the batch computation over all the data — which makes the running
+    streaming sketch value-hash-checkable against the SAME DuckDB
+    oracle as the batch `sketch_hll_portable` query.
+
+    The input file is staged as ``n_splits`` disjoint id-range slices
+    so availableNow really exercises cross-batch merging (one file per
+    trigger), not a single-batch degenerate run.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.operators.sketches import hll_portable
+    from qaapi_spark.sources.tables import events_stream_spec
+
+    raw_schema, normalize_ts = events_stream_spec(spark, events_path)
+    raw = spark.read.schema(raw_schema).parquet(events_path)
+    lo, hi = raw.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
+    stage_dir = tempfile.mkdtemp(prefix="events_hll_stream_")
+    for i in range(n_splits):
+        (
+            raw.filter(
+                (F.col("event_id") >= int(lo) + i * step)
+                & (F.col("event_id") < int(lo) + (i + 1) * step + (1 if i == n_splits - 1 else 0) * (1 << 60))
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage_dir, f"slice={i}"))
+        )
+    store_dir = tempfile.mkdtemp(prefix="events_hll_store_") + "/regs"
+
+    m = 1 << p
+    hex_b = p // 4
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, hex_b), 16, 10).cast("int")
+    w = F.conv(F.substring(h, hex_b + 1, 12), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(w)))
+
+    def merge_batch(bdf, epoch_id: int) -> None:
+        regs = (
+            bdf.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("mj"))
+        )
+        try:
+            prev = bdf.sparkSession.read.parquet(store_dir)
+            regs = (
+                regs.unionByName(prev)
+                .groupBy("event_type", "bucket")
+                .agg(F.max("mj").alias("mj"))
+            )
+        except Exception:
+            pass
+        # tiny relation (groups x 2**p rows): rewrite wholesale per epoch
+        regs.coalesce(1).write.mode("overwrite").parquet(store_dir + ".next")
+        import shutil
+
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.move(store_dir + ".next", store_dir)
+
+    stream = spark.readStream.schema(raw_schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(stage_dir + "/slice=*")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="hll_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    # final estimate from the merged register store: reuse the batch
+    # estimator arithmetic by round-tripping registers through the
+    # identical formula (operators/sketches.hll_portable over a
+    # synthetic relation would re-hash, so compute from registers
+    # directly with the same expressions)
+    two49 = 1 << 49
+    regs = spark.read.parquet(store_dir)
+    per_group = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 49 - mj)")).alias("s_present"),
+        F.count("*").alias("nb"),
+    )
+    v = F.lit(m) - F.col("nb")
+    s = F.col("s_present") + v.cast("long") * F.lit(two49)
+    numer = 0.7213 / (1.0 + 1.079 / m) * float(m) * float(m) * float(two49)
+    e_raw = F.lit(numer) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return per_group.select("event_type", F.round(est, 4).alias("hll_est"))
