@@ -252,3 +252,73 @@ def curation_ngram_novelty(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "curation_dedup_training_order",
+    # composition oracle: the recursive-CTE component labels pick the
+    # keepers (doc_id == comp), then the portable md5 shuffle ranks
+    # ONLY the keepers — the end-to-end dedup -> order curation flow
+    oracle="""
+    WITH RECURSIVE words AS (
+        SELECT doc_id AS id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+        FROM documents
+    ),
+    sets AS (
+        SELECT id,
+               list_distinct(CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS sh
+        FROM words
+    ),
+    sizes AS (SELECT id, len(sh) AS set_size FROM sets),
+    posting AS (SELECT id, unnest(sh) AS shingle FROM sets),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes sa ON i.id_a = sa.id
+        JOIN sizes sb ON i.id_b = sb.id
+        WHERE ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4)
+              >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    labels AS (SELECT node AS doc_id, MIN(r) AS comp FROM reach GROUP BY node),
+    keepers AS (SELECT doc_id FROM labels WHERE doc_id = comp)
+    SELECT doc_id,
+           md5('seed0-' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('seed0-' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS train_rank
+    FROM keepers ORDER BY train_rank
+    """,
+    doc="end-to-end curation composition: near-dup CONNECTED-COMPONENT "
+    "keepers (memoized cc labels, min-id representative) fed into the "
+    "reproducible md5 training order — dedup then shuffle, the two "
+    "steps every pretraining data pipeline chains; keeper filter is a "
+    "map-only comparison on the labels relation (extension)",
+)
+def curation_dedup_training_order(spark, sf_dir):
+    from qaapi_spark.plans.llm_dedup import cc_jaccard_labels
+
+    keepers = (
+        cc_jaccard_labels(spark, sf_dir)
+        .filter(F.col("node") == F.col("comp"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return training_order(keepers, seed="seed0").orderBy("train_rank")
