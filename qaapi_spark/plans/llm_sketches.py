@@ -220,3 +220,106 @@ def stream_hll_running_users(spark, sf_dir):
     return stream_hll_running(spark, f"{sf_dir}/events.parquet").orderBy(
         "event_type"
     )
+
+
+@query(
+    "sketch_cms_windowed_counts",
+    # SUM-mergeable counterpart of sketch_hll_windowed_users: hourly
+    # CMS counters roll into sliding windows by addition, never
+    # rescanning raw events; probes restricted to the deterministic
+    # user_id % 50 == 0 stripe to keep result size bounded
+    oracle=f"""
+    WITH rs AS (SELECT unnest(range(0, 4)) AS r),
+    hourly AS (
+        SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS h,
+               rs.r AS r, {_CMS_BUCKET.format(r='rs.r')} AS bucket,
+               COUNT(*) AS cnt
+        FROM events CROSS JOIN rs
+        GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT h - k.k * 3600 AS ws, r, bucket, SUM(cnt) AS cnt
+        FROM hourly CROSS JOIN (SELECT unnest(range(0, 6)) AS k) k
+        GROUP BY ws, r, bucket
+    ),
+    keys AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 50 = 0
+    ),
+    wins AS (SELECT DISTINCT ws FROM merged),
+    probes AS (
+        SELECT w.ws AS ws, keys.user_id AS user_id, rs.r AS r,
+               {_CMS_BUCKET.format(r='rs.r')} AS bucket
+        FROM keys CROSS JOIN rs CROSS JOIN wins w
+    )
+    SELECT p.ws AS window_start_s, p.user_id AS key,
+           MIN(COALESCE(m.cnt, 0)) AS est
+    FROM probes p
+    LEFT JOIN merged m ON p.ws = m.ws AND p.r = m.r AND p.bucket = m.bucket
+    GROUP BY p.ws, p.user_id ORDER BY window_start_s, key
+    """,
+    doc="sliding-window CMS frequency estimates: hourly d x w counter "
+    "tables SUM-merge into each containing window (the additive-merge "
+    "sketch family, complementing the HLL max-merge window query) — "
+    "raw events aggregated once, every window answered from counters; "
+    "engine-portable md5 hash family keeps the exact oracle "
+    "(extension)",
+)
+def sketch_cms_windowed_counts(spark, sf_dir):
+    from qaapi_spark.operators.sketches import _bucket
+
+    e = t(spark, sf_dir, "events")
+    depth, width = 4, 1024
+    hour = (F.floor(F.unix_timestamp(F.col("ts")) / 3600) * 3600).cast("long")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _bucket(r, F.col("user_id"), width, "md5").alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    hourly = (
+        e.select(hour.alias("h"), F.explode(pairs).alias("p"))
+        .groupBy("h", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    ks = F.array(*[F.lit(k) for k in range(6)])
+    merged = (
+        hourly.select(F.explode(ks).alias("k"), "h", "row", "bucket", "cnt")
+        .select((F.col("h") - F.col("k") * 3600).alias("ws"), "row", "bucket", "cnt")
+        .groupBy("ws", "row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    keys = e.filter(F.col("user_id") % 50 == 0).select("user_id").distinct()
+    wins = merged.select("ws").distinct()
+    probes = (
+        keys.crossJoin(wins)
+        .select(
+            "ws",
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            _bucket(r, F.col("user_id"), width, "md5").alias(
+                                "bucket"
+                            ),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("ws", "user_id", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    )
+    return (
+        probes.join(merged, ["ws", "row", "bucket"], "left")
+        .groupBy("ws", "user_id")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+        .select(
+            F.col("ws").alias("window_start_s"), F.col("user_id").alias("key"), "est"
+        )
+        .orderBy("window_start_s", "key")
+    )
