@@ -28,8 +28,9 @@ FLAGSHIP = "w3_rolling_daily_events"
 _GATE_WINDOW = 50
 
 
-def _driver_state() -> tuple[set[str], set[str], int]:
-    """(hash_verified, rows_checked, rounds_seen) from prior driver gates.
+def _driver_state() -> tuple[set[str], set[str], int, dict[str, int]]:
+    """(hash_verified, rows_checked, rounds_seen, last_green) from prior
+    driver gates.
 
     ``hash_verified``: oracle-paired queries with a green *value-hash*
     row — the only signal that counts as verified (VERDICT r2 wrong #2:
@@ -37,14 +38,20 @@ def _driver_state() -> tuple[set[str], set[str], int]:
     ``pack_sequences_by_lang`` out of the re-check window).
     ``rows_checked``: rows-only queries (``err == 'no_oracle'``) the
     driver has at least executed — a weaker, but never-improving, signal.
+    ``last_green``: per-query number of the most recent round with a
+    green row, so the regression rotation can re-check the LEAST
+    recently verified queries first (VERDICT r3 #6: nothing verified in
+    r1 had been re-checked since).
     """
     hash_verified: set[str] = set()
     rows_checked: set[str] = set()
+    last_green: dict[str, int] = {}
     rounds = 0
-    for p in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json"):
+    for p in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
         try:
             data = json.loads(p.read_text())
-        except (OSError, ValueError):
+            rnum = int(p.stem.split("_r")[1])
+        except (OSError, ValueError, IndexError):
             continue
         rounds += 1
         for name, rec in data.items():
@@ -52,9 +59,11 @@ def _driver_state() -> tuple[set[str], set[str], int]:
                 continue
             if rec.get("err") is None and rec.get("hash_match"):
                 hash_verified.add(name)
+                last_green[name] = max(last_green.get(name, 0), rnum)
             elif rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None:
                 rows_checked.add(name)
-    return hash_verified, rows_checked, rounds
+                last_green[name] = max(last_green.get(name, 0), rnum)
+    return hash_verified, rows_checked, rounds, last_green
 
 
 # Queries VERDICT r2 flagged as never-driver-verified (plus the one
@@ -91,7 +100,7 @@ def _ordered_names() -> list[str]:
     window, the hash-checkable (oracle-paired) ones take the slots —
     a hash row is strictly stronger signal than a rows-only row.
     """
-    hash_verified, rows_checked, rounds = _driver_state()
+    hash_verified, rows_checked, rounds, last_green = _driver_state()
     names = list(CATALOG)
     idx = {n: i for i, n in enumerate(names)}
     prio = {n: i for i, n in enumerate(_PRIORITY)}
@@ -110,11 +119,11 @@ def _ordered_names() -> list[str]:
             idx[n],
         )
     )
+    # Regression rotation: least-recently-green first, so stale r1-era
+    # verifications get re-checked before anything the driver saw last
+    # round; catalog order breaks ties deterministically.
     rest = [n for n in names if n not in set(unverified)]
-    slots = max(0, _GATE_WINDOW - len(unverified))
-    if rest and slots:
-        off = (rounds * 17) % len(rest)
-        rest = rest[off:] + rest[:off]
+    rest.sort(key=lambda n: (last_green.get(n, 0), idx[n]))
     return unverified + rest
 
 

@@ -158,9 +158,9 @@ def curation_source_mixture_weights(spark, sf_dir):
         FROM c CROSS JOIN tot
     )
     SELECT d.source, MIN(w.n_docs) AS n_docs,
-           SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
                     < CAST(FLOOR(w.keep_w * 65536) AS BIGINT)
-                    THEN 1 ELSE 0 END) AS n_kept
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents d JOIN w ON d.source = w.source
     GROUP BY d.source
     ORDER BY d.source
@@ -216,7 +216,7 @@ def curation_apply_mixture_sample(spark, sf_dir):
     posting AS (SELECT id, unnest(sh) AS shingle FROM sets),
     firsts AS (SELECT shingle, MIN(id) AS first_id FROM posting GROUP BY shingle)
     SELECT p.id AS doc_id, COUNT(*) AS n_shingles,
-           SUM(CASE WHEN p.id = f.first_id THEN 1 ELSE 0 END) AS n_novel,
+           CAST(SUM(CASE WHEN p.id = f.first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
            ROUND(SUM(CASE WHEN p.id = f.first_id THEN 1 ELSE 0 END) * 1.0
                  / COUNT(*), 4) AS novelty
     FROM posting p JOIN firsts f ON p.shingle = f.shingle

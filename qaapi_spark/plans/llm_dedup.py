@@ -601,9 +601,9 @@ def dedup_containment_pairs(spark, sf_dir):
     )
     SELECT l.comp AS comp, COUNT(*) AS n_docs,
            MIN(l.doc_id) AS keeper_id,
-           SUM(t.n_tokens) AS total_tokens,
-           SUM(CASE WHEN l.doc_id <> l.comp THEN t.n_tokens ELSE 0 END)
-               AS removable_tokens
+           CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN l.doc_id <> l.comp THEN t.n_tokens ELSE 0 END)
+               AS BIGINT) AS removable_tokens
     FROM labels l JOIN toks t ON t.doc_id = l.doc_id
     GROUP BY l.comp HAVING COUNT(*) > 1
     ORDER BY comp

@@ -52,10 +52,10 @@ _TRAIN_FRAC = 0.9
         FROM events
     )
     SELECT event_type,
-           SUM(CASE WHEN gap IS NULL OR gap > {_DEBOUNCE_US}
-                    THEN 1 ELSE 0 END) AS n_kept,
-           SUM(CASE WHEN gap IS NOT NULL AND gap <= {_DEBOUNCE_US}
-                    THEN 1 ELSE 0 END) AS n_dropped
+           CAST(SUM(CASE WHEN gap IS NULL OR gap > {_DEBOUNCE_US}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN gap IS NOT NULL AND gap <= {_DEBOUNCE_US}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
     FROM g GROUP BY event_type ORDER BY event_type
     """,
     doc="telemetry rate-thinning (debounce): drop an event when the "
@@ -225,7 +225,7 @@ def sample_split_leakage_safe(spark, sf_dir):
         FROM m WHERE maxabs > 0
     )
     SELECT vec_id, scale,
-           list_sum(codes) AS sum_codes,
+           CAST(list_sum(codes) AS BIGINT) AS sum_codes,
            list_min(codes) AS min_code,
            list_max(codes) AS max_code,
            len(list_filter(codes, c -> c = 0)) AS n_zero

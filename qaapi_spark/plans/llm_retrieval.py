@@ -186,7 +186,7 @@ def ann_topk_pq(spark, sf_dir):
     "corpus_profile_by_source_lang",
     oracle=f"""
     SELECT source, lang, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            ROUND(CAST(SUM(len({_DD_TOKS})) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
     FROM documents GROUP BY source, lang
     ORDER BY source, lang

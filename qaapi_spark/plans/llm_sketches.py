@@ -252,7 +252,7 @@ def stream_hll_running_users(spark, sf_dir):
         FROM keys CROSS JOIN rs CROSS JOIN wins w
     )
     SELECT p.ws AS window_start_s, p.user_id AS key,
-           MIN(COALESCE(m.cnt, 0)) AS est
+           CAST(MIN(COALESCE(m.cnt, 0)) AS BIGINT) AS est
     FROM probes p
     LEFT JOIN merged m ON p.ws = m.ws AND p.r = m.r AND p.bucket = m.bucket
     GROUP BY p.ws, p.user_id ORDER BY window_start_s, key

@@ -268,7 +268,7 @@ _PACK_BUDGET = 2048
         FROM toks
     )
     SELECT lang, CAST(FLOOR((cum_tokens - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS bin,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM cum GROUP BY lang, bin ORDER BY lang, bin
     """,
     doc="sequence packing: fill fixed 2048-token training bins per "
@@ -430,7 +430,7 @@ def _shared_spans(spark, sf_dir):
     )
     SELECT doc_id,
            COALESCE(n_spans, 0) AS n_spans,
-           COALESCE(n_dup_spans, 0) AS n_dup_spans,
+           CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
            ROUND(CASE WHEN COALESCE(n_spans, 0) = 0 THEN 0.0
                       ELSE COALESCE(n_dup_spans, 0) / n_spans END, 4) AS dup_ratio
     FROM documents LEFT JOIN stats USING (doc_id)
@@ -485,9 +485,9 @@ def dedup_spans_exact(spark, sf_dir):
         GROUP BY s.doc_id
     )
     SELECT doc_id,
-           COALESCE(n_tokens, 0) AS n_tokens,
-           COALESCE(n_kept_tokens, 0) AS n_kept_tokens,
-           COALESCE(n_boiler_spans, 0) AS n_boiler_spans
+           CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+           CAST(COALESCE(n_boiler_spans, 0) AS BIGINT) AS n_boiler_spans
     FROM documents LEFT JOIN kept USING (doc_id)
     ORDER BY doc_id
     """,

@@ -195,21 +195,22 @@ def cdc_diff_order_snapshots(spark, sf_dir):
     "dq_checks_orders",
     oracle="""
     SELECT 'not_null_o_orderkey' AS "check",
-           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
     FROM orders
     UNION ALL
     SELECT 'unique_o_orderkey',
            COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders
     UNION ALL
     SELECT 'accepted_values_o_orderstatus',
-           SUM(CASE WHEN o_orderstatus IS NULL
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL
                       OR o_orderstatus NOT IN ('O', 'F', 'P')
-                    THEN 1 ELSE 0 END) FROM orders
+                    THEN 1 ELSE 0 END) AS BIGINT) FROM orders
     UNION ALL
     SELECT 'in_range_o_totalprice',
-           SUM(CASE WHEN o_totalprice IS NULL
+           CAST(SUM(CASE WHEN o_totalprice IS NULL
                       OR o_totalprice < 0 OR o_totalprice > 1000000
-                    THEN 1 ELSE 0 END) FROM orders
+                    THEN 1 ELSE 0 END) AS BIGINT) FROM orders
     UNION ALL
     SELECT 'references_o_custkey',
            (SELECT COUNT(*) FROM orders o
@@ -259,8 +260,10 @@ def dq_checks_orders(spark, sf_dir):
         FROM events WHERE value IS NOT NULL GROUP BY event_type
     )
     SELECT e.event_type AS event_type, COUNT(*) AS n,
-           SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS n_clip_low,
-           SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS n_clip_high,
+           CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_low,
+           CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_high,
            ROUND(CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi)
                      AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 4)
                AS mean_winsorized

@@ -39,3 +39,41 @@ def test_entry_contract(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) == len(CATALOG)
+
+
+def test_type_audit_flags_uncast_sum(duck):
+    """The replica must be at least as strict as the driver (VERDICT r3
+    #2): an uncast SUM(integer) oracle returns DuckDB HUGEINT, which the
+    driver's value hash distinguishes from Spark bigint even at equal
+    values.  audit_oracle_types must flag it; run_oracle must refuse it.
+    """
+    import pytest as _pytest
+
+    from qaapi_spark.testing import audit_oracle_types
+
+    uncast = "SELECT o_orderstatus, SUM(o_custkey) AS s FROM orders GROUP BY 1"
+    assert audit_oracle_types(duck, uncast) == [("s", "HUGEINT")]
+    with _pytest.raises(AssertionError, match="no Spark twin"):
+        run_oracle(duck, uncast)
+
+    cast = (
+        "SELECT o_orderstatus, CAST(SUM(o_custkey) AS BIGINT) AS s "
+        "FROM orders GROUP BY 1"
+    )
+    assert audit_oracle_types(duck, cast) == []
+    run_oracle(duck, cast)  # must not raise
+
+
+def test_all_catalog_oracles_pass_type_audit(duck):
+    """No catalog oracle may produce a DuckDB type the driver's hash
+    can't match against Spark (HUGEINT &c.) — sweep all of them."""
+    from qaapi_spark.testing import audit_oracle_types
+
+    bad = {}
+    for name, spec in CATALOG.items():
+        if spec.oracle is None:
+            continue
+        hits = audit_oracle_types(duck, spec.oracle)
+        if hits:
+            bad[name] = hits
+    assert not bad, f"oracles with non-Spark-representable types: {bad}"

@@ -25,6 +25,9 @@ from qaapi_spark.session import get_spark, release_kernel_caches  # noqa: E402
 from qaapi_spark.sources.tables import TABLES  # noqa: E402
 
 
+from qaapi_spark.testing import audit_oracle_types  # noqa: E402
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -72,12 +75,21 @@ def main():
                 print(f"  WARN {name}: zero rows")
             continue
         try:
+            bad_types = audit_oracle_types(con, spec.oracle)
             res = con.execute(spec.oracle)
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
         except Exception:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc()
+            failures.append(name)
+            continue
+        if bad_types:
+            print(
+                f"FAIL {name}: oracle result types with no Spark twin "
+                f"(driver hash WILL mismatch even at equal values): "
+                f"{bad_types} — wrap with CAST(... AS BIGINT/...)"
+            )
             failures.append(name)
             continue
 
