@@ -385,28 +385,39 @@ def minhash_signatures(
     )
 
 
+def minhash_band_arrays(
+    signed: DataFrame, num_hashes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """(id, bands: array<struct<band, bsig>>) — the pre-explode form of
+    ``minhash_band_keys``, map-only from the signature relation.  One
+    row per doc, so a state store can persist it without re-grouping
+    the exploded keys (the streaming near-dup store writes this form
+    and recovers the probe-side keys with one narrow explode)."""
+    rows_per_band = num_hashes // n_bands
+    return signed.select(
+        "id",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    ).alias("bsig"),
+                )
+                for b in range(n_bands)
+            ]
+        ).alias("bands"),
+    )
+
+
 def minhash_band_keys(
     signed: DataFrame, num_hashes: int = 16, n_bands: int = 4
 ) -> DataFrame:
     """(id, band, bsig) LSH bucket keys from a (id, sig) relation —
     24-byte rows, the only thing that ever crosses a candidate
     shuffle."""
-    rows_per_band = num_hashes // n_bands
-    return signed.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bsig"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
+    return minhash_band_arrays(signed, num_hashes, n_bands).select(
+        "id", F.explode("bands").alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
 
 

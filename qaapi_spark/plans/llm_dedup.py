@@ -497,7 +497,13 @@ def graph_pagerank_neardup(spark, sf_dir):
     "(LSH recall < 1 by design, so the result is a high-recall "
     "SUBSET of the exact pair set; tests/test_mllib_lsh.py pins the "
     "subset + planted-twin recall properties); the custom "
-    "dedup_minhash_lsh kernel remains the hash-verified default",
+    "dedup_minhash_lsh kernel remains the hash-verified default; "
+    "benched at numHashTables=2 (VERDICT r3 #4: MLlib explodes a row "
+    "per hash table before the self-join, so tables scale the "
+    "candidate-join input linearly — 20.8 s at 4 tables was 7.6% of "
+    "the whole suite for a variant demo; at near-dup similarity "
+    ">= 0.8 two OR-amplified tables still give P(candidate) >= 0.96, "
+    "see SCALE.md)",
 )
 def dedup_minhash_mllib(spark, sf_dir):
     from pyspark.ml.feature import HashingTF, MinHashLSH
@@ -514,7 +520,7 @@ def dedup_minhash_mllib(spark, sf_dir):
     )
     feat = tf.transform(sets)
     lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=4, seed=42
+        inputCol="features", outputCol="hashes", numHashTables=2, seed=42
     )
     model = lsh.fit(feat)
     pairs = (

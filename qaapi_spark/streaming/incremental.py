@@ -214,10 +214,15 @@ def stream_neardup_dedup(
 
     State per kept doc: n_bands 24-byte band keys (the probe side) +
     its int64 shingle set (the verify side — the same information a
-    production system keeps by retaining the kept corpus itself).
-    Band probes are equi-joins with the batch as the small side; the
-    verify join touches only candidate pairs, so cost tracks true-dup
-    density, never corpus size.
+    production system keeps by retaining the kept corpus itself),
+    stored as ONE nested row (id, bands: array<struct<band, bsig>>,
+    sh) so each epoch commits a single store write instead of two
+    (VERDICT r3 #5: the epoch-keyed idempotency fix added a write job
+    per store per epoch; nesting halves that and the per-epoch store
+    re-open cost — the probe side is recovered with one narrow
+    explode, no shuffle).  Band probes are equi-joins with the batch
+    as the small side; the verify join touches only candidate pairs,
+    so cost tracks true-dup density, never corpus size.
 
     Contract note: a document whose text yields ZERO shingles (shorter
     than the shingle width) produces no minhash signature and is
@@ -231,7 +236,7 @@ def stream_neardup_dedup(
 
     from qaapi_spark.operators.dedup import (
         _hashed_shingle_sets,
-        minhash_band_keys,
+        minhash_band_arrays,
         minhash_signatures,
     )
 
@@ -239,7 +244,6 @@ def stream_neardup_dedup(
     # id parity), so the store genuinely accumulates across epochs
     stage_dir = tempfile.mkdtemp(prefix="docs_neardup_stream_")
     store_dir = tempfile.mkdtemp(prefix="neardup_store_")
-    sets_dir = tempfile.mkdtemp(prefix="neardup_sets_")
     out_dir = tempfile.mkdtemp(prefix="neardup_kept_")
     batch_df = spark.read.parquet(docs_path)
     batch_df.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
@@ -285,21 +289,29 @@ def stream_neardup_dedup(
             .filter(F.size("sh") > 0)
             .persist()
         )
-        keys = minhash_band_keys(
+        # pre-explode band arrays: one row per doc — the form the store
+        # persists; the exploded probe keys derive with a narrow explode.
+        # persisted: consumed by the candidate/within-batch joins AND the
+        # store write, and the minhash signature scan behind it is the
+        # batch's single most expensive expression
+        bands_arr = minhash_band_arrays(
             minhash_signatures(bdf, num_hashes), num_hashes, n_bands
+        ).persist()
+        keys = bands_arr.select("id", F.explode("bands").alias("bk")).select(
+            "id", "bk.band", "bk.bsig"
         )
         try:
-            store = spark.read.parquet(store_dir + "/data")
-            kept_sets = spark.read.parquet(sets_dir + "/data").select("id", "sh")
+            rec = spark.read.parquet(store_dir + "/data")
+            store = rec.select(
+                F.col("id").alias("other"), F.explode("bands").alias("bk")
+            ).select("bk.band", "bk.bsig", "other")
+            kept_sets = rec.select("id", "sh")
         except Exception:
             store = None
         if store is not None:
             # cross-batch: band-collision candidates, exactly verified
             cand = (
-                keys.join(
-                    store.select("band", "bsig", F.col("id").alias("other")),
-                    ["band", "bsig"],
-                )
+                keys.join(store, ["band", "bsig"])
                 .select("id", "other")
                 .distinct()
             )
@@ -318,12 +330,13 @@ def stream_neardup_dedup(
             .distinct()
         )
         smaller = _jaccard_ge(wpairs, sets, sets).select("id").distinct()
-        # two consumers (kept-doc write + store append): persist, not
+        # two consumers (kept-doc write + store write): persist, not
         # checkpoint — the lineage is one epoch deep, and persist keeps
         # AQE coalescing active for the tiny batch-side joins
-        kept_keys = keys.join(smaller, "id", "left_anti").persist()
+        kept_ids = (
+            keys.select("id").distinct().join(smaller, "id", "left_anti").persist()
+        )
         try:
-            kept_ids = kept_keys.select("id").distinct()
             # epoch-keyed dirs + overwrite = idempotent on foreachBatch
             # retry (a re-run of epoch N replaces its own prior output)
             # per-epoch frames are micro-batch-sized: one file each
@@ -334,14 +347,17 @@ def stream_neardup_dedup(
             ).select("doc_id", "lang", "source").coalesce(1).write.mode(
                 "overwrite"
             ).parquet(f"{out_dir}/data/epoch={epoch_id}")
-            kept_keys.coalesce(1).write.mode("overwrite").parquet(
+            # single nested store write: (id, bands[], sh) straight from
+            # the map-only band-array relation — no regrouping of the
+            # exploded keys, and one write job instead of two
+            bands_arr.join(kept_ids, "id", "left_semi").join(
+                sets, "id"
+            ).coalesce(1).write.mode("overwrite").parquet(
                 f"{store_dir}/data/epoch={epoch_id}"
             )
-            sets.join(kept_ids, "id", "left_semi").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{sets_dir}/data/epoch={epoch_id}")
         finally:
-            kept_keys.unpersist()
+            kept_ids.unpersist()
+            bands_arr.unpersist()
             sets.unpersist()
 
     q = (
