@@ -24,11 +24,32 @@ Reference quirks preserved deliberately:
 
 - ``full_run`` tolerates ``None`` entries — ``Start.py:50-54`` builds
   its list from *called* methods, so the handler receives results,
-  not callables (``qa_api_handler.py:306-307`` skips NoneType);
+  not callables (``qa_api_handler.py:306-307`` skips NoneType).
+  Because the scratch purge touches only ``temp_dir`` (below), files
+  landed during list construction are still staged and the run
+  completes as a FULL load — the reference's actual behavior;
 - ``full_run`` refuses to re-enter ``full_run``/``run_table_updates``
-  (the recursion guard, ``:308-309``);
-- temp files are purged before the run and after table updates
-  (``:305,314``; X3 in SURVEY §2).
+  (the recursion guard, ``:308-309``; the reference's guard prints
+  the warning but falls through and calls the function anyway — we
+  skip instead, the one divergence, since faithfully recursing
+  forever helps no one);
+- scratch files are purged before the run and after table updates
+  (``:305,314``; X3 in SURVEY §2) — the purge hits ``temp_dir``
+  (raw pre-repair accumulation files, ``qa_api_handler.py:319-324``),
+  NEVER ``json_dir`` where landed files live: the reference keeps
+  landed files across runs (``run_table_updates`` re-stages whatever
+  is in ``json_dir``, ``:278``);
+- ``contact_json`` is OVERWRITTEN per extraction window
+  (``qa_api_handler.py:111``), not accumulated — so a subsequent
+  ``get_evaluations`` fans out over only the LAST window's contacts.
+  ``Start.py:40-47``'s qa flow sets ``break_size`` to the whole date
+  range (one window), which is what makes the quirk harmless there;
+- ``all_contacts`` routes the landed files: ``True`` ->
+  ``all_contacts_N.json`` (t_contacts staging), ``False`` ->
+  ``contacts_N.json`` (qa-contacts staging) plus the
+  ``evalState=scored`` server-side filter (``qa_api_handler.py:
+  92-95,104-107``; the fixture transport expresses that filter as
+  the fixture-file pattern).
 """
 
 from __future__ import annotations
@@ -80,7 +101,13 @@ class ApiHandler:
             )
         self.transport = transport
         self.spark = spark
-        self.temp_dir = landing_dir or tempfile.mkdtemp(prefix="qaapi_landing_")
+        # two directories, as in the reference (`qa_api_handler.py:
+        # 15,17`): json_dir holds LANDED files and is what
+        # run_table_updates stages — never purged by full_run;
+        # temp_dir is scratch for raw pre-repair accumulation and is
+        # what the X3 purge empties.
+        self.json_dir = landing_dir or tempfile.mkdtemp(prefix="qaapi_landing_")
+        self.temp_dir = tempfile.mkdtemp(prefix="qaapi_scratch_")
         self.out_dir = out_dir or tempfile.mkdtemp(prefix="qaapi_out_")
         self.partitioned = partitioned
         self.forms_json = None
@@ -89,9 +116,17 @@ class ApiHandler:
 
     # -- landing ------------------------------------------------------
     def _land(self, name: str, rows: list[dict]) -> None:
-        with open(os.path.join(self.temp_dir, name), "w") as f:
+        with open(os.path.join(self.json_dir, name), "w") as f:
             json.dump(rows, f)
         self._say(f"landed {len(rows)} rows -> {name}")
+
+    def _scratch(self, name: str, rows: list[dict]) -> None:
+        """Raw pre-repair artifact in temp_dir (the reference appends
+        raw response bytes there before ``_fix_file`` writes the
+        repaired ``fix_*`` file into json_dir, `qa_api_handler.py:
+        142,161,230-236`) — the files the X3 purge exists to remove."""
+        with open(os.path.join(self.temp_dir, name), "w") as f:
+            json.dump(rows, f)
 
     def _say(self, msg: str) -> None:
         if self.console_output:
@@ -103,26 +138,43 @@ class ApiHandler:
         self.forms_json = self.transport.get_forms()
         self._land("forms.json", self.forms_json)
 
+    @staticmethod
+    def _date_ms(d: dt.date) -> int:
+        """Epoch-ms of midnight UTC — fixed timezone so the request
+        windows are deterministic across differently-configured hosts
+        (a naive ``datetime(...).timestamp()`` shifts with local tz)."""
+        return int(
+            dt.datetime(d.year, d.month, d.day, tzinfo=dt.timezone.utc).timestamp()
+            * 1000
+        )
+
     def get_all_contacts(self):
         """S2 date-range-chunked extraction (`qa_api_handler.py:86-125`):
         one request window per ``break_size`` days, one landed file per
-        window — the reference's ``all_contacts_N.json`` naming."""
+        window.  ``all_contacts`` picks the route (`:92-95`):
+        ``all_contacts_N.json`` (every contact) vs ``contacts_N.json``
+        (QA contacts, server-filtered ``evalState=scored``, `:104-107`
+        — the fixture transport expresses that filter as the fixture
+        pattern).  Faithful quirk: ``contact_json`` holds only the
+        LAST window's rows (`:111` overwrites per window)."""
+        stem = "all_contacts" if self.all_contacts else "contacts"
         step = self.break_size or (self.end_date - self.begin_date)
         lo, n = self.begin_date, 1
-        self.contact_json = []
         while lo < self.end_date:
             hi = min(lo + step, self.end_date)
-            lo_ms = int(dt.datetime(lo.year, lo.month, lo.day).timestamp() * 1000)
-            hi_ms = int(dt.datetime(hi.year, hi.month, hi.day).timestamp() * 1000)
-            rows = self.transport.get_contacts("all_contacts_*.json", lo_ms, hi_ms)
-            self._land(f"all_contacts_{n}.json", rows)
-            self.contact_json.extend(rows)
+            rows = self.transport.get_contacts(
+                f"{stem}_*.json", self._date_ms(lo), self._date_ms(hi)
+            )
+            self._land(f"{stem}_{n}.json", rows)
+            self.contact_json = rows
             lo, n = hi, n + 1
 
     def get_evaluations(self):
-        """S3 per-contact fan-out (`qa_api_handler.py:127-161`)."""
+        """S3 per-contact fan-out (`qa_api_handler.py:127-161`): raw
+        accumulation in temp_dir, repaired landing in json_dir."""
         ids = [r["id"] for r in (self.contact_json or []) if r.get("id") is not None]
         self.eval_json = self.transport.get_evaluations(ids)
+        self._scratch("eval_raw.json", self.eval_json)
         self._land("fix_eval_raw.json", self.eval_json)
 
     def get_comments(self):
@@ -132,12 +184,16 @@ class ApiHandler:
             for r in (self.eval_json or [])
             if isinstance(r.get("comments"), str)
         ]
-        self._land("fix_comments_raw.json", self.transport.get_comments(links))
+        comments = self.transport.get_comments(links)
+        self._scratch("comments_raw.json", comments)
+        self._land("fix_comments_raw.json", comments)
 
     def get_transcripts(self):
         """S5 keyed lookup with empty-skip (`qa_api_handler.py:163-200`)."""
         ids = [r["id"] for r in (self.contact_json or []) if r.get("id") is not None]
-        self._land("fix_transcript_raw.json", self.transport.get_transcripts(ids))
+        transcripts = self.transport.get_transcripts(ids)
+        self._scratch("transcript_raw.json", transcripts)
+        self._land("fix_transcript_raw.json", transcripts)
 
     # -- load + reconcile ---------------------------------------------
     def run_table_updates(self):
@@ -154,13 +210,15 @@ class ApiHandler:
         pipe = CalabrioPipeline(
             spark, self.out_dir, output_partitions=1, partitioned=self.partitioned
         )
-        counts = pipe.run_batch(self.temp_dir)
+        counts = pipe.run_batch(self.json_dir)
         self._say(f"table updates: {counts}")
         return counts
 
     def full_run(self, fun_list):
-        """`qa_api_handler.py:296-317`: purge temp files, run the
-        extraction stages, reconcile tables, purge again."""
+        """`qa_api_handler.py:296-317`: purge SCRATCH files (temp_dir,
+        `:319-324` — landed files in json_dir are untouched, so files
+        landed before full_run still get staged), run the extraction
+        stages, reconcile tables, purge scratch again."""
         from qaapi_spark.sources.landing import clean_landing
 
         if not isinstance(fun_list, list):

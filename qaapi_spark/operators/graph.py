@@ -148,6 +148,13 @@ def pagerank(
     deg = sym.groupBy("a").agg(F.count("*").alias("deg")).persist()
     register_kernel_cache(deg)
     n = deg.count()
+    if n == 0:
+        # empty edge set (no near-dup pairs at this threshold): the
+        # rank of nothing is an empty relation, not a ZeroDivisionError
+        # (ADVICE r3 #5).  deg is empty, so this keeps the node type.
+        return deg.select(
+            F.col("a").alias("node"), F.lit(0.0).alias("pagerank")
+        )
     base = (1.0 - damping) / n
     ranks = deg.select(
         F.col("a").alias("node"), F.round(F.lit(1.0 / n), round_dp).alias("r")

@@ -6,7 +6,12 @@ The reference runs a trailing-window extraction (re-pull the last
 reconciliation as one deterministic function:
 
   forms        full replace                  (S14, Update...sql:6)
-  contacts     insert-only merge on id       (J2,  Update...sql:36-79)
+  contacts     insert-only merge on id       (J2,  Update...sql:62-79,
+               all_contacts_*.json -> t_contacts)
+  qa contacts  insert-only merge on id       (J2,  Update...sql:36-59,
+               contacts_*.json -> t_qa_contacts — the reference's
+               all_contacts=False flow lands this separate staging
+               route, same merge shape)
   evaluations  delete-vanished + upsert      (J5+J3, Update...sql:85-134)
   scores       delete-then-insert by eval    (S15, Update...sql:140-170)
   comments     delete-then-insert by contact (S15, Update...sql:176-215)
@@ -29,7 +34,14 @@ from qaapi_spark import transforms as T
 from qaapi_spark.operators.maintain import delete_semi_anti, merge_insert_only, merge_upsert
 from qaapi_spark.sources.landing import read_entity
 
-CURATED = ["t_qa_forms", "t_contacts", "t_qa_evaluations", "t_qa_evaluation_scores", "t_qa_evaluation_comments"]
+CURATED = [
+    "t_qa_forms",
+    "t_contacts",
+    "t_qa_contacts",
+    "t_qa_evaluations",
+    "t_qa_evaluation_scores",
+    "t_qa_evaluation_comments",
+]
 
 
 class CalabrioPipeline:
@@ -134,12 +146,20 @@ class CalabrioPipeline:
         def _landed(pattern: str) -> bool:
             return bool(_glob.glob(f"{landing_dir}/{pattern}"))
 
-        forms = contacts = evals = comments = None
+        forms = contacts = qa_contacts = evals = comments = None
         if _landed("forms.json"):
             forms = read_entity(spark, f"{landing_dir}/forms.json", "forms")
         if _landed("all_contacts_*.json"):
             contacts = read_entity(
                 spark, f"{landing_dir}/all_contacts_*.json", "all_contacts"
+            )
+        if _landed("contacts_*.json"):
+            # the reference's all_contacts=False (QA) flow: a separate
+            # staging route into its own curated table (X4 table_pairs
+            # 'contacts_1.json' -> qa_contacts staging,
+            # qa_api_handler.py:43-50; merge Update...sql:36-59)
+            qa_contacts = read_entity(
+                spark, f"{landing_dir}/contacts_*.json", "contacts"
             )
         if _landed("fix_eval_raw.json"):
             evals = read_entity(spark, f"{landing_dir}/fix_eval_raw.json", "evaluations")
@@ -159,6 +179,14 @@ class CalabrioPipeline:
             self._reconcile(
                 "t_contacts",
                 new_contacts,
+                ["contact_id"],
+                lambda t, b: merge_insert_only(t, b, ["contact_id"]),
+            )
+        if qa_contacts is not None:
+            new_qa = T.contacts_curated(qa_contacts).dropDuplicates(["contact_id"])
+            self._reconcile(
+                "t_qa_contacts",
+                new_qa,
                 ["contact_id"],
                 lambda t, b: merge_insert_only(t, b, ["contact_id"]),
             )
@@ -209,10 +237,17 @@ class CalabrioPipeline:
 
         # comments: delete-then-insert per contact in batch (S15,
         # Update...sql:176-182 "to address the possibility that a
-        # comment was deleted")
-        if comments is not None and contacts is not None:
+        # comment was deleted").  The reference scopes this delete by
+        # the QA contacts staging ids (Update...sql:181); when only the
+        # qa route landed (all_contacts=False flow), use it — the
+        # all_contacts route keeps priority for the mixed-fixture case
+        # the oracle queries pin.
+        scope_contacts = contacts if contacts is not None else qa_contacts
+        if comments is not None and scope_contacts is not None:
             batch_comments = T.comments_curated(comments)
-            contact_ids = contacts.select(contacts.id.alias("contact_id")).distinct()
+            contact_ids = scope_contacts.select(
+                scope_contacts.id.alias("contact_id")
+            ).distinct()
             self._reconcile(
                 "t_qa_evaluation_comments",
                 batch_comments,

@@ -47,14 +47,12 @@ spark = (SparkSession.builder.master("local-cluster[2,4,3072]")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from qaapi_spark.plans import CATALOG
+from qaapi_spark.testing import norm_rows
 out = {}
 for name in %s:
     df = CATALOG[name].fn(spark, "/root/testdata/sf0.001")
-    rows = sorted(
-        tuple(str(v) for v in r) for r in df.collect()
-    )
-    out[name] = {"n": len(rows), "sig": hash(tuple(map(tuple, rows))) & 0xFFFFFFFF,
-                 "rows": rows[:3]}
+    cols, rows = norm_rows(df.columns, [tuple(r) for r in df.collect()])
+    out[name] = {"cols": cols, "rows": [[str(v) for v in r] for r in rows]}
 print("RESULT::" + json.dumps(out))
 spark.stop()
 """
@@ -86,11 +84,23 @@ def test_catalog_cross_section_on_local_cluster():
             f"CREATE VIEW {tname} AS SELECT * FROM "
             f"'/root/testdata/sf0.001/{tname}.parquet'"
         )
+    from qaapi_spark.testing import norm_rows
+
     for name in QUERIES:
         rec = got[name]
         oracle = CATALOG[name].oracle
         if oracle is None:
-            assert rec["n"] > 0, name
+            assert len(rec["rows"]) > 0, name
             continue
-        want = con.execute(oracle).fetchall()
-        assert rec["n"] == len(want), (name, rec["n"], len(want))
+        res = con.execute(oracle)
+        d_cols = [d[0] for d in res.description]
+        want_cols, want_rows = norm_rows(d_cols, res.fetchall())
+        assert rec["cols"] == want_cols, (name, rec["cols"], want_cols)
+        # full VALUE comparison against the oracle (ADVICE r3 #4: the
+        # old check compared only row counts, so a value regression
+        # under executor boundaries would have passed)
+        want = [[str(v) for v in r] for r in want_rows]
+        assert rec["rows"] == want, (
+            name,
+            [p for p in zip(rec["rows"], want) if p[0] != p[1]][:3],
+        )

@@ -125,6 +125,17 @@ def test_pagerank_path_graph_mass_and_order(spark):
     assert abs(sum(r.values()) - 1.0) < 1e-4  # mass conserved mod rounding
 
 
+def test_pagerank_empty_graph_returns_empty(spark):
+    """ADVICE r3 #5: zero near-dup pairs must yield an empty rank
+    relation, not a ZeroDivisionError."""
+    from qaapi_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    out = pagerank(edges, iters=3)
+    assert out.columns == ["node", "pagerank"]
+    assert out.count() == 0
+
+
 def test_pagerank_deterministic_across_runs(spark):
     from qaapi_spark.operators.graph import pagerank
 
