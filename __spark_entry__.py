@@ -66,25 +66,25 @@ def _driver_state() -> tuple[set[str], set[str], int, dict[str, int]]:
     return hash_verified, rows_checked, rounds, last_green
 
 
-# Queries VERDICT r2 flagged as never-driver-verified (plus the one
-# known driver hash-FAIL, since fixed) — they must land inside the
-# gate window before anything newer.
+# Highest-priority gate candidates: the 13 queries whose oracles had
+# HUGEINT SUM columns (6 r3 driver hash-FAILs + 7 latent twins), all
+# fixed in r4 with CAST(... AS BIGINT) — confirming the fix is the
+# round's top correctness signal, so they go first in case the driver
+# truncates its window.
 _PRIORITY = (
     "pack_sequences_by_lang",
-    "dedup_keep_representatives",
-    "ann_topk_srp_lsh",
-    "ann_topk_pq",
     "corpus_profile_by_source_lang",
-    "curation_benchmark_contamination",
-    "curation_training_order",
-    "curation_bigram_lm_quality",
-    "curation_source_mixture_weights",
-    "skew_profile_orders_custkey",
-    "profile_orders_columns",
-    "user_interevent_stats",
-    "cdc_diff_order_snapshots",
-    "event_type_cooccurrence_lift",
-    "sliding_window_event_counts",
+    "q12_late_shipment_priority_counts",
+    "dedup_spans_exact",
+    "text_boilerplate_filter",
+    "dedup_cluster_report",
+    "sketch_cms_windowed_counts",
+    "curation_apply_mixture_sample",
+    "curation_ngram_novelty",
+    "event_debounce_user_6h",
+    "emb_quantize_int8",
+    "dq_checks_orders",
+    "events_winsorize_stats_by_type",
 )
 
 
