@@ -515,10 +515,16 @@ def dedup_minhash_mllib(spark, sf_dir):
         F.col("doc_id").alias("id"),
         F.array_distinct(word_ngrams(F.lower(F.col("text")), 2)).alias("sh"),
     ).filter(F.size("sh") > 0)
+    from qaapi_spark.session import register_kernel_cache
+
     tf = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feat = tf.transform(sets)
+    # persist: the self-join consumes feat on BOTH sides, and MLlib's
+    # approxSimilarityJoin additionally recomputes the hash columns per
+    # side — without this the shingle+TF lineage runs four times
+    feat = tf.transform(sets).persist()
+    register_kernel_cache(feat)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=2, seed=42
     )
