@@ -77,3 +77,43 @@ def test_all_catalog_oracles_pass_type_audit(duck):
         if hits:
             bad[name] = hits
     assert not bad, f"oracles with non-Spark-representable types: {bad}"
+
+
+# DuckDB-type <-> Spark-type pairings with at least one driver
+# hash-GREEN column (CORRECTNESS_r1-r3 evidence).  The driver's value
+# hash is type-sensitive across engines (it distinguished HUGEINT from
+# bigint at equal values), so an oracle column may only pair with a
+# Spark dtype via a pairing the driver has already accepted.
+_GREEN_TYPE_PAIRINGS = {
+    "BIGINT": {"bigint", "int"},
+    "INTEGER": {"int"},
+    "DOUBLE": {"double"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    "DATE": {"date"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+}
+
+
+def test_oracle_spark_type_pairings_are_driver_proven(spark, duck):
+    """Every (DuckDB oracle type, Spark dtype) column pair in the
+    catalog must be one the driver hash has already passed — a new
+    pairing (e.g. DECIMAL vs double, INTEGER vs bigint) is a latent
+    driver-only hash failure the local value compare cannot see."""
+    bad = {}
+    for name, spec in CATALOG.items():
+        if spec.oracle is None:
+            continue
+        rel = duck.sql(spec.oracle)
+        d_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+        s_types = {
+            f.name: f.dataType.simpleString()
+            for f in spec.fn(spark, SF_SMOKE).schema.fields
+        }
+        for col, dt in d_types.items():
+            st = s_types.get(col)
+            if st is None:
+                continue  # column-name mismatch is compare()'s job
+            if st not in _GREEN_TYPE_PAIRINGS.get(dt, set()):
+                bad.setdefault(name, []).append((col, dt, st))
+    assert not bad, f"unproven oracle/Spark type pairings: {bad}"
