@@ -96,3 +96,31 @@ def test_merge_insert_only_laws(spark, target_keys, batch_keys):
         assert got[k] == f"b{k}"
     twice = merge_insert_only(once, batch, ["id"])
     assert {(r.id, r.v) for r in twice.collect()} == set(got.items())
+
+
+def test_band_arrays_explode_equals_band_keys(spark):
+    """minhash_band_arrays (the nested form the streaming store
+    persists) must explode to exactly minhash_band_keys (the inlined
+    fused form the batch kernels use) — one relation, two layouts."""
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.operators.dedup import (
+        minhash_band_arrays,
+        minhash_band_keys,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    signed = minhash_signatures(df, 16)
+    keys = minhash_band_keys(signed, 16, 4)
+    via_arrays = (
+        minhash_band_arrays(signed, 16, 4)
+        .select("id", F.explode("bands").alias("bk"))
+        .select("id", "bk.band", "bk.bsig")
+    )
+    assert sorted(map(tuple, keys.collect())) == sorted(
+        map(tuple, via_arrays.collect())
+    )
