@@ -126,6 +126,19 @@ def srp_sign_matrix(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
+_SRP_QUANT = 1_000_000  # fixed-point scale for engine-exact SRP bits
+
+
+def srp_quantize(m):
+    """float matrix -> int64 fixed-point via floor(x * 1e6 + 0.5) —
+    the emb_quantize_int8 recipe: identical IEEE ops in numpy and SQL,
+    so both engines derive bit-identical integers from the same raw
+    embedding values."""
+    import numpy as np
+
+    return np.floor(m.astype(np.float64) * _SRP_QUANT + 0.5).astype(np.int64)
+
+
 def srp_band_keys(
     df: DataFrame,
     n_planes: int,
@@ -143,6 +156,15 @@ def srp_band_keys(
     kernel: one (batch x dim) @ (dim x n_planes) GEMM per batch.
     Map-only — band rows carry ONLY (id, band, key) into the candidate
     shuffle, never the vectors.
+
+    Engine-exact bits: the projection runs over fixed-point int64
+    vectors (``srp_quantize``; sign is invariant to the positive
+    scale) against the ±1 md5 plane matrix, so every dot product is
+    exact integer arithmetic with NO summation-order sensitivity —
+    a float GEMM's pairwise summation can flip a bit whose true dot
+    sits within an ulp of zero, which would silently change the
+    candidate set vs the SQL oracle.  |dot| <= dim * 1e6 * max|x|
+    stays far under 2^53, so the DuckDB double-sum twin is exact too.
     """
     from typing import Iterator
 
@@ -150,7 +172,7 @@ def srp_band_keys(
     import pandas as pd
 
     rows_per_band = n_planes // n_bands
-    planes = np.array(srp_sign_matrix(n_planes, dim), dtype=np.float64)  # (P, dim)
+    planes = np.array(srp_sign_matrix(n_planes, dim), dtype=np.int64)  # (P, dim)
     weights = 2 ** np.arange(rows_per_band - 1, -1, -1, dtype=np.int64)
     b = df.sparkSession.sparkContext.broadcast(planes)
     bands_idx = np.arange(n_bands, dtype=np.int64)
@@ -160,8 +182,8 @@ def srp_band_keys(
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = np.stack(pdf[id_col + "__v"].to_numpy()).astype(np.float64)
-            bits = (m @ pl.T) > 0  # (batch, P); sign is norm-invariant
+            m = np.stack(pdf[id_col + "__v"].to_numpy())
+            bits = (srp_quantize(m) @ pl.T) > 0  # exact int64 dots
             keys = (
                 bits.reshape(len(m), n_bands, rows_per_band).astype(np.int64) @ weights
             )  # (batch, n_bands)
@@ -220,9 +242,13 @@ def srp_lsh_topk(
 
     dim = q_mat.shape[1]
     rows_per_band = n_planes // n_bands
-    planes = np.array(srp_sign_matrix(n_planes, dim), dtype=np.float64)
+    planes = np.array(srp_sign_matrix(n_planes, dim), dtype=np.int64)
     weights = 2 ** np.arange(rows_per_band - 1, -1, -1, dtype=np.int64)
-    q_bits = (q_mat @ planes.T) > 0
+    # bits from the RAW vectors via the same fixed-point quantization
+    # as the corpus kernel (sign is scale-invariant, so normalization
+    # is irrelevant here; q_mat stays normalized for the exact rerank)
+    q_raw = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_bits = (srp_quantize(q_raw) @ planes.T) > 0
     q_keys = q_bits.reshape(len(q_ids), n_bands, rows_per_band).astype(np.int64) @ weights
     q = spark.createDataFrame(
         pd.DataFrame(

@@ -143,20 +143,88 @@ def dedup_keep_representatives(spark, sf_dir):
     )
 
 
+_SRP_PLANES = 16
+_SRP_BANDS = 4
+_SRP_RPB = _SRP_PLANES // _SRP_BANDS
+
+
 @query(
     "ann_topk_srp_lsh",
-    oracle=None,  # approximate candidate set => rows-only driver check;
-    # recall vs the exact brute-force oracle is asserted in
-    # tests/test_retrieval.py
+    # Exact oracle (upgraded from rows-only in r4): the hyperplane
+    # signs come from md5 parity (engine-stable) and the projection
+    # bits from fixed-point int64 dots (floor(x*1e6 + 0.5) quantized
+    # vectors; every intermediate < 2^53 so DuckDB's double SUM is
+    # exact too), so the WHOLE approximate pipeline — signature ->
+    # band keys -> candidate join -> exact rerank — is reproducible
+    # in SQL.  Same pattern that gave ann_topk_ivf its oracle in r2.
+    oracle=f"""
+    WITH u AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
+                            list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                            list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS uv
+        FROM embeddings
+    ),
+    qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5)) AS q
+        FROM embeddings
+    ),
+    planes AS (
+        SELECT p.range AS p,
+               list_transform(range(64), d ->
+                   CASE WHEN CAST(('0x' || substr(md5(
+                            CAST(p.range AS VARCHAR) || ':' || CAST(d AS VARCHAR)
+                        ), 1, 8)) AS BIGINT) & 1 = 1
+                        THEN 1.0 ELSE -1.0 END) AS s
+        FROM range({_SRP_PLANES}) p
+    ),
+    dots AS (
+        SELECT v.vec_id, pl.p, list_dot_product(pl.s, v.q) AS dot
+        FROM qv v CROSS JOIN planes pl
+    ),
+    keys AS (
+        SELECT vec_id, CAST(p // {_SRP_RPB} AS INT) AS band,
+               CAST(SUM(CASE WHEN dot > 0
+                        THEN (CAST(1 AS BIGINT) << CAST({_SRP_RPB} - 1 - (p % {_SRP_RPB}) AS INT))
+                        ELSE 0 END) AS BIGINT) AS key
+        FROM dots GROUP BY vec_id, p // {_SRP_RPB}
+    ),
+    cand AS (
+        SELECT DISTINCT kq.vec_id AS query_id, kc.vec_id AS cand_id
+        FROM keys kq JOIN keys kc ON kq.band = kc.band AND kq.key = kc.key
+        WHERE kq.vec_id % {_QUERY_MOD} = 0 AND kq.vec_id <> kc.vec_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.cand_id,
+               ROUND(list_dot_product(qu.uv, cu.uv), 4) AS cosine
+        FROM cand c
+        JOIN u qu ON qu.vec_id = c.query_id
+        JOIN u cu ON cu.vec_id = c.cand_id
+    )
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT query_id, cand_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_K}
+    ORDER BY query_id, cosine DESC, cand_id
+    """,
     doc="approximate cosine top-k via signed-random-projection LSH "
-    "(16 deterministic md5-seeded hyperplanes, 4 bands): map-only "
-    "signatures, (band, key) equi-join candidates, exact rerank "
+    "(16 deterministic md5-parity hyperplanes, 4 bands): map-only "
+    "signatures over fixed-point int64 vectors (engine-exact bits), "
+    "(band, key) equi-join candidates, exact rerank — the full "
+    "approximate pipeline hash-checks against a SQL oracle "
     "(extension: ANN scale path; same contract as ann_topk_ivf)",
 )
 def ann_topk_srp_lsh(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
-    return srp_lsh_topk(qs, e, _K).orderBy("query_id", F.desc("cosine"), "cand_id")
+    return srp_lsh_topk(
+        qs, e, _K, n_planes=_SRP_PLANES, n_bands=_SRP_BANDS
+    ).orderBy("query_id", F.desc("cosine"), "cand_id")
 
 
 @query(
