@@ -722,3 +722,83 @@ def stream_hll_running(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(e_raw)
     return per_group.select("event_type", F.round(est, 4).alias("hll_est"))
+
+
+def stream_ivf_assign(
+    spark: SparkSession,
+    embeddings_path: str,
+    n_centroids_mod: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental vector indexing: embeddings arrive in micro-batches
+    and each batch is assigned MAP-ONLY to its nearest centroid of the
+    fixed deterministic-stripe codebook (the ``ann_topk_ivf``
+    configuration, `operators/similarity.cosine_topk_ivf`), then
+    appended to an epoch-keyed assignment store — new vectors join the
+    IVF index without touching anything already indexed, which is how
+    a serving-side ANN index absorbs a corpus that keeps growing.
+
+    The codebook is fixed at index-build time (exactly like a trained
+    production IVF index); a batch's assignment depends only on the
+    batch and the broadcast codebook, so the streamed store equals the
+    batch assignment relation row-for-row — asserted by
+    ``tests/test_streaming_multimodal.py`` — and the operator is
+    oracle-ready for the catalog (same SQL as the ``assigned`` CTE of
+    ann_topk_ivf's oracle).
+
+    Scale shape: per epoch one Arrow kernel pass over the batch
+    (broadcast codebook GEMM), one single-file store append; no
+    shuffle, no state beyond the store itself.
+    """
+    import os
+    import tempfile
+
+    from qaapi_spark.operators.similarity import nearest_broadcast
+
+    corpus = spark.read.parquet(embeddings_path)
+    cents = corpus.filter(F.col(id_col) % n_centroids_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+
+    stage_dir = tempfile.mkdtemp(prefix="emb_ivf_stream_")
+    store_dir = tempfile.mkdtemp(prefix="emb_ivf_store_")
+    corpus.filter(F.col(id_col) % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage_dir, "b0.parquet")
+    )
+    corpus.filter(F.col(id_col) % 2 == 1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage_dir, "b1.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir + "/*.parquet")
+    )
+
+    def assign_batch(bdf: DataFrame, epoch_id: int) -> None:
+        bdf = bdf.repartition(spark.sparkContext.defaultParallelism)
+        assigned = nearest_broadcast(
+            bdf, cents, 1,
+            stream_id=id_col, stream_vec=vec_col,
+            ref_id="centroid_id", ref_vec="cvec",
+        ).select(
+            F.col("query_id").alias(id_col),
+            F.col("cand_id").alias("centroid_id"),
+            F.col("cosine").alias("centroid_cosine"),
+        )
+        # epoch-keyed overwrite = idempotent on foreachBatch retry
+        assigned.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_dir}/data/epoch={epoch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(assign_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_dir + "/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store_dir + "/data").select(
+        id_col, "centroid_id", "centroid_cosine"
+    )

@@ -174,3 +174,37 @@ def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
     rows = sorted(r.id for r in spark.read.parquet(sink).collect())
     # batch_a rows exactly once (not re-emitted on resume) + batch_b
     assert rows == list(range(0, 10)) + list(range(100, 105))
+
+
+def test_stream_ivf_assign_equals_batch_assignment(spark):
+    """Incremental IVF indexing: the epoch-accumulated assignment store
+    must equal the one-shot batch assignment row-for-row — a batch's
+    assignment depends only on the batch and the fixed broadcast
+    codebook, so streaming in two micro-batches changes nothing."""
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.operators.similarity import nearest_broadcast
+    from qaapi_spark.streaming.incremental import stream_ivf_assign
+    from tests.conftest import SF_SMOKE
+
+    path = f"{SF_SMOKE}/embeddings.parquet"
+    got = sorted(
+        map(tuple, stream_ivf_assign(spark, path).collect())
+    )
+
+    corpus = spark.read.parquet(path)
+    cents = corpus.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    want = sorted(
+        map(
+            tuple,
+            nearest_broadcast(
+                corpus, cents, 1, ref_id="centroid_id", ref_vec="cvec"
+            )
+            .select("query_id", "cand_id", "cosine")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) == corpus.count()  # every vector indexed exactly once
