@@ -139,6 +139,23 @@ def srp_quantize(m):
     return np.floor(m.astype(np.float64) * _SRP_QUANT + 0.5).astype(np.int64)
 
 
+def seq_unit_matrix(m):
+    """Row-normalize with a SEQUENTIAL left-fold norm (dimension-order
+    accumulation, the `_seq_dot` contract of operators/linalg.py) so
+    the unit vectors are bit-identical to DuckDB's
+    ``sqrt(list_reduce(list_transform(x, y -> y*y), (a,b) -> a+b))`` —
+    numpy's pairwise/SIMD ``linalg.norm`` drifts in the last ulp,
+    which matters whenever a DISCRETE decision (argmin code, top-k
+    cut) is taken on arithmetic derived from the unit vector."""
+    import numpy as np
+
+    m = np.asarray(m, dtype=np.float64)
+    acc = np.zeros(len(m), dtype=np.float64)
+    for d in range(m.shape[1]):
+        acc += m[:, d] * m[:, d]
+    return m / np.sqrt(acc)[:, None]
+
+
 def srp_band_keys(
     df: DataFrame,
     n_planes: int,
@@ -351,7 +368,14 @@ def pq_codebook(
         .collect()
     )
     seeds = np.array([r[0] for r in rows], dtype=np.float64)
-    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+    if train_iters == 0:
+        # sampled codebook: fixed-point int64 (engine-exact — the
+        # encode argmin and ADC sums become exact integer arithmetic
+        # reproducible in SQL, the srp_band_keys recipe); sequential
+        # left-fold norms so the unit vectors match DuckDB bit-for-bit
+        seeds = srp_quantize(seq_unit_matrix(seeds))
+    else:
+        seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
     dim = seeds.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -387,11 +411,18 @@ def pq_encode(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cb = b.value  # (m, ksub, dsub)
         m_, _, dsub = cb.shape
+        int_cb = np.issubdtype(cb.dtype, np.integer)
         for pdf in batches:
             if not len(pdf):
                 continue
             v = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            if int_cb:
+                # sampled-codebook path: exact integer distances over
+                # fixed-point unit vectors (argmin ties -> lowest code,
+                # same as SQL's ROW_NUMBER ORDER BY d2, code)
+                v = srp_quantize(seq_unit_matrix(v))
+            else:
+                v /= np.linalg.norm(v, axis=1, keepdims=True)
             sl = v.reshape(len(v), m_, dsub)  # (n, m, dsub)
             # nearest centroid per subspace under L2 == max dot - ||c||^2/2
             codes = np.empty((len(v), m_), dtype=np.int64)
@@ -448,7 +479,15 @@ def pq_topk(
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     dsub = q_mat.shape[1] // m
     # ADC tables: T[q, j, c] = q_slice_j . centroid_{j,c}
-    tables = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_ids), m, dsub), cb)
+    if np.issubdtype(np.asarray(cb).dtype, np.integer):
+        # sampled path: quantized query slices x int codebook — exact
+        # int64 table entries, so ADC sums are order-independent and
+        # the candidate cut is SQL-reproducible
+        q_raw = np.array([r[1] for r in q_rows], dtype=np.float64)
+        q_z = srp_quantize(seq_unit_matrix(q_raw))
+        tables = np.einsum("qjd,jcd->qjc", q_z.reshape(len(q_ids), m, dsub), cb)
+    else:
+        tables = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_ids), m, dsub), cb)
     q_index = {int(i): n for n, i in enumerate(q_ids)}
     b = spark.sparkContext.broadcast((q_index, q_mat, tables))
     n_keep = k * rerank_factor
