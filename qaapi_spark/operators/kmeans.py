@@ -100,6 +100,7 @@ def lloyd_kmeans_distributed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Fully DISTRIBUTED Lloyd k-means with engine-exact arithmetic:
     (id, cluster, dist) after ``iters`` iterations from the
@@ -131,35 +132,72 @@ def lloyd_kmeans_distributed(
     task — the textbook scalable k-means shape (no driver collect of
     the corpus, no per-row subqueries).
     """
-    x = df.select(
+    x = _as_points(df, id_col, vec_col)
+    if cents is None:
+        cents = lloyd_centroids_distributed(df, k, iters, id_col, vec_col, round_dp)
+    final = _assign_points(x, cents)
+    return final.select(
+        F.col("id").alias(id_col),
+        F.col("best.cid").alias("cluster"),
+        F.round(F.col("best.dist"), round_dp).alias("dist"),
+    )
+
+
+def _as_points(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda v: v.cast("double")).alias("x"),
     )
+
+
+def _assign_points(points: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, x, best=(dist, cid)): map-only nearest-centroid assignment —
+    the k centroids ride as ONE broadcast row of (cid, c) structs;
+    sequential left-fold L2 distances; ``array_min`` over
+    struct(dist, cid) ties to the lowest cid on both engines."""
+    carr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cs")
+    )
+    dist_to = lambda s: F.aggregate(  # noqa: E731
+        F.zip_with("x", s["c"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best = F.array_min(
+        F.transform(
+            "cs", lambda s: F.struct(dist_to(s).alias("dist"), s["cid"].alias("cid"))
+        )
+    )
+    return points.crossJoin(F.broadcast(carr)).select("id", "x", best.alias("best"))
+
+
+def lloyd_centroids_distributed(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """The fitted codebook of :func:`lloyd_kmeans_distributed` as a
+    relation (cid int, c array<double>) — k rows after ``iters``
+    engine-exact Lloyd steps from the prefix init (ids < k), every
+    component snapped to ``round_dp`` decimals.  Exposed separately so
+    a consumer (e.g. a trained-codebook IVF probe,
+    plans/llm_similarity.ann_topk_ivf_trained) can reuse the identical
+    centroid relation the clustering query hashes against — the
+    composition stays SQL-reproducible end to end.  Empty clusters
+    drop deterministically on both engines (the per-cluster mean
+    aggregate simply has no rows)."""
+    x = _as_points(df, id_col, vec_col)
     cents = x.filter(F.col("id") < k).select(
         F.col("id").cast("int").alias("cid"),
         F.transform("x", lambda v: F.round(v, round_dp)).alias("c"),
     )
-
-    def assign(points: DataFrame, cents: DataFrame) -> DataFrame:
-        carr = cents.agg(
-            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cs")
-        )
-        dist_to = lambda s: F.aggregate(  # noqa: E731
-            F.zip_with("x", s["c"], lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        best = F.array_min(
-            F.transform(
-                "cs", lambda s: F.struct(dist_to(s).alias("dist"), s["cid"].alias("cid"))
-            )
-        )
-        return points.crossJoin(F.broadcast(carr)).select(
-            "id", "x", best.alias("best")
-        )
-
     for _ in range(iters):
-        assigned = assign(x, cents).select("id", "x", F.col("best.cid").alias("cid"))
+        assigned = _assign_points(x, cents).select(
+            "id", "x", F.col("best.cid").alias("cid")
+        )
         cents = (
             assigned.select("cid", F.posexplode("x").alias("dim", "v"))
             .groupBy("cid", "dim")
@@ -177,12 +215,7 @@ def lloyd_kmeans_distributed(
                 ).alias("c")
             )
         )
-    final = assign(x, cents)
-    return final.select(
-        F.col("id").alias(id_col),
-        F.col("best.cid").alias("cluster"),
-        F.round(F.col("best.dist"), round_dp).alias("dist"),
-    )
+    return cents
 
 
 def training_sample(

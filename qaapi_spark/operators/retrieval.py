@@ -491,6 +491,7 @@ def pq_topk(
     q_index = {int(i): n for n, i in enumerate(q_ids)}
     b = spark.sparkContext.broadcast((q_index, q_mat, tables))
     n_keep = k * rerank_factor
+    int_adc = np.issubdtype(np.asarray(cb).dtype, np.integer)
 
     codes = pq_encode(corpus, cb, vec_col, id_col)
 
@@ -505,7 +506,20 @@ def pq_topk(
             # approx[q, n] = sum_j tb[q, j, cm[n, j]]
             approx = tb[:, jj, cm].sum(axis=2)  # (Q, n)
             keep = min(n_keep, approx.shape[1])
-            part = np.argpartition(-approx, keep - 1, axis=1)[:, :keep]
+            if int_adc:
+                # sampled-codebook path: the per-batch cut must be
+                # deterministic on (approx desc, cand_id asc) — ties at
+                # the boundary are REAL under exact integer ADC, and an
+                # argpartition tie-break would diverge from the SQL
+                # oracle's ROW_NUMBER.  Any global-top-n_keep row ranks
+                # inside its own batch's top-n_keep under the same
+                # order, so the downstream global cut sees every row
+                # the oracle keeps.
+                part = np.lexsort(
+                    (np.broadcast_to(ids, approx.shape), -approx), axis=1
+                )[:, :keep]
+            else:
+                part = np.argpartition(-approx, keep - 1, axis=1)[:, :keep]
             qq = np.repeat(np.arange(len(tb)), keep)
             nn = part.ravel()
             yield pd.DataFrame(

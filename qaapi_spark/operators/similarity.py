@@ -273,6 +273,7 @@ def cosine_topk_ivf(
     train_iters: int = 0,
     n_centroids: int | None = None,
     train_rows: int = 4096,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: probe only the nprobe nearest
     centroid buckets per query.
@@ -289,8 +290,15 @@ def cosine_topk_ivf(
     map-only), (2) probe top-nprobe centroids per query, (3)
     shuffle-join probes x assignments on centroid_id and score only
     those pairs.
+
+    A caller may hand in a prefit codebook relation
+    (``cents``: centroid_id, cvec) — e.g. the engine-exact distributed
+    Lloyd centroids (operators/kmeans.lloyd_centroids_distributed),
+    which keeps the trained-codebook configuration SQL-reproducible.
     """
-    if train_iters > 0:
+    if cents is not None:
+        pass
+    elif train_iters > 0:
         from qaapi_spark.operators.kmeans import spherical_kmeans, training_sample
 
         sample = training_sample(candidates, train_rows, id_col, vec_col)

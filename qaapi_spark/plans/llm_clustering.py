@@ -115,11 +115,31 @@ def _lloyd_kernel(spark, sf_dir):
         e = t(spark, sf_dir, "embeddings")
         return lloyd_kmeans_distributed(
             e, k=_K, iters=_ITERS, id_col="vec_id", vec_col="embedding",
-            round_dp=_DP,
+            round_dp=_DP, cents=lloyd_centroids_kernel(spark, sf_dir),
         ).localCheckpoint(eager=False)
 
     return shared_kernel(
         spark, ("kmeans_lloyd", sf_dir, _K, _ITERS, _DP), build
+    )
+
+
+def lloyd_centroids_kernel(spark, sf_dir):
+    """The fitted k=8/3-iteration codebook (cid, c) itself, memoized —
+    the trained-IVF probe (plans/llm_similarity.ann_topk_ivf_trained)
+    reuses the exact centroid relation emb_kmeans_lloyd3's oracle
+    iterates to, so its composed SQL oracle shares `_kmeans_ctes`."""
+    from qaapi_spark.operators.kmeans import lloyd_centroids_distributed
+    from qaapi_spark.session import shared_kernel
+
+    def build():
+        e = t(spark, sf_dir, "embeddings")
+        return lloyd_centroids_distributed(
+            e, k=_K, iters=_ITERS, id_col="vec_id", vec_col="embedding",
+            round_dp=_DP,
+        ).localCheckpoint(eager=False)
+
+    return shared_kernel(
+        spark, ("kmeans_lloyd_cents", sf_dir, _K, _ITERS, _DP), build
     )
 
 

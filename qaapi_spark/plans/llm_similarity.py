@@ -114,22 +114,141 @@ def ann_topk_ivf(spark, sf_dir):
     )
 
 
+def _ivf_trained_oracle() -> str:
+    """Composed oracle for the trained-codebook IVF probe: the
+    engine-exact unrolled Lloyd chain from emb_kmeans_lloyd3
+    (`plans/llm_clustering._kmeans_ctes` — decimal sums, 6dp snapping,
+    lowest-cid ties) hands its final centroid relation straight into
+    ann_topk_ivf's assign→probe→score→top-k SQL.  An iterative-ML
+    codebook plus an approximate index, hash-verifiable end to end
+    (VERDICT r4 next #4)."""
+    from qaapi_spark.plans.llm_clustering import _DP, _ITERS, _kmeans_ctes
+    from qaapi_spark.plans.llm_clustering import _K as _KM_K
+
+    body, prev = _kmeans_ctes(_KM_K, _ITERS, _DP)
+    return f"""
+    WITH {body},
+    u AS MATERIALIZED (
+        SELECT vec_id, list_transform(x, v -> v / sqrt(list_dot_product(x, x))) AS uv
+        FROM e
+    ),
+    cu AS MATERIALIZED (
+        SELECT cid AS centroid_id,
+               list_transform(c, v -> v / sqrt(list_dot_product(c, c))) AS cuv
+        FROM {prev}
+    ),
+    assigned AS (
+        SELECT cand_id, centroid_id FROM (
+            SELECT v.vec_id AS cand_id, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ROUND(list_dot_product(v.uv, ct.cuv), 4) DESC,
+                                ct.centroid_id) AS rn
+            FROM u v CROSS JOIN cu ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(q.uv, ct.cuv), 4) DESC,
+                                ct.centroid_id) AS rn
+            FROM u q CROSS JOIN cu ct WHERE q.vec_id % {_QUERY_MOD} = 0
+        ) WHERE rn <= {_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.cand_id,
+               ROUND(list_dot_product(qu.uv, cu2.uv), 4) AS cosine
+        FROM probes p JOIN assigned a USING (centroid_id)
+        JOIN u qu ON qu.vec_id = p.query_id
+        JOIN u cu2 ON cu2.vec_id = a.cand_id
+        WHERE p.query_id <> a.cand_id
+    )
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT query_id, cand_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_K}
+    ORDER BY query_id, cosine DESC, cand_id
+    """
+
+
 @query(
     "ann_topk_ivf_trained",
-    oracle=None,  # fitted k-means codebook is not SQL-expressible =>
-    # rows-only driver check; planted-twin recall >= 0.9 asserted in
-    # tests/test_kmeans.py
-    doc="IVF approximate cosine top-k with a spherical-k-means-trained "
-    "codebook (deterministic init + Lloyd over a bounded training "
-    "stripe, operators/kmeans.py): better-balanced cells than the "
-    "sampled codebook at the same nprobe (extension)",
+    # Upgraded rows-only -> exact oracle (VERDICT r4 next #4): the
+    # trained codebook is now the ENGINE-EXACT distributed Lloyd fit
+    # (decimal(28,14) dimension sums + per-iteration 6dp snapping,
+    # operators/kmeans.lloyd_centroids_distributed) — the identical
+    # centroid relation emb_kmeans_lloyd3 hashes against — so the
+    # whole trained pipeline (fit -> assign -> probe -> rerank)
+    # composes into one SQL oracle.  The numpy spherical-k-means
+    # codebook (recall-tested in tests/test_kmeans.py) remains the
+    # operator's train_iters>0 path for callers that want a bigger
+    # fitted k without the relational fit.
+    oracle=_ivf_trained_oracle(),
+    doc="IVF approximate cosine top-k with a k-means-TRAINED codebook: "
+    "the engine-exact distributed Lloyd centroids (k=8, 3 iterations, "
+    "operators/kmeans.py) feed the assign/probe/rerank pipeline, so "
+    "even the trained configuration hash-checks against a composed "
+    "SQL oracle; at 100 TB k grows with the corpus and the fit stays "
+    "one bounded-shuffle aggregate per iteration (extension)",
 )
 def ann_topk_ivf_trained(spark, sf_dir):
+    from qaapi_spark.plans.llm_clustering import lloyd_centroids_kernel
+
     e = t(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    cents = lloyd_centroids_kernel(spark, sf_dir).select(
+        F.col("cid").cast("long").alias("centroid_id"), F.col("c").alias("cvec")
+    )
     return cosine_topk_ivf(
-        qs, e, _K, n_centroids_mod=_IVF_MOD, nprobe=_NPROBE, train_iters=10
+        qs, e, _K, nprobe=_NPROBE, cents=cents
     ).orderBy("query_id", F.desc("cosine"), "cand_id")
+
+
+@query(
+    "stream_ivf_assign",
+    # the codebook is fixed at index-build time, so a micro-batch's
+    # assignment depends only on (batch, broadcast codebook) and the
+    # streamed store equals the batch assignment relation — the same
+    # `assigned` CTE that ann_topk_ivf's oracle builds, with the
+    # cosine kept as a column (VERDICT r4 next #2).
+    oracle=f"""
+    WITH u AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
+                            list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                            list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS uv
+        FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS centroid_id, uv AS cuv FROM u
+              WHERE vec_id % {_IVF_MOD} = 0)
+    SELECT vec_id, centroid_id, centroid_cosine FROM (
+        SELECT c.vec_id, ct.centroid_id,
+               ROUND(list_dot_product(c.uv, ct.cuv), 4) AS centroid_cosine,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                   ORDER BY ROUND(list_dot_product(c.uv, ct.cuv), 4) DESC,
+                            ct.centroid_id) AS rn
+        FROM u c CROSS JOIN cents ct
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """,
+    doc="incremental IVF indexing as a stream: embedding micro-batches "
+    "are assigned MAP-ONLY to the fixed broadcast codebook "
+    "(ann_topk_ivf's configuration) and appended to an epoch-keyed "
+    "store — new vectors join the index without touching anything "
+    "already indexed; the final store hash-checks against the batch "
+    "assignment SQL (extension, SURVEY §2.9; "
+    "streaming/incremental.stream_ivf_assign)",
+)
+def stream_ivf_assign_q(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import stream_ivf_assign
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return stream_ivf_assign(
+        spark, f"{sf_dir}/embeddings.parquet", n_centroids_mod=_IVF_MOD
+    ).orderBy("vec_id")
 
 
 _DD_UNIT = """
