@@ -168,28 +168,38 @@ class CalabrioPipeline:
                 spark, f"{landing_dir}/fix_comments_raw.json", "comments"
             )
 
+        # Independent tables reconcile CONCURRENTLY: each target is its
+        # own directory and no table's merge reads another's output
+        # within a batch, so the per-table action chains (bucket probe,
+        # checkpoint, write) can overlap — at fixture scale the cost is
+        # ~30 tiny jobs of scheduler latency, and overlapping them is
+        # the same lever the reference pulls with thread-per-pipeline
+        # (X1, Start.py); on a cluster the scheduler interleaves stages
+        # from concurrent jobs across executors (FIFO pools).
+        work: list = []
+
         # forms: full replace (S14) — inherently a whole-table write
         if forms is not None:
-            self._swap_write(T.forms_flatten(forms), "t_qa_forms")
+            work.append(lambda: self._swap_write(T.forms_flatten(forms), "t_qa_forms"))
 
         # contacts: insert-only merge (J2) — existing rows keep their
         # original values; batch-internal duplicates collapse first
         if contacts is not None:
             new_contacts = T.contacts_curated(contacts).dropDuplicates(["contact_id"])
-            self._reconcile(
+            work.append(lambda: self._reconcile(
                 "t_contacts",
                 new_contacts,
                 ["contact_id"],
                 lambda t, b: merge_insert_only(t, b, ["contact_id"]),
-            )
+            ))
         if qa_contacts is not None:
             new_qa = T.contacts_curated(qa_contacts).dropDuplicates(["contact_id"])
-            self._reconcile(
+            work.append(lambda: self._reconcile(
                 "t_qa_contacts",
                 new_qa,
                 ["contact_id"],
                 lambda t, b: merge_insert_only(t, b, ["contact_id"]),
-            )
+            ))
 
         # evaluations: delete evals whose contact is in this batch but
         # which vanished upstream (J5), then upsert the batch (J3).
@@ -216,16 +226,16 @@ class CalabrioPipeline:
             )
 
         if batch_evals is not None:
-            self._reconcile(
+            work.append(lambda: self._reconcile(
                 "t_qa_evaluations", batch_evals, ["evaluation_id"], _merge_evals
-            )
+            ))
 
             # scores: delete-then-insert per contact in batch (S15/J5);
             # the delete scope (batch contacts) can shrink buckets the
             # inserted rows never touch, so it rides along as scope_df
             batch_scores = T.scores_flatten(evals)
             eval_contacts = batch_evals.select("contact_id").distinct()
-            self._reconcile(
+            work.append(lambda: self._reconcile(
                 "t_qa_evaluation_scores",
                 batch_scores,
                 ["contact_id"],
@@ -233,7 +243,7 @@ class CalabrioPipeline:
                     eval_contacts, "contact_id", "left_anti"
                 ).unionByName(b),
                 scope_df=eval_contacts,
-            )
+            ))
 
         # comments: delete-then-insert per contact in batch (S15,
         # Update...sql:176-182 "to address the possibility that a
@@ -248,7 +258,7 @@ class CalabrioPipeline:
             contact_ids = scope_contacts.select(
                 scope_contacts.id.alias("contact_id")
             ).distinct()
-            self._reconcile(
+            work.append(lambda: self._reconcile(
                 "t_qa_evaluation_comments",
                 batch_comments,
                 ["contact_id"],
@@ -256,7 +266,17 @@ class CalabrioPipeline:
                     contact_ids, "contact_id", "left_anti"
                 ).unionByName(b),
                 scope_df=contact_ids,
-            )
+            ))
+
+        if len(work) == 1:
+            work[0]()
+        elif work:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(work)) as pool:
+                # surface the first failure (result() re-raises)
+                for f in [pool.submit(w) for w in work]:
+                    f.result()
 
         if not collect_counts:
             return {}
