@@ -66,25 +66,18 @@ def _driver_state() -> tuple[set[str], set[str], int, dict[str, int]]:
     return hash_verified, rows_checked, rounds, last_green
 
 
-# Highest-priority gate candidates: the 13 queries whose oracles had
-# HUGEINT SUM columns (6 r3 driver hash-FAILs + 7 latent twins), all
-# fixed in r4 with CAST(... AS BIGINT) — confirming the fix is the
-# round's top correctness signal, so they go first in case the driver
-# truncates its window.
+# Highest-priority gate candidates: the round-5 exact-oracle upgrades
+# (VERDICT r4 next #2-4) — the trained-IVF composed oracle, the
+# streaming IVF assignment's first driver row, and the sampled-PQ
+# integer-exact oracle.  They sort first among the unverified anyway
+# (never hash-verified), but pinning them keeps the round's top
+# correctness signal ahead even if the driver truncates its window.
+# (The r4 list — the 13 HUGEINT CAST fixes — all went green in
+# CORRECTNESS_r04 and dropped off the unverified set.)
 _PRIORITY = (
-    "pack_sequences_by_lang",
-    "corpus_profile_by_source_lang",
-    "q12_late_shipment_priority_counts",
-    "dedup_spans_exact",
-    "text_boilerplate_filter",
-    "dedup_cluster_report",
-    "sketch_cms_windowed_counts",
-    "curation_apply_mixture_sample",
-    "curation_ngram_novelty",
-    "event_debounce_user_6h",
-    "emb_quantize_int8",
-    "dq_checks_orders",
-    "events_winsorize_stats_by_type",
+    "ann_topk_ivf_trained",
+    "stream_ivf_assign",
+    "ann_topk_pq_sampled",
 )
 
 

@@ -569,3 +569,202 @@ def pq_topk(
 
     scored = cvec.mapInPandas(rerank, "query_id long, cand_id long, cosine double")
     return topk_per_group(scored, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids_mod: int = 37,
+    nprobe: int = 3,
+    m: int = 16,
+    ksub: int = 64,
+    seed_mod: int = 2,
+    rerank_factor: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF + residual product quantization — the composed serving index
+    (Jegou et al., TPAMI 2011 §V "IVFADC", public): a coarse quantizer
+    routes each vector to a cell, the RESIDUAL to its cell centroid is
+    product-quantized, and a query scans only its nprobe nearest cells,
+    ADC-scoring residual codes against per-(query, cell) lookup tables
+    before an exact rerank.
+
+    Fully deterministic AND SQL-reproducible: the coarse codebook is
+    the `vec_id % n_centroids_mod` corpus stripe (the ann_topk_ivf
+    configuration, rounded-cosine assignment), residuals live in the
+    fixed-point int64 space (`srp_quantize` over sequential-fold unit
+    vectors), the PQ codebook is the residual of the first `ksub` rows
+    of the `vec_id % seed_mod` stripe, and encode/ADC are exact
+    integer arithmetic (every sum < 2^53), so the candidate cut
+    reproduces under ROW_NUMBER ties on both engines (per-batch
+    deterministic (approx desc, cand_id) partial top-k, the
+    ann_topk_pq_sampled argument).
+
+    Scale shape: one bounded collect per codebook (stripe rows), one
+    map-only Arrow pass to (id, cell, codes), ADC streams the code
+    relation map-only with a per-batch partial top-k, and only the
+    k*rerank_factor candidate set per query touches true vectors.
+    At 100 TB the code relation (m bytes + cell id per vector) IS the
+    index; a query reads ~nprobe/n_cells of it.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
+
+    # --- bounded driver-side index build (stripe collects only) -----
+    c_rows = (
+        corpus.filter(F.col(id_col) % n_centroids_mod == 0)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    c_ids = np.array([r[0] for r in c_rows], dtype=np.int64)
+    c_raw = np.array([r[1] for r in c_rows], dtype=np.float64)
+    c_unit = c_raw / np.linalg.norm(c_raw, axis=1, keepdims=True)
+    c_z = srp_quantize(seq_unit_matrix(c_raw))  # (C, d) int64
+    dim = c_raw.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    def _assign(raw: np.ndarray) -> np.ndarray:
+        """Coarse-cell INDEX per row: rank (rounded cosine desc,
+        centroid_id asc) — identical to nearest_broadcast/the SQL
+        assigned CTE."""
+        un = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+        sims = np.round(un @ c_unit.T, round_to)
+        return np.lexsort((np.broadcast_to(c_ids, sims.shape), -sims), axis=1)[:, 0]
+
+    seed_rows = (
+        corpus.filter(F.col(id_col) % seed_mod == 0)
+        .orderBy(id_col)
+        .limit(ksub)
+        .select(vec_col)
+        .collect()
+    )
+    seed_raw = np.array([r[0] for r in seed_rows], dtype=np.float64)
+    seed_res = srp_quantize(seq_unit_matrix(seed_raw)) - c_z[_assign(seed_raw)]
+    # (m, ksub, dsub) residual subquantizers — int64
+    cb = np.ascontiguousarray(
+        seed_res.reshape(len(seed_res), m, dsub).transpose(1, 0, 2)
+    )
+
+    b_idx = spark.sparkContext.broadcast((c_ids, c_unit, c_z, cb))
+
+    # --- map-only encode: (id, cell, codes) --------------------------
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_, unit_, z_, cb_ = b_idx.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            un = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+            sims = np.round(un @ unit_.T, round_to)
+            a = np.lexsort((np.broadcast_to(ids_, sims.shape), -sims), axis=1)[:, 0]
+            res = srp_quantize(seq_unit_matrix(raw)) - z_[a]  # (n, d) int64
+            sl = res.reshape(len(res), m, dsub)
+            codes = np.empty((len(res), m), dtype=np.int64)
+            for j in range(m):
+                d2 = ((sl[:, j, None, :] - cb_[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)  # ties -> lowest code
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "cell": ids_[a],
+                    "codes": list(codes),
+                }
+            )
+
+    codes = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(encode, "id long, cell long, codes array<long>")
+
+    # --- query-side tables: per (query, probed cell) ADC LUT ---------
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_raw = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat = q_raw / np.linalg.norm(q_raw, axis=1, keepdims=True)
+    q_z = srp_quantize(seq_unit_matrix(q_raw))
+    sims = np.round(q_mat @ c_unit.T, round_to)
+    order = np.lexsort((np.broadcast_to(c_ids, sims.shape), -sims), axis=1)
+    probes = order[:, : min(nprobe, len(c_ids))]  # (Q, nprobe) cell indices
+    # tables[(cell_id)] -> (q_idx array, (nq, m, ksub) int64 LUTs)
+    by_cell: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for ci in np.unique(probes):
+        qq = np.nonzero((probes == ci).any(axis=1))[0]
+        qr = q_z[qq] - c_z[ci]  # (nq, d)
+        luts = np.einsum("qjd,jcd->qjc", qr.reshape(len(qq), m, dsub), cb)
+        by_cell[int(c_ids[ci])] = (qq.astype(np.int64), luts)
+    q_index = {int(i): n for n, i in enumerate(q_ids)}
+    b_q = spark.sparkContext.broadcast((q_index, q_mat, by_cell))
+    n_keep = k * rerank_factor
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _, _, cells = b_q.value
+        jj = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_c, out_s = [], [], []
+            for cell, grp in pdf.groupby("cell"):
+                entry = cells.get(int(cell))
+                if entry is None:
+                    continue
+                qq, luts = entry  # (nq,), (nq, m, ksub)
+                cm = np.stack(grp["codes"].to_numpy()).astype(np.int64)
+                ids = grp["id"].to_numpy(dtype=np.int64)
+                approx = luts[:, jj, cm].sum(axis=2)  # (nq, n)
+                keep = min(n_keep, approx.shape[1])
+                part = np.lexsort(
+                    (np.broadcast_to(ids, approx.shape), -approx), axis=1
+                )[:, :keep]
+                out_q.append(np.repeat(qq, keep))
+                out_c.append(ids[part.ravel()])
+                out_s.append(np.take_along_axis(approx, part, axis=1).ravel())
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "q_idx": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "approx": np.concatenate(out_s).astype(np.float64),
+                }
+            )
+
+    partial = codes.mapInPandas(adc, "q_idx long, cand_id long, approx double")
+    ids_by_idx = {v: kk for kk, v in q_index.items()}
+    self_of = F.create_map(*[F.lit(x) for pair in ids_by_idx.items() for x in pair])
+    cand = (
+        topk_per_group(partial, ["q_idx"], [F.desc("approx"), F.asc("cand_id")], n_keep)
+        .filter(F.col("cand_id") != self_of[F.col("q_idx")])
+        .select("q_idx", "cand_id")
+        .dropDuplicates(["q_idx", "cand_id"])
+    )
+    cvec = cand.join(
+        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")),
+        "cand_id",
+    )
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx, qm, _ = b_q.value
+        ids_sorted = np.array(sorted(idx, key=lambda i: idx[i]), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            qrow = pdf["q_idx"].to_numpy(dtype=np.int64)
+            cos = np.round(np.einsum("ij,ij->i", qm[qrow], cm), round_to)
+            yield pd.DataFrame(
+                {"query_id": ids_sorted[qrow], "cand_id": pdf["cand_id"], "cosine": cos}
+            )
+
+    scored = cvec.mapInPandas(rerank, "query_id long, cand_id long, cosine double")
+    return topk_per_group(scored, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k)

@@ -389,3 +389,299 @@ def corpus_profile_by_source_lang(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+_IVFPQ_MOD = 37
+_IVFPQ_NPROBE = 5   # coarse recall is the binding constraint (SCALE.md)
+_IVFPQ_NKEEP = _K * 32
+_DIM = 64
+
+
+@query(
+    "ann_topk_ivfpq",
+    # IVFADC (Jegou et al. 2011 §V) with every stage SQL-reproducible:
+    # coarse assignment/probing by rounded cosine against the sampled
+    # centroid stripe (the ann_topk_ivf recipe), residuals in the
+    # fixed-point int64 space (z_v - z_cell), residual PQ codebook from
+    # the first ksub stripe rows, exact-integer encode/ADC (every sum
+    # < 2^53), deterministic candidate cut, exact rerank.
+    oracle=f"""
+    WITH u AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
+                            list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                            list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS uv
+        FROM embeddings
+    ),
+    z AS MATERIALIZED (
+        SELECT vec_id, list_transform(uv, x -> floor(x * 1000000 + 0.5)) AS zv
+        FROM u
+    ),
+    cents AS MATERIALIZED (
+        SELECT u.vec_id AS centroid_id, u.uv AS cuv, z.zv AS czv
+        FROM u JOIN z USING (vec_id) WHERE u.vec_id % {_IVFPQ_MOD} = 0
+    ),
+    assigned AS MATERIALIZED (
+        SELECT cand_id, centroid_id FROM (
+            SELECT v.vec_id AS cand_id, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ROUND(list_dot_product(v.uv, ct.cuv), 4) DESC,
+                                ct.centroid_id) AS rn
+            FROM u v CROSS JOIN cents ct
+        ) WHERE rn = 1
+    ),
+    res AS MATERIALIZED (
+        SELECT z.vec_id, a.centroid_id,
+               list_transform(range({_DIM}), i -> z.zv[i + 1] - ct.czv[i + 1]) AS rv
+        FROM z JOIN assigned a ON a.cand_id = z.vec_id
+        JOIN cents ct ON ct.centroid_id = a.centroid_id
+    ),
+    seeds AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, vec_id
+        FROM (SELECT vec_id FROM z WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT {_PQ_KSUB})
+    ),
+    subs AS (SELECT CAST(j.range AS BIGINT) AS j FROM range({_PQ_M}) j),
+    cbs AS MATERIALIZED (
+        SELECT s.code, sub.j, list_slice(r.rv, sub.j * 4 + 1, sub.j * 4 + 4) AS cs
+        FROM seeds s JOIN res r ON r.vec_id = s.vec_id CROSS JOIN subs sub
+    ),
+    rss AS MATERIALIZED (
+        SELECT vec_id, centroid_id, j, list_slice(rv, j * 4 + 1, j * 4 + 4) AS vs
+        FROM res CROSS JOIN subs
+    ),
+    enc AS MATERIALIZED (
+        SELECT vec_id, centroid_id, j, code FROM (
+            SELECT rss.vec_id, rss.centroid_id, rss.j, cbs.code,
+                   ROW_NUMBER() OVER (PARTITION BY rss.vec_id, rss.j
+                       ORDER BY list_dot_product(cbs.cs, cbs.cs)
+                                - 2 * list_dot_product(rss.vs, cbs.cs),
+                                cbs.code) AS rn
+            FROM rss JOIN cbs USING (j)
+        ) WHERE rn = 1
+    ),
+    probes AS MATERIALIZED (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(q.uv, ct.cuv), 4) DESC,
+                                ct.centroid_id) AS rn
+            FROM u q CROSS JOIN cents ct WHERE q.vec_id % {_QUERY_MOD} = 0
+        ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    qres AS MATERIALIZED (
+        SELECT p.query_id, p.centroid_id, sub.j,
+               list_slice(list_transform(range({_DIM}),
+                          i -> z.zv[i + 1] - ct.czv[i + 1]),
+                          sub.j * 4 + 1, sub.j * 4 + 4) AS qs
+        FROM probes p JOIN z ON z.vec_id = p.query_id
+        JOIN cents ct ON ct.centroid_id = p.centroid_id
+        CROSS JOIN subs sub
+    ),
+    tab AS MATERIALIZED (
+        SELECT q.query_id, q.centroid_id, q.j, cbs.code,
+               list_dot_product(q.qs, cbs.cs) AS tval
+        FROM qres q JOIN cbs USING (j)
+    ),
+    approx AS MATERIALIZED (
+        SELECT t.query_id, e.vec_id AS cand_id, SUM(t.tval) AS approx
+        FROM enc e
+        JOIN tab t ON t.centroid_id = e.centroid_id AND t.j = e.j AND t.code = e.code
+        GROUP BY t.query_id, e.vec_id
+    ),
+    cand AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx DESC, cand_id) AS rn
+            FROM approx
+        ) WHERE rn <= {_IVFPQ_NKEEP}
+    ),
+    scored AS (
+        SELECT c.query_id, c.cand_id,
+               ROUND(list_dot_product(qu.uv, cu.uv), 4) AS cosine
+        FROM cand c
+        JOIN u qu ON qu.vec_id = c.query_id
+        JOIN u cu ON cu.vec_id = c.cand_id
+        WHERE c.query_id <> c.cand_id
+    )
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT query_id, cand_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_K}
+    ORDER BY query_id, cosine DESC, cand_id
+    """,
+    doc="IVF + residual product quantization (IVFADC, Jegou et al. "
+    "2011): coarse cells from the sampled centroid stripe, residual "
+    "codes from an int64 fixed-point subquantizer, per-(query, cell) "
+    "ADC lookup tables over only the nprobe probed cells, exact "
+    "rerank — the composed FAISS-style serving index, and every "
+    "stage hash-checks against one SQL oracle; at 100 TB the "
+    "(cell, codes) relation is the index and a query reads "
+    "~nprobe/n_cells of it (extension: ANN scale path)",
+)
+def ann_topk_ivfpq(spark, sf_dir):
+    from qaapi_spark.operators.retrieval import ivfpq_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    return ivfpq_topk(
+        qs, e, _K, n_centroids_mod=_IVFPQ_MOD, nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M, ksub=_PQ_KSUB, rerank_factor=_IVFPQ_NKEEP // _K,
+    ).orderBy("query_id", F.desc("cosine"), "cand_id")
+
+
+_RRF_C = 60
+_HYB_POOL = 20
+_HYB_K = 10
+
+
+@query(
+    "hybrid_search_rrf",
+    # Exactness recipe: tf-idf weights snap to 6dp (ROUND agrees
+    # engine-to-engine), norm/numerator sums run in DECIMAL(28,14)
+    # (order-independent), the cosine divides two bit-identical
+    # doubles and snaps to 4dp before ranking, and the RRF score is a
+    # sum of 1/(60+rank) terms over integer ranks — identical doubles
+    # on both engines, so selection and ordering reproduce exactly.
+    oracle=f"""
+    WITH {_DD_TF},
+    dfreq AS (SELECT term, COUNT(*) AS df_count FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    w AS MATERIALIZED (
+        SELECT doc_id AS id, tf.term,
+               ROUND(tf * ln(CAST(n.n AS DOUBLE) / df_count), 6) AS w
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    ),
+    norms AS MATERIALIZED (
+        SELECT id, sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+        FROM w GROUP BY id
+    ),
+    num AS (
+        SELECT q.id AS qid, c.id AS did,
+               CAST(SUM(CAST(q.w * c.w AS DECIMAL(28,14))) AS DOUBLE) AS num
+        FROM w q JOIN w c ON q.term = c.term
+        WHERE q.id % {_QUERY_MOD} = 0 AND q.id <> c.id
+        GROUP BY q.id, c.id
+    ),
+    lex AS (
+        SELECT qid, did, lr FROM (
+            SELECT num.qid, num.did,
+                   ROW_NUMBER() OVER (PARTITION BY num.qid
+                       ORDER BY ROUND(num.num / (qn.nrm * dn.nrm), 4) DESC,
+                                num.did) AS lr
+            FROM num JOIN norms qn ON qn.id = num.qid
+            JOIN norms dn ON dn.id = num.did
+        ) WHERE lr <= {_HYB_POOL}
+    ),
+    u AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
+                            list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                            list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS uv
+        FROM embeddings
+    ),
+    dense AS (
+        SELECT query_id, cand_id, dr FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(q.uv, c.uv), 4) DESC,
+                                c.vec_id) AS dr
+            FROM u q JOIN u c ON q.vec_id % {_QUERY_MOD} = 0 AND q.vec_id <> c.vec_id
+        ) WHERE dr <= {_HYB_POOL}
+    ),
+    fused AS (
+        SELECT COALESCE(l.qid, d.query_id) AS qid,
+               COALESCE(l.did, d.cand_id) AS did,
+               COALESCE(CAST(1 AS DOUBLE) / (CAST({_RRF_C} AS DOUBLE) + l.lr),
+                        CAST(0 AS DOUBLE))
+               + COALESCE(CAST(1 AS DOUBLE) / (CAST({_RRF_C} AS DOUBLE) + d.dr),
+                          CAST(0 AS DOUBLE)) AS rrf,
+               l.lr AS lr, d.dr AS dr
+        FROM lex l FULL OUTER JOIN dense d
+          ON l.qid = d.query_id AND l.did = d.cand_id
+    )
+    SELECT qid, did, ROUND(rrf, 6) AS rrf,
+           CAST(lr AS BIGINT) AS lex_rank, CAST(dr AS BIGINT) AS dense_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY rrf DESC, did) AS rn
+          FROM fused)
+    WHERE rn <= {_HYB_K}
+    ORDER BY qid, rrf DESC, did
+    """,
+    doc="hybrid retrieval with reciprocal-rank fusion (Cormack et al. "
+    "SIGIR'09): a lexical ranking (tf-idf cosine over the shared-term "
+    "posting join — shuffle volume is co-occurring terms only) fused "
+    "with the dense embedding ranking (streamed-corpus GEMM top-k) "
+    "via 1/(60+rank) — the standard dense+sparse serving pattern; "
+    "aligned doc_id==vec_id corpora; decimal-exact weight sums make "
+    "the whole fusion hash-reproducible (extension: hybrid search)",
+)
+def hybrid_search_rrf(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from qaapi_spark.operators.similarity import cosine_topk_bruteforce
+
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+
+    w = tf_idf(d).select("id", "term", F.round("tfidf", 6).alias("w"))
+    norms = w.groupBy("id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(28,14)")).cast("double")
+        ).alias("nrm")
+    )
+    qw = w.filter(F.col("id") % _QUERY_MOD == 0).select(
+        F.col("id").alias("qid"), "term", F.col("w").alias("wq")
+    )
+    num = (
+        qw.join(
+            w.select(F.col("id").alias("did"), "term", "w"), "term"
+        )
+        .filter(F.col("qid") != F.col("did"))
+        .groupBy("qid", "did")
+        .agg(
+            F.sum((F.col("wq") * F.col("w")).cast("decimal(28,14)"))
+            .cast("double")
+            .alias("num")
+        )
+    )
+    lex = (
+        num.join(norms.select(F.col("id").alias("qid"), F.col("nrm").alias("qn")), "qid")
+        .join(norms.select(F.col("id").alias("did"), F.col("nrm").alias("dn")), "did")
+        .select(
+            "qid", "did",
+            F.round(F.col("num") / (F.col("qn") * F.col("dn")), 4).alias("ls"),
+        )
+    )
+    lwin = Window.partitionBy("qid").orderBy(F.desc("ls"), F.asc("did"))
+    lexr = (
+        lex.withColumn("lr", F.row_number().over(lwin))
+        .filter(F.col("lr") <= _HYB_POOL)
+        .select("qid", "did", "lr")
+    )
+
+    qs = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    dense = cosine_topk_bruteforce(qs, e, _HYB_POOL)
+    dwin = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    denser = (
+        dense.withColumn("dr", F.row_number().over(dwin))
+        .select(F.col("query_id").alias("qid"), F.col("cand_id").alias("did"), "dr")
+    )
+
+    c = float(_RRF_C)
+    fused = lexr.join(denser, ["qid", "did"], "full_outer").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("lr")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("dr")), F.lit(0.0)),
+    )
+    top = topk_per_group(fused, ["qid"], [F.desc("rrf"), F.asc("did")], _HYB_K)
+    return top.select(
+        "qid", "did",
+        F.round("rrf", 6).alias("rrf"),
+        F.col("lr").cast("long").alias("lex_rank"),
+        F.col("dr").cast("long").alias("dense_rank"),
+    ).orderBy("qid", F.desc("rrf"), "did")
