@@ -624,11 +624,16 @@ def hybrid_search_rrf(spark, sf_dir):
     from pyspark.sql.window import Window
 
     from qaapi_spark.operators.similarity import cosine_topk_bruteforce
+    from qaapi_spark.session import register_kernel_cache
 
     d = t(spark, sf_dir, "documents")
     e = t(spark, sf_dir, "embeddings")
 
-    w = tf_idf(d).select("id", "term", F.round("tfidf", 6).alias("w"))
+    # the weight relation feeds the query side, the candidate side AND
+    # the norms — persist it once instead of re-tokenizing per branch
+    w = register_kernel_cache(
+        tf_idf(d).select("id", "term", F.round("tfidf", 6).alias("w")).persist()
+    )
     norms = w.groupBy("id").agg(
         F.sqrt(
             F.sum((F.col("w") * F.col("w")).cast("decimal(28,14)")).cast("double")

@@ -777,7 +777,10 @@ def stream_ivf_assign(
     )
 
     def assign_batch(bdf: DataFrame, epoch_id: int) -> None:
-        bdf = bdf.repartition(spark.sparkContext.defaultParallelism)
+        # No repartition: the kernel is map-only over whatever
+        # partitioning the source delivers — at scale a micro-batch
+        # spans many files/partitions natively, and forcing a shuffle
+        # on a single-file fixture batch costs more than the GEMM
         assigned = nearest_broadcast(
             bdf, cents, 1,
             stream_id=id_col, stream_vec=vec_col,
