@@ -30,6 +30,12 @@ QUERIES = [
     "dedup_semantic_kmeans",
     "graph_pagerank_neardup",
     "sketch_hll_portable",
+    # r5 additions: composed ANN index (broadcast codebooks + residual
+    # encode kernel + candidate-sized joins across executor boundaries)
+    # and the dense+lexical fusion (persisted weight relation, full
+    # outer join)
+    "ann_topk_ivfpq",
+    "hybrid_search_rrf",
 ]
 
 _RUNNER = r"""
