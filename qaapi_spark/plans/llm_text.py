@@ -544,15 +544,105 @@ def _bpe_merges(spark, sf_dir):
     return m
 
 
+def _bpe_ctes(n_merges: int) -> tuple[str, str, str]:
+    """(WITH-clause body, merges-union SQL, final-vocab name): the BPE
+    trainer unrolled as chained CTEs — the `_kmeans_ctes` trick applied
+    to an argmax-per-round algorithm.
+
+    Word state is the space-separated symbol string
+    ``' c1 c2 … </w> '``; one merge pass is then a single left-to-right
+    non-overlapping ``replace(' l r ', ' lr ')``, which reproduces the
+    trainer's left-greedy array fold exactly (a merged symbol ``l||r``
+    can never re-match as ``l`` within the pass, and the replace scan
+    resumes after each replacement).  Pair counts explode each word's
+    adjacent symbol pairs weighted by word count; the per-round argmax
+    is ``ORDER BY pcnt DESC, l, r LIMIT 1`` — the trainer's exact
+    tie-break.  ``min_pair_count``/``max_train_words`` never bind on
+    the fixture corpora (top pair counts are orders of magnitude above
+    2; the vocabulary is far below the cap) — the empirical 3-SF
+    check_oracle sweep is the guard."""
+    sql = f"""wc AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({_DD_TOKS}) AS word FROM documents)
+        GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+        SELECT word, cnt,
+               ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS st
+        FROM wc
+    )"""
+    prev = "v0"
+    for i in range(1, n_merges + 1):
+        sql += f""",
+    p{i} AS (
+        SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS pcnt
+        FROM (
+            SELECT cnt,
+                   unnest(list_transform(range(1, len(syms)),
+                          j -> {{'l': syms[j], 'r': syms[j + 1]}})) AS pr
+            FROM (SELECT cnt, string_split(trim(st), ' ') AS syms FROM {prev})
+        ) GROUP BY pr.l, pr.r
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT {i - 1} AS rank, l, r, pcnt FROM p{i}
+        ORDER BY pcnt DESC, l, r LIMIT 1
+    ),
+    v{i} AS MATERIALIZED (
+        SELECT word, cnt,
+               replace(st, ' ' || m.l || ' ' || m.r || ' ',
+                           ' ' || m.l || m.r || ' ') AS st
+        FROM {prev} CROSS JOIN m{i} m
+    )"""
+        prev = f"v{i}"
+    union = " UNION ALL ".join(
+        f"SELECT * FROM m{i}" for i in range(1, n_merges + 1)
+    )
+    return sql, union, prev
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    body, union, _ = _bpe_ctes(n_merges)
+    return f"""
+    WITH {body}
+    SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right",
+           CAST(pcnt AS BIGINT) AS pair_count
+    FROM ({union}) ORDER BY rank
+    """
+
+
+def _bpe_counts_oracle(n_merges: int) -> str:
+    body, _, last = _bpe_ctes(n_merges)
+    return f"""
+    WITH {body},
+    fin AS MATERIALIZED (
+        SELECT word, len(string_split(trim(st), ' ')) AS ntok FROM {last}
+    ),
+    docw AS (SELECT doc_id, unnest({_DD_TOKS}) AS word FROM documents),
+    per_doc AS (
+        SELECT d.doc_id, SUM(f.ntok) AS tot
+        FROM docw d JOIN fin f USING (word) GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id AS id,
+           CAST(COALESCE(p.tot, 0) AS BIGINT) AS n_tokens_bpe
+    FROM documents doc LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY id
+    """
+
+
 @query(
     "bpe_train_merges",
-    oracle=None,  # iterative argmax-per-round (genuinely non-SQL-
-    # expressible); pinned instead by a pure-python reference trainer
-    # with identical tie-breaks in tests/test_bpe.py
+    # Upgraded rows-only -> exact oracle (r5): with the merge count
+    # bounded (8), the argmax-per-round trainer unrolls into chained
+    # CTEs exactly like the Lloyd oracle — see `_bpe_ctes` for why the
+    # space-separated-string replace reproduces the left-greedy fold.
+    # The python reference trainer in tests/test_bpe.py remains the
+    # semantic pin for the general (unbounded) operator.
+    oracle=_bpe_train_oracle(_BPE_MERGES),
     doc="BPE merge-table training (Sennrich et al. 2016): one corpus "
     "pass to word counts, then vocab-sized pair aggregates + bounded "
-    "argmax per round; deterministic tie-breaks (extension: tokenizer "
-    "training, iterative algorithm)",
+    "argmax per round; deterministic tie-breaks; hash-checked against "
+    "an unrolled SQL trainer (extension: tokenizer training, "
+    "iterative algorithm)",
 )
 def bpe_train_merges(spark, sf_dir):
     return spark.createDataFrame(
@@ -563,12 +653,17 @@ def bpe_train_merges(spark, sf_dir):
 
 @query(
     "bpe_token_counts",
-    oracle=None,  # output depends on the learned merge table (above);
-    # the apply kernel itself is pinned against the same python
-    # reference in tests/test_bpe.py
+    # Upgraded rows-only -> exact oracle (r5): rank-priority apply
+    # (segment_word) equals sequential rank-order merge passes for a
+    # TRAINED table — a rank-k merge's operands are produced only by
+    # merges < k, which the priority loop exhausts first — so the
+    # final unrolled vocabulary state IS the segmentation.
+    oracle=_bpe_counts_oracle(_BPE_MERGES),
     doc="BPE segmentation apply: learned merge table broadcasts, docs "
     "stream through an Arrow kernel map-only with per-word "
-    "memoization — the production tokenizer-apply shape (extension)",
+    "memoization — the production tokenizer-apply shape; per-doc "
+    "token counts hash-check against the unrolled SQL vocabulary "
+    "(extension)",
 )
 def bpe_token_counts(spark, sf_dir):
     from qaapi_spark.operators.bpe import bpe_segment
