@@ -650,3 +650,79 @@ def dedup_cluster_report(spark, sf_dir):
         .filter(F.col("n_docs") > 1)
         .orderBy("comp")
     )
+
+
+@query(
+    "graph_triangles_neardup",
+    oracle=f"""
+    WITH {_DD_JACCARD_PAIRS},
+    e AS MATERIALIZED (SELECT id_a, id_b FROM pairs),
+    tri AS (
+        SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+        FROM e p1
+        JOIN e p2 ON p1.id_b = p2.id_a
+        JOIN e p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+    ),
+    tcnt AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT id_a AS node FROM e
+            UNION ALL SELECT id_b FROM e
+        ) GROUP BY node
+    )
+    SELECT deg.node AS doc_id, deg.degree,
+           CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN ROUND(CAST(2 AS DOUBLE) * COALESCE(t.t, 0)
+                           / (deg.degree * (deg.degree - 1)), 4)
+                ELSE CAST(0 AS DOUBLE) END AS clustering_coeff
+    FROM deg LEFT JOIN tcnt t ON t.node = deg.node
+    ORDER BY doc_id
+    """,
+    doc="triangle count + local clustering coefficient over the "
+    "near-dup graph (the density diagnostic that separates tight "
+    "duplicate cliques from loose chains before choosing keep-one vs "
+    "cluster review): ordered-wedge join (a<b<c) over the memoized "
+    "pairs relation — each triangle enumerated exactly once, shuffle "
+    "keyed on the shared endpoint, never an open 2-hop expansion "
+    "(extension: graph analytics)",
+)
+def graph_triangles_neardup(spark, sf_dir):
+    pairs = jaccard_pairs_kernel(spark, sf_dir).select("id_a", "id_b")
+    p1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    p2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    p3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = p1.join(p2, "b").join(p3, ["a", "c"])
+    tcnt = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    deg = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionAll(pairs.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    out = deg.join(tcnt, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.lit(2.0) * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                4,
+            ),
+        ).otherwise(F.lit(0.0)).alias("clustering_coeff"),
+    )
+    return out.orderBy("doc_id")

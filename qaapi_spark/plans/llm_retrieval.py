@@ -690,3 +690,64 @@ def hybrid_search_rrf(spark, sf_dir):
         F.col("lr").cast("long").alias("lex_rank"),
         F.col("dr").cast("long").alias("dense_rank"),
     ).orderBy("qid", F.desc("rrf"), "did")
+
+
+@query(
+    "stream_pq_encode",
+    # the sampled codebook is fixed at index-build time and the encode
+    # is exact int64 arithmetic, so a micro-batch's codes depend only
+    # on (batch, broadcast codebook) and the streamed store equals the
+    # batch encode relation — the `enc` CTE of ann_topk_pq_sampled's
+    # oracle, exploded to one row per (vector, subspace).
+    oracle=f"""
+    WITH u AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
+                            list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                            list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS uv
+        FROM embeddings
+    ),
+    z AS MATERIALIZED (
+        SELECT vec_id, list_transform(uv, x -> floor(x * 1000000 + 0.5)) AS zv
+        FROM u
+    ),
+    cb AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, zv
+        FROM (SELECT vec_id, zv FROM z WHERE vec_id % 2 = 0
+              ORDER BY vec_id LIMIT {_PQ_KSUB})
+    ),
+    subs AS (SELECT CAST(j.range AS BIGINT) AS j FROM range({_PQ_M}) j),
+    cbs AS MATERIALIZED (
+        SELECT code, j, list_slice(zv, j * 4 + 1, j * 4 + 4) AS cs
+        FROM cb CROSS JOIN subs
+    ),
+    zs AS MATERIALIZED (
+        SELECT vec_id, j, list_slice(zv, j * 4 + 1, j * 4 + 4) AS vs
+        FROM z CROSS JOIN subs
+    )
+    SELECT vec_id, CAST(j AS INT) AS j, code FROM (
+        SELECT zs.vec_id, zs.j, cbs.code,
+               ROW_NUMBER() OVER (PARTITION BY zs.vec_id, zs.j
+                   ORDER BY list_dot_product(cbs.cs, cbs.cs)
+                            - 2 * list_dot_product(zs.vs, cbs.cs),
+                            cbs.code) AS rn
+        FROM zs JOIN cbs USING (j)
+    ) WHERE rn = 1
+    ORDER BY vec_id, j
+    """,
+    doc="incremental PQ code maintenance as a stream: embedding "
+    "micro-batches compress MAP-ONLY to m int codes against the fixed "
+    "broadcast sampled codebook and append to an epoch-keyed code "
+    "store — the compressed serving index absorbs new vectors without "
+    "touching existing codes, and the store hash-checks against the "
+    "batch encode SQL (extension, SURVEY §2.9; pairs with "
+    "stream_ivf_assign for the IVFADC maintenance story)",
+)
+def stream_pq_encode_q(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import stream_pq_encode
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return stream_pq_encode(
+        spark, f"{sf_dir}/embeddings.parquet", m=_PQ_M, ksub=_PQ_KSUB
+    ).orderBy("vec_id", "j")

@@ -805,3 +805,72 @@ def stream_ivf_assign(
     return spark.read.parquet(store_dir + "/data").select(
         id_col, "centroid_id", "centroid_cosine"
     )
+
+
+def stream_pq_encode(
+    spark: SparkSession,
+    embeddings_path: str,
+    m: int = 16,
+    ksub: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental PQ code maintenance — the second half of the
+    serving-index story next to :func:`stream_ivf_assign`: embedding
+    micro-batches are compressed MAP-ONLY to their m per-subspace
+    codes against the fixed broadcast sampled codebook
+    (`operators/retrieval.pq_codebook(train_iters=0)`, the
+    ann_topk_pq_sampled configuration) and appended to an epoch-keyed
+    code store.  New vectors join the compressed index without
+    touching existing codes, and because the sampled codebook is
+    fixed-point int64 the streamed store equals the batch encode
+    relation exactly — the catalog oracle is the `enc` CTE of
+    ann_topk_pq_sampled's SQL, exploded to (vec_id, j, code).
+
+    Scale shape: per epoch one Arrow encode kernel over the batch
+    (broadcast m*ksub*dsub int codebook), one store append; no
+    shuffle.  At 100 TB the code store (m bytes/vector) IS what ADC
+    serving reads.
+    """
+    import os
+    import tempfile
+
+    from qaapi_spark.operators.retrieval import pq_codebook, pq_encode
+
+    corpus = spark.read.parquet(embeddings_path)
+    cb = pq_codebook(corpus, m=m, ksub=ksub, train_iters=0,
+                     vec_col=vec_col, id_col=id_col)
+
+    stage_dir = tempfile.mkdtemp(prefix="emb_pq_stream_")
+    store_dir = tempfile.mkdtemp(prefix="emb_pq_store_")
+    corpus.filter(F.col(id_col) % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage_dir, "b0.parquet")
+    )
+    corpus.filter(F.col(id_col) % 2 == 1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage_dir, "b1.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir + "/*.parquet")
+    )
+
+    def encode_batch(bdf: DataFrame, epoch_id: int) -> None:
+        codes = pq_encode(bdf, cb, vec_col=vec_col, id_col=id_col)
+        # epoch-keyed overwrite = idempotent on foreachBatch retry
+        codes.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_dir}/data/epoch={epoch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(encode_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_dir + "/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store_dir + "/data").select(
+        F.col("id").alias(id_col),
+        F.posexplode("codes").alias("j", "code"),
+    )
