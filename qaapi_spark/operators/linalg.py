@@ -243,3 +243,40 @@ def project_scores2(
     return df.select(
         F.col(id_col), score(v1).alias("pc1"), score(v2).alias("pc2")
     )
+
+
+def project_scores2_scaled(
+    df: DataFrame,
+    v1: list[float],
+    v2: list[float],
+    s1: float,
+    s2: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Map-only WHITENED 2-D projection (w1, w2): each component's
+    sequential-fold score divides by its scale (sqrt of the snapped
+    eigenvalue) BEFORE the output rounding, so the whitened plane has
+    unit variance per axis.  Same engine-exactness contract as
+    :func:`project_scores2` — the fold, the one division, and the snap
+    are identical IEEE ops in Spark and DuckDB."""
+
+    def score(v: list[float], s: float):
+        vlit = F.array(*[F.lit(float(x)) for x in v])
+        raw = F.aggregate(
+            F.zip_with(
+                F.transform(vec_col, lambda cc: cc.cast("double")),
+                vlit,
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        return F.round(raw / F.lit(float(s)), round_dp) + F.lit(0.0)
+
+    return df.select(
+        F.col(id_col),
+        score(v1, s1).alias("w1"),
+        score(v2, s2).alias("w2"),
+    )

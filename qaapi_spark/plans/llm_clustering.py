@@ -410,7 +410,10 @@ def _iter_chain(cmat: str, vpfx: str, iters: int) -> tuple[str, str]:
     return sql, prev
 
 
-def _pca2_oracle(iters: int) -> str:
+def _pca2_body(iters: int) -> str:
+    """Shared WITH-clause prefix for the 2-component PCA family:
+    covariance -> power-iterated v1 (p{iters}) -> deflated, power-
+    iterated, Gram-Schmidt-renormalized v2 (gsv)."""
     sql = f"""
     WITH {_COV_CTES},
     covf AS MATERIALIZED (
@@ -462,15 +465,60 @@ def _pca2_oracle(iters: int) -> str:
             list_reduce(list_transform(u, y -> y*y), (x1,x2) -> x1+x2)), 6)) AS v
         FROM gsu
     )"""
-    v2 = "gsv"
-    sql += f"""
+    return sql
+
+
+def _pca2_oracle(iters: int) -> str:
+    v1, v2 = f"p{iters}", "gsv"
+    return _pca2_body(iters) + f"""
     SELECT e.vec_id AS vec_id,
            ROUND(list_reduce(list_transform(range(1, len(e.x)+1),
                  q -> e.x[q]*a.v[q]), (x1,x2) -> x1+x2), 4) + 0.0 AS pc1,
            ROUND(list_reduce(list_transform(range(1, len(e.x)+1),
                  q -> e.x[q]*b.v[q]), (x1,x2) -> x1+x2), 4) + 0.0 AS pc2
     FROM e CROSS JOIN {v1} a CROSS JOIN {v2} b ORDER BY vec_id"""
-    return sql
+
+
+def _whiten2d_oracle(iters: int) -> str:
+    """Whitened 2-D projection: the _pca2_body eigenvectors plus both
+    snapped eigenvalues (lambda_k = v_k . C v_k against the ORIGINAL
+    matrix — exact for v2 too since it is deflated/orthogonalized),
+    each axis divided by sqrt(lambda_k) before the 4dp snap."""
+    v1, v2 = f"p{iters}", "gsv"
+    return _pca2_body(iters) + f""",
+    l1w AS (
+        SELECT list(wi ORDER BY i) AS ws FROM (
+            SELECT c.i AS i,
+                   list_reduce(list_transform(range(1, len(c.row)+1),
+                       q -> c.row[q]*v.v[q]), (a,b) -> a + b) AS wi
+            FROM cmat c CROSS JOIN {v1} v)
+    ),
+    l1 AS (
+        SELECT ROUND(list_reduce(list_transform(range(1, len(v.v)+1),
+                   q -> v.v[q]*w.ws[q]), (a,b) -> a + b), 6) AS l
+        FROM {v1} v CROSS JOIN l1w w
+    ),
+    l2w AS (
+        SELECT list(wi ORDER BY i) AS ws FROM (
+            SELECT c.i AS i,
+                   list_reduce(list_transform(range(1, len(c.row)+1),
+                       q -> c.row[q]*v.v[q]), (a,b) -> a + b) AS wi
+            FROM cmat c CROSS JOIN {v2} v)
+    ),
+    l2 AS (
+        SELECT ROUND(list_reduce(list_transform(range(1, len(v.v)+1),
+                   q -> v.v[q]*w.ws[q]), (a,b) -> a + b), 6) AS l
+        FROM {v2} v CROSS JOIN l2w w
+    )
+    SELECT e.vec_id AS vec_id,
+           ROUND(list_reduce(list_transform(range(1, len(e.x)+1),
+                 q -> e.x[q]*a.v[q]), (x1,x2) -> x1+x2) / sqrt(l1.l), 4)
+           + 0.0 AS w1,
+           ROUND(list_reduce(list_transform(range(1, len(e.x)+1),
+                 q -> e.x[q]*b.v[q]), (x1,x2) -> x1+x2) / sqrt(l2.l), 4)
+           + 0.0 AS w2
+    FROM e CROSS JOIN {v1} a CROSS JOIN {v2} b
+    CROSS JOIN l1 CROSS JOIN l2 ORDER BY vec_id"""
 
 
 @query(
@@ -565,3 +613,46 @@ def emb_pca_explained_variance(spark, sf_dir):
     return spark.createDataFrame(
         row, "lambda1 double, total_variance double, explained_ratio double"
     )
+
+
+@query(
+    "emb_whiten2d",
+    # Whitening composes everything already engine-exact: snapped
+    # eigenvectors (power iteration + deflation), snapped eigenvalues
+    # (sequential-fold Rayleigh quotients against the ORIGINAL
+    # matrix — valid for v2 because it is deflated/orthogonalized),
+    # and one extra IEEE division by sqrt(lambda) before the 4dp snap.
+    oracle=_whiten2d_oracle(_PCA_ITERS),
+    doc="PCA-whitened 2-D projection (w1, w2): the 2-component "
+    "projection with each axis scaled to unit variance by "
+    "1/sqrt(lambda_k) — the preprocessing SemDeDup-style semantic "
+    "dedup and drift monitors run before cosine thresholds are "
+    "comparable across corpora; projection stays MAP-ONLY with two "
+    "literal eigenvectors + two scalar scales "
+    "(extension: embedding analytics)",
+)
+def emb_whiten2d(spark, sf_dir):
+    from qaapi_spark.operators.linalg import (
+        _seq_dot,
+        _snap,
+        power_iteration_two,
+        project_scores2_scaled,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    cov_rows = [
+        (r["i"], r["j"], r["cov"]) for r in _cov_kernel(spark, sf_dir).collect()
+    ]
+    dim = max(j for _, j, _ in cov_rows)
+    c = [[0.0] * dim for _ in range(dim)]
+    for i, j, cv in cov_rows:
+        c[i - 1][j - 1] = cv
+        c[j - 1][i - 1] = cv
+    v1, v2 = power_iteration_two(cov_rows, dim, iters=_PCA_ITERS)
+    import math
+
+    lam1 = _snap(_seq_dot(v1, [_seq_dot(c[i], v1) for i in range(dim)]), 6)
+    lam2 = _snap(_seq_dot(v2, [_seq_dot(c[i], v2) for i in range(dim)]), 6)
+    return project_scores2_scaled(
+        e, v1, v2, math.sqrt(lam1), math.sqrt(lam2)
+    ).orderBy("vec_id")
