@@ -768,3 +768,106 @@ def ivfpq_topk(
 
     scored = cvec.mapInPandas(rerank, "query_id long, cand_id long, cosine double")
     return topk_per_group(scored, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k)
+
+
+def tfidf_cosine_topk_dense(
+    df: DataFrame,
+    query_mod: int,
+    k_pool: int,
+    max_vocab: int = 4096,
+    quant: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(qid, did, ls): top ``k_pool`` lexical tf-idf-cosine candidates
+    per query doc (``id % query_mod == 0``), scored by a DENSE
+    fixed-point GEMM — the hot-vocabulary regime of lexical scoring.
+
+    A bounded shared vocabulary makes every posting list hot, so the
+    (query-term x posting) join degenerates to ~|queries| x |corpus| x
+    |vocab| joined rows (measured 77 s for 800 queries over 20k docs
+    on a 31-term corpus).  With |vocab| <= ``max_vocab`` the tf-idf
+    vectors are just short dense arrays: quantize weights to int64
+    fixed-point (``floor(round(w,6) * quant + 0.5)`` — engine-exact),
+    broadcast the packed query matrix, and stream the corpus through
+    one integer GEMM per Arrow batch with a deterministic per-batch
+    partial top-k — the ngram_jaccard_pairs/bitset recipe applied to
+    weighted vectors.  Exactness bound: |z| <= w_max*quant and
+    dot <= vocab * z_max^2 must stay below 2^53 for the DuckDB twin's
+    double sums (enforced here; ~3k x w<=1700 at quant=1000).
+
+    Open-vocabulary corpora should use the posting-join formulation
+    instead (vocab grows sub-linearly but unboundedly; the join is
+    then matches-only and never dense) — the jaccard auto-selector
+    argument in reverse.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    w = tf_idf(df, text_col, id_col).select(
+        "id", "term", F.round("tfidf", 6).alias("w")
+    )
+    dict_rows = sorted(r[0] for r in w.select("term").distinct().collect())
+    if len(dict_rows) > max_vocab:
+        raise ValueError(
+            f"vocabulary {len(dict_rows)} exceeds dense bound {max_vocab}; "
+            "use the posting-join formulation"
+        )
+    tindex = {t: i for i, t in enumerate(dict_rows)}
+    nv = len(dict_rows)
+
+    def pack(ids, terms, ws):
+        m = np.zeros((len(ids), nv), dtype=np.int64)
+        for row, (ts, vs) in enumerate(zip(terms, ws)):
+            cols = [tindex[t] for t in ts]
+            m[row, cols] = np.floor(np.asarray(vs, dtype=np.float64) * quant + 0.5).astype(np.int64)
+        return m
+
+    q_rows = (
+        w.filter(F.col("id") % query_mod == 0)
+        .groupBy("id")
+        .agg(F.collect_list("term").alias("ts"), F.collect_list("w").alias("vs"))
+        .collect()
+    )
+    q_ids = np.array([r["id"] for r in q_rows], dtype=np.int64)
+    q_mat = pack(q_ids, [r["ts"] for r in q_rows], [r["vs"] for r in q_rows])
+    assert nv * (max(1.0, float(np.abs(q_mat).max())) ** 2) < 2**53, "fixed-point dot overflow"
+    q_norm = np.sqrt((q_mat.astype(np.float64) ** 2).sum(axis=1))
+    b = spark.sparkContext.broadcast((tindex, q_ids, q_mat, q_norm))
+
+    docs = w.groupBy("id").agg(
+        F.collect_list("term").alias("ts"), F.collect_list("w").alias("vs")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ti, qi, qm, qn = b.value
+        nv_ = len(ti)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            m = np.zeros((len(ids), nv_), dtype=np.int64)
+            for row, (ts, vs) in enumerate(zip(pdf["ts"], pdf["vs"])):
+                cols = [ti[t] for t in ts]
+                m[row, cols] = np.floor(
+                    np.asarray(vs, dtype=np.float64) * quant + 0.5
+                ).astype(np.int64)
+            num = qm @ m.T  # (Q, batch) exact int64
+            dn = np.sqrt((m.astype(np.float64) ** 2).sum(axis=1))
+            ls = np.round(num / (qn[:, None] * dn[None, :]), 4)
+            ls[qi[:, None] == ids[None, :]] = -np.inf  # self
+            kk = min(k_pool, ls.shape[1])
+            order = np.lexsort((np.broadcast_to(ids, ls.shape), -ls), axis=1)[:, :kk]
+            out_q = np.repeat(qi, kk)
+            out_d = ids[order].ravel()
+            out_s = np.take_along_axis(ls, order, axis=1).ravel()
+            keep = np.isfinite(out_s)
+            yield pd.DataFrame(
+                {"qid": out_q[keep], "did": out_d[keep], "ls": out_s[keep]}
+            )
+
+    partial = docs.mapInPandas(gen, "qid long, did long, ls double")
+    return topk_per_group(partial, ["qid"], [F.desc("ls"), F.asc("did")], k_pool)
