@@ -165,6 +165,7 @@ def ngram_jaccard_pairs_auto(
     id_col: str = "doc_id",
     dense_max_vocab: int = 4096,
     dense_max_docs: int = 200_000,
+    dense_max_flop: float = 1e12,
 ) -> DataFrame:
     """Regime selector between the two exact Jaccard kernels (VERDICT
     r1 #2: auto-switch on corpus shape).
@@ -201,7 +202,14 @@ def ngram_jaccard_pairs_auto(
         .agg(F.count("*").alias("df"))
         .persist()
     )
-    if dfreq.count() <= dense_max_vocab and sets.count() <= dense_max_docs:
+    nv, nd = dfreq.count(), sets.count()
+    # the dense kernel is MEMORY-bounded by (docs x vocab/8) but
+    # COMPUTE-quadratic: the GEMM costs ~docs^2 x vocab mul-adds
+    # (measured 43.6 s for 20k docs x 944 terms = 3.8e11 — the round-5
+    # scale-up price tag), so the selector also carries a FLOP budget;
+    # past it the distributed sparse path wins on wall clock even when
+    # the broadcast would still fit.
+    if nv <= dense_max_vocab and nd <= dense_max_docs and nd * nd * nv <= dense_max_flop:
         return ngram_jaccard_pairs(
             df, threshold, n, text_col, id_col, _sets=sets, _dfreq=dfreq
         )
@@ -851,6 +859,7 @@ def containment_pairs_auto(
     id_col: str = "doc_id",
     dense_max_vocab: int = 4096,
     dense_max_docs: int = 200_000,
+    dense_max_flop: float = 1e12,
 ) -> DataFrame:
     """Regime selector for directed containment, mirroring
     `ngram_jaccard_pairs_auto`: bounded vocab + bounded corpus -> the
@@ -868,7 +877,8 @@ def containment_pairs_auto(
     dfreq = register_kernel_cache(
         sets.select(F.explode("sh").alias("shingle")).distinct().persist()
     )
-    if dfreq.count() <= dense_max_vocab and sets.count() <= dense_max_docs:
+    nv, nd = dfreq.count(), sets.count()
+    if nv <= dense_max_vocab and nd <= dense_max_docs and nd * nd * nv <= dense_max_flop:
         return ngram_jaccard_pairs(
             df, threshold, n, text_col, id_col, _sets=sets,
             measure="containment", _dfreq=dfreq,
