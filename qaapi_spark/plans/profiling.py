@@ -303,3 +303,64 @@ def events_winsorize_stats_by_type(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_zscore_anomaly_topk",
+    # mean and E[x^2] from DECIMAL(28,14) sums (order-independent),
+    # std = sqrt(E[x^2] - mean^2) over bit-identical doubles, z the
+    # same division on both engines; ranking on exact |z| with
+    # event_id ties, output z snapped to 4dp.
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(28,14))) AS DOUBLE)
+                   / COUNT(*) AS mean,
+               sqrt(CAST(SUM(CAST(value * value AS DECIMAL(28,14))) AS DOUBLE)
+                    / COUNT(*)
+                    - (CAST(SUM(CAST(value AS DECIMAL(28,14))) AS DOUBLE)
+                       / COUNT(*))
+                      * (CAST(SUM(CAST(value AS DECIMAL(28,14))) AS DOUBLE)
+                         / COUNT(*))) AS std
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, event_id, value, z FROM (
+        SELECT e.event_type, e.event_id, e.value,
+               ROUND((e.value - s.mean) / s.std, 4) + 0.0 AS z,
+               ROW_NUMBER() OVER (PARTITION BY e.event_type
+                   ORDER BY abs((e.value - s.mean) / s.std) DESC,
+                            e.event_id) AS rn
+        FROM events e JOIN s ON e.event_type = s.event_type
+        WHERE e.value IS NOT NULL
+    ) WHERE rn <= 5
+    ORDER BY event_type, abs(z) DESC, event_id
+    """,
+    doc="per-type z-score anomaly top-5: one decimal-exact moments "
+    "aggregate per group (mean + E[x^2] in a single pass), population "
+    "std, group stats broadcast back, per-type windowed top-|z| — the "
+    "outlier triage a value column gets before winsorize/clip "
+    "decisions (extension: profiling family)",
+)
+def events_zscore_anomaly_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = lambda c: F.sum(c.cast("decimal(28,14)")).cast("double")  # noqa: E731
+    s = e.groupBy("event_type").agg(
+        (dec(F.col("value")) / F.count("*")).alias("mean"),
+        F.sqrt(
+            dec(F.col("value") * F.col("value")) / F.count("*")
+            - (dec(F.col("value")) / F.count("*"))
+            * (dec(F.col("value")) / F.count("*"))
+        ).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    w = Window.partitionBy("event_type").orderBy(F.desc(F.abs(z)), F.asc("event_id"))
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "event_type", "event_id", "value",
+            (F.round(z, 4) + F.lit(0.0)).alias("z"),
+        )
+        .orderBy("event_type", F.desc(F.abs(F.col("z"))), "event_id")
+    )
