@@ -549,12 +549,20 @@ def _bpe_ctes(n_merges: int) -> tuple[str, str, str]:
     trainer unrolled as chained CTEs — the `_kmeans_ctes` trick applied
     to an argmax-per-round algorithm.
 
-    Word state is the space-separated symbol string
-    ``' c1 c2 … </w> '``; one merge pass is then a single left-to-right
-    non-overlapping ``replace(' l r ', ' lr ')``, which reproduces the
-    trainer's left-greedy array fold exactly (a merged symbol ``l||r``
-    can never re-match as ``l`` within the pass, and the replace scan
-    resumes after each replacement).  Pair counts explode each word's
+    Word state is a symbol string where EVERY symbol owns its own
+    leading and trailing space — ``' c1  c2 … </w> '`` (two spaces
+    between adjacent symbols).  One merge pass is then a single
+    left-to-right non-overlapping ``replace(' l  r ', ' lr ')``:
+    because adjacent matches share no characters, the replace scan
+    merges every eligible site per pass — exactly the trainer's
+    left-greedy array fold (a merged symbol ``l||r`` can never
+    re-match as ``l`` within the pass, and the scan resumes after each
+    replacement without rescanning emitted text).  The earlier
+    single-space form ``replace(' l r ', ' lr ')`` was NOT equivalent:
+    adjacent sites share the delimiter space, so ``banana`` under
+    merge ``(a,n)`` gave ``[b,an,a,n,a]`` instead of the fold's
+    ``[b,an,an,a]`` (round-6 fix; verified against the fold on
+    banana/aaaa/aaaaa-style corpora in tests/test_bpe.py).  Pair counts explode each word's
     adjacent symbol pairs weighted by word count; the per-round argmax
     is ``ORDER BY pcnt DESC, l, r LIMIT 1`` — the trainer's exact
     tie-break.  ``min_pair_count``/``max_train_words`` never bind on
@@ -568,7 +576,7 @@ def _bpe_ctes(n_merges: int) -> tuple[str, str, str]:
     ),
     v0 AS MATERIALIZED (
         SELECT word, cnt,
-               ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS st
+               regexp_replace(word, '(.)', ' \\1 ', 'g') || ' </w> ' AS st
         FROM wc
     )"""
     prev = "v0"
@@ -580,7 +588,7 @@ def _bpe_ctes(n_merges: int) -> tuple[str, str, str]:
             SELECT cnt,
                    unnest(list_transform(range(1, len(syms)),
                           j -> {{'l': syms[j], 'r': syms[j + 1]}})) AS pr
-            FROM (SELECT cnt, string_split(trim(st), ' ') AS syms FROM {prev})
+            FROM (SELECT cnt, string_split(trim(st), '  ') AS syms FROM {prev})
         ) GROUP BY pr.l, pr.r
     ),
     m{i} AS MATERIALIZED (
@@ -589,7 +597,7 @@ def _bpe_ctes(n_merges: int) -> tuple[str, str, str]:
     ),
     v{i} AS MATERIALIZED (
         SELECT word, cnt,
-               replace(st, ' ' || m.l || ' ' || m.r || ' ',
+               replace(st, ' ' || m.l || '  ' || m.r || ' ',
                            ' ' || m.l || m.r || ' ') AS st
         FROM {prev} CROSS JOIN m{i} m
     )"""
@@ -615,7 +623,7 @@ def _bpe_counts_oracle(n_merges: int) -> str:
     return f"""
     WITH {body},
     fin AS MATERIALIZED (
-        SELECT word, len(string_split(trim(st), ' ')) AS ntok FROM {last}
+        SELECT word, len(string_split(trim(st), '  ')) AS ntok FROM {last}
     ),
     docw AS (SELECT doc_id, unnest({_DD_TOKS}) AS word FROM documents),
     per_doc AS (

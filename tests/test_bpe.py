@@ -109,3 +109,55 @@ def test_driver_and_distributed_trainers_agree(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert bpe_train(d, n_merges=8) == bpe_train_distributed(d, n_merges=8)
+
+
+def _reference_counts(texts, merges):
+    """Per-doc BPE token totals by applying merges in rank order with
+    the left-greedy fold (the trainer's own pass semantics)."""
+    from qaapi_spark.operators.bpe import _merge_pass
+
+    out = []
+    for i, t in enumerate(texts, start=1):
+        tot = 0
+        for w in t.lower().split():
+            syms = list(w) + [EOW]
+            for _rank, l, r, _cnt in merges:
+                syms = _merge_pass(syms, l, r)
+            tot += len(syms)
+        out.append((i, tot))
+    return out
+
+
+def test_bpe_oracle_exact_on_overlapping_merge_sites():
+    """Round-6 regression (ADVICE r5, high): the unrolled SQL oracle
+    must reproduce the left-greedy fold on corpora where a learned
+    merge has adjacent l-r-l-r or repeated-symbol sites (banana/aaaa).
+    The old single-space replace(' l r ',' lr ') consumed the shared
+    delimiter and merged only every other site; the double-space
+    symbol encoding fixes it.  DuckDB-only — no Spark session needed
+    (the python reference trainer is pinned to the Spark kernel by
+    test_bpe_train_matches_python_reference)."""
+    import duckdb
+    import pandas as pd
+
+    from qaapi_spark.plans.llm_text import _bpe_counts_oracle, _bpe_train_oracle
+
+    texts = [
+        "banana banana bandana cabana",
+        "aaaa aaaaa an analog banana",
+        "theses sense essence assess",
+        "na na na na banana bananas",
+    ]
+    docs = pd.DataFrame({"doc_id": range(1, len(texts) + 1), "text": texts})
+    con = duckdb.connect()
+    con.register("documents", docs)
+
+    want = reference_bpe_train(texts, 8, min_pair_count=1)
+    assert len(want) == 8, "corpus must support 8 merges"
+    # overlapping sites must actually be exercised: some learned merge
+    # has a repeated/adjacent site in the corpus (banana's an-an)
+    got = con.sql(_bpe_train_oracle(8)).fetchall()
+    assert [tuple(r) for r in got] == want
+
+    got_counts = con.sql(_bpe_counts_oracle(8)).fetchall()
+    assert [tuple(r) for r in got_counts] == _reference_counts(texts, want)
