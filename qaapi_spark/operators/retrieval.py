@@ -810,7 +810,8 @@ def tfidf_cosine_topk_dense(
     w = tf_idf(df, text_col, id_col).select(
         "id", "term", F.round("tfidf", 6).alias("w")
     )
-    dict_rows = sorted(r[0] for r in w.select("term").distinct().collect())
+    vocab_rows = w.groupBy("term").agg(F.max(F.abs(F.col("w"))).alias("wmax")).collect()
+    dict_rows = sorted(r["term"] for r in vocab_rows)
     if len(dict_rows) > max_vocab:
         raise ValueError(
             f"vocabulary {len(dict_rows)} exceeds dense bound {max_vocab}; "
@@ -818,6 +819,16 @@ def tfidf_cosine_topk_dense(
         )
     tindex = {t: i for i, t in enumerate(dict_rows)}
     nv = len(dict_rows)
+    # Exactness guard on the GLOBAL weight max (corpus side included —
+    # queries are just the id%query_mod stripe, so a doc-only large
+    # weight would otherwise silently break the oracle's double sums).
+    z_max = max(1.0, *(float(int(r["wmax"] * quant + 0.5)) for r in vocab_rows))
+    if nv * z_max * z_max >= 2**53:
+        raise ValueError(
+            f"fixed-point dot overflow: vocab {nv} x zmax {z_max:.0f}^2 "
+            f">= 2^53; lower quant (= {quant}) or use the posting-join "
+            "formulation"
+        )
 
     def pack(ids, terms, ws):
         m = np.zeros((len(ids), nv), dtype=np.int64)
@@ -834,7 +845,6 @@ def tfidf_cosine_topk_dense(
     )
     q_ids = np.array([r["id"] for r in q_rows], dtype=np.int64)
     q_mat = pack(q_ids, [r["ts"] for r in q_rows], [r["vs"] for r in q_rows])
-    assert nv * (max(1.0, float(np.abs(q_mat).max())) ** 2) < 2**53, "fixed-point dot overflow"
     q_norm = np.sqrt((q_mat.astype(np.float64) ** 2).sum(axis=1))
     b = spark.sparkContext.broadcast((tindex, q_ids, q_mat, q_norm))
 

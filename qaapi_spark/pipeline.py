@@ -44,6 +44,17 @@ CURATED = [
 ]
 
 
+def _future_exc(f) -> "BaseException | None":
+    """Block on a future and return its exception instead of raising
+    (so a multi-table reconcile can report every failure, not just the
+    first)."""
+    try:
+        f.result()
+        return None
+    except BaseException as e:  # noqa: BLE001 - gathered, then re-raised
+        return e
+
+
 class CalabrioPipeline:
     def __init__(
         self,
@@ -274,9 +285,19 @@ class CalabrioPipeline:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=len(work)) as pool:
-                # surface the first failure (result() re-raises)
-                for f in [pool.submit(w) for w in work]:
-                    f.result()
+                # wait for ALL tables, then surface every failure —
+                # raising on the first future would silently drop
+                # exceptions from the others (they still ran; their
+                # writes are per-table idempotent reconciles)
+                errs = [
+                    e
+                    for f in [pool.submit(w) for w in work]
+                    if (e := _future_exc(f)) is not None
+                ]
+            if len(errs) == 1:
+                raise errs[0]
+            if errs:
+                raise ExceptionGroup("reconcile failures", errs)
 
         if not collect_counts:
             return {}

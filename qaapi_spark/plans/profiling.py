@@ -331,7 +331,7 @@ def events_winsorize_stats_by_type(spark, sf_dir):
                    ORDER BY abs((e.value - s.mean) / s.std) DESC,
                             e.event_id) AS rn
         FROM events e JOIN s ON e.event_type = s.event_type
-        WHERE e.value IS NOT NULL
+        WHERE e.value IS NOT NULL AND s.std > 0
     ) WHERE rn <= 5
     ORDER BY event_type, abs(z) DESC, event_id
     """,
@@ -355,7 +355,9 @@ def events_zscore_anomaly_topk(spark, sf_dir):
     z = (F.col("value") - F.col("mean")) / F.col("std")
     w = Window.partitionBy("event_type").orderBy(F.desc(F.abs(z)), F.asc("event_id"))
     return (
-        e.join(F.broadcast(s), "event_type")
+        # std=0 (all-equal group) guarded identically on both engines:
+        # Spark's x/0 -> NULL vs DuckDB's inf would otherwise diverge
+        e.join(F.broadcast(s.filter(F.col("std") > 0)), "event_type")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select(

@@ -90,3 +90,23 @@ def test_evaluated_date_preserved_on_upsert(spark, tmp_path, batch2_dir):
     }
     # mirrors Update...sql:128-130: matched rows keep the OLD evaluated_date
     assert after[1070] == before[1070]
+
+
+def test_multi_table_reconcile_failures_all_surface(spark, tmp_path, monkeypatch):
+    """Round-6 (ADVICE r5): when several concurrent per-table
+    reconciles fail, every exception must surface (ExceptionGroup),
+    not just whichever future happened to be examined first."""
+    pipe = CalabrioPipeline(spark, str(tmp_path / "warehouse3"))
+    real = pipe._reconcile
+    fail_tables = {"t_contacts", "t_qa_evaluations"}
+
+    def flaky(table, *a, **kw):
+        if table in fail_tables:
+            raise RuntimeError(f"boom:{table}")
+        return real(table, *a, **kw)
+
+    monkeypatch.setattr(pipe, "_reconcile", flaky)
+    with pytest.raises(ExceptionGroup) as ei:
+        pipe.run_batch(FIX)
+    got = {str(e) for e in ei.value.exceptions}
+    assert got == {f"boom:{t}" for t in fail_tables}

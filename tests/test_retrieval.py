@@ -197,3 +197,20 @@ def test_ivfpq_precision_is_exact(spark):
         a, b = vecs[r.query_id], vecs[r.cand_id]
         want = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
         assert abs(r.cosine - want) < 1e-9
+
+
+def test_tfidf_dense_overflow_guard_sees_corpus_side(spark):
+    """Round-6 (ADVICE r5, medium): the 2^53 exactness guard must bind
+    on the GLOBAL quantized weight max, not just the query stripe — a
+    doc-only large weight would otherwise silently break the integer
+    bound the DuckDB oracle's double sums rely on.  An absurd quant
+    trips the bound for every corpus; the error must be a clear
+    ValueError, not a hash mismatch downstream."""
+    import pytest
+
+    from qaapi_spark.operators.retrieval import tfidf_cosine_topk_dense
+    from qaapi_spark.plans.catalog import t
+
+    d = t(spark, SF_SMOKE, "documents").limit(50)
+    with pytest.raises(ValueError, match="fixed-point dot overflow"):
+        tfidf_cosine_topk_dense(d, query_mod=10, k_pool=5, quant=10**9)
