@@ -66,19 +66,22 @@ def _driver_state() -> tuple[set[str], set[str], int, dict[str, int]]:
     return hash_verified, rows_checked, rounds, last_green
 
 
-# Highest-priority gate candidates: the round-5 exact-oracle upgrades
-# (VERDICT r4 next #2-4) — the trained-IVF composed oracle, the
-# streaming IVF assignment's first driver row, and the sampled-PQ
-# integer-exact oracle.  They sort first among the unverified anyway
-# (never hash-verified), but pinning them keeps the round's top
-# correctness signal ahead even if the driver truncates its window.
-# (The r4 list — the 13 HUGEINT CAST fixes — all went green in
-# CORRECTNESS_r04 and dropped off the unverified set.)
-_PRIORITY = (
-    "ann_topk_ivf_trained",
-    "stream_ivf_assign",
-    "ann_topk_pq_sampled",
-)
+# Queries whose kernel or oracle changed THIS round: their historical
+# green rows no longer certify the current code, so they re-enter the
+# unverified front of the window (round 6: the BPE left-greedy-fold
+# oracle fix, the z-score std=0 guard, and the dense-lexical kernel's
+# global overflow guard feeding hybrid RRF).
+_FORCE_RECHECK = frozenset({
+    "bpe_train_merges",
+    "bpe_token_counts",
+    "events_zscore_anomaly_topk",
+    "hybrid_search_rrf",
+})
+
+# Highest-priority gate candidates: this round's changed queries first
+# (a stale green row is WEAKER than no row — the code it certified is
+# gone), then any never-verified newcomers in catalog order.
+_PRIORITY = tuple(sorted(_FORCE_RECHECK))
 
 
 def _ordered_names() -> list[str]:
@@ -100,7 +103,8 @@ def _ordered_names() -> list[str]:
     unverified = [
         n
         for n in names
-        if not (
+        if n in _FORCE_RECHECK
+        or not (
             (CATALOG[n].oracle is not None and n in hash_verified)
             or (CATALOG[n].oracle is None and n in rows_checked)
         )
