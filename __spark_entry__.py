@@ -76,6 +76,13 @@ _FORCE_RECHECK = frozenset({
     "bpe_token_counts",
     "events_zscore_anomaly_topk",
     "hybrid_search_rrf",
+    # the partial-Gram covariance rewrite (fixed-point inputs changed
+    # the cov values, so every consumer's oracle changed with it)
+    "emb_covariance_upper",
+    "emb_pca_pc1_power",
+    "emb_pca_project2d",
+    "emb_pca_explained_variance",
+    "emb_whiten2d",
 })
 
 # Highest-priority gate candidates: this round's changed queries first

@@ -267,29 +267,43 @@ def dedup_semantic_kmeans(spark, sf_dir):
 
 _PCA_ITERS = 8
 
+# Round-6: the kernel quantizes inputs to 6dp int64 fixed point
+# (z = floor(x*1e6 + 0.5), the srp_quantize recipe) so the Gram runs
+# as an exact integer GEMM executor-side; the oracle mirrors it —
+# integer sums are order-independent, the closing double ops
+# ((S/q^2)/n - mi*mj, same associativity both engines) are over
+# bit-identical operands.  Every SUM is CAST AS DOUBLE before use, so
+# no HUGEINT reaches the output schema.
 _COV_CTES = """e AS (
-        SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+               list_transform(embedding,
+               v -> floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE))) AS z
         FROM embeddings
     ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
     cells AS (
-        SELECT s.i AS i, s.j AS j,
-               SUM(CAST(s.p AS DECIMAL(28,14))) AS sxy, COUNT(*) AS n
-        FROM e, UNNEST(flatten(list_transform(range(1, len(x)+1),
-              i -> list_transform(range(i, len(x)+1),
-                   j -> {'i': i, 'j': j, 'p': x[i]*x[j]})))) AS t(s)
+        SELECT s.i AS i, s.j AS j, SUM(CAST(s.p AS BIGINT)) AS sxy
+        FROM e, UNNEST(flatten(list_transform(range(1, len(z)+1),
+              i -> list_transform(range(i, len(z)+1),
+                   j -> {'i': i, 'j': j, 'p': z[i]*z[j]})))) AS t(s)
         GROUP BY s.i, s.j
     ),
     means AS (
         SELECT u.k AS k,
-               CAST(SUM(CAST(u.v AS DECIMAL(28,14))) AS DOUBLE)/COUNT(*) AS m
-        FROM e, UNNEST(list_transform(range(1, len(x)+1),
-              k -> {'k': k, 'v': x[k]})) AS tt(u)
-        GROUP BY u.k
+               CAST(SUM(CAST(u.v AS BIGINT)) AS DOUBLE)
+                   / CAST(1000000 AS DOUBLE) / nn.n AS m
+        FROM e, UNNEST(list_transform(range(1, len(z)+1),
+              k -> {'k': k, 'v': z[k]})) AS tt(u), nn
+        GROUP BY u.k, nn.n
     ),
     covu AS (
         SELECT c.i AS i, c.j AS j,
-               ROUND(CAST(c.sxy AS DOUBLE)/c.n - mi.m*mj.m, 6) + 0.0 AS cov
-        FROM cells c JOIN means mi ON mi.k=c.i JOIN means mj ON mj.k=c.j
+               ROUND(CAST(c.sxy AS DOUBLE)
+                     / CAST(1000000000000 AS DOUBLE) / nn.n
+                     - mi.m*mj.m, 6) + 0.0 AS cov
+        FROM cells c JOIN means mi ON mi.k=c.i JOIN means mj ON mj.k=c.j, nn
     )"""
 
 
@@ -335,10 +349,10 @@ def _pca_oracle(iters: int) -> str:
     SELECT i, j, cov FROM covu ORDER BY i, j
     """,
     doc="d x d embedding covariance as upper-triangle rows — one "
-    "corpus scan (posexplode + column-start slice, no self-join), "
-    "one hash aggregate whose map side combines to d(d+1)/2 cells "
-    "per task so the shuffle is O(d^2) regardless of corpus size; "
-    "DECIMAL(28,14) cell sums make a linear-algebra aggregate "
+    "Arrow corpus pass accumulates a per-partition integer Gram via "
+    "BLAS over 6dp-fixed-point inputs (no product-row explode), so "
+    "the shuffle is O(partitions * d^2) regardless of corpus size; "
+    "exact integer cell sums make a linear-algebra aggregate "
     "value-hash-verifiable (extension: embedding analytics)",
 )
 def emb_covariance_upper(spark, sf_dir):

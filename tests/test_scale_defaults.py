@@ -207,16 +207,21 @@ def test_round3_ops_have_distributed_shapes(spark):
 
     sf = "/root/testdata/sf0.001"
 
-    # covariance: the d(d+1)/2-cell reduction must partial-aggregate
-    # (assert on the operator — the catalog query memoizes through a
-    # localCheckpoint, which replaces the plan with Scan ExistingRDD)
+    # covariance (round-6 partial-Gram shape): one Arrow kernel pass
+    # accumulates the integer Gram per partition, so the shuffle input
+    # is O(partitions * d^2) rows, and the final cell sum still
+    # partial-aggregates (assert on the operator — the catalog query
+    # memoizes through a localCheckpoint, which replaces the plan with
+    # Scan ExistingRDD)
     from qaapi_spark.operators.linalg import covariance_upper
     from qaapi_spark.sources.tables import read_table
 
     cov = covariance_upper(read_table(spark, sf, "embeddings"))
     p = _physical(cov)
     assert "CartesianProduct" not in p
+    assert "MapInPandas" in p, "expected the partial-Gram Arrow kernel"
     assert p.count("HashAggregate") >= 2, "expected partial+final aggregate"
+    assert "Generate" not in p, "product-row explode must be gone"
 
     # PCA projection: map-only over the corpus — a single scan, no join
     # against the embeddings relation beyond the covariance kernel
