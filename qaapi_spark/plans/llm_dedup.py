@@ -511,10 +511,19 @@ def dedup_minhash_mllib(spark, sf_dir):
     from qaapi_spark.operators.textstats import word_ngrams
 
     d = t(spark, sf_dir, "documents")
-    sets = d.select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(word_ngrams(F.lower(F.col("text")), 2)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    sets = (
+        d.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(word_ngrams(F.lower(F.col("text")), 2)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        # the fixture corpus arrives as one file -> one partition, and
+        # MLlib's explode + self-join inherit it: the whole demo ran on
+        # a single task (7.7 s warm at sf0.1).  Spreading the persisted
+        # feature relation lets the candidate join use every core
+        # (2.5 s) — one extra shuffle, bounded by the corpus size.
+        .repartition(spark.sparkContext.defaultParallelism, "id")
+    )
     from qaapi_spark.session import register_kernel_cache
 
     tf = HashingTF(
