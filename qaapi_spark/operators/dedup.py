@@ -165,7 +165,7 @@ def ngram_jaccard_pairs_auto(
     id_col: str = "doc_id",
     dense_max_vocab: int = 4096,
     dense_max_docs: int = 200_000,
-    dense_max_flop: float = 1e12,
+    dense_max_flop: float = 5e12,
 ) -> DataFrame:
     """Regime selector between the two exact Jaccard kernels (VERDICT
     r1 #2: auto-switch on corpus shape).
@@ -204,11 +204,13 @@ def ngram_jaccard_pairs_auto(
     )
     nv, nd = dfreq.count(), sets.count()
     # the dense kernel is MEMORY-bounded by (docs x vocab/8) but
-    # COMPUTE-quadratic: the GEMM costs ~docs^2 x vocab mul-adds
-    # (measured 43.6 s for 20k docs x 944 terms = 3.8e11 — the round-5
-    # scale-up price tag), so the selector also carries a FLOP budget;
-    # past it the distributed sparse path wins on wall clock even when
-    # the broadcast would still fit.
+    # COMPUTE-quadratic: the GEMM costs ~docs^2 x vocab mul-adds, so
+    # the selector also carries a FLOP budget; past it the distributed
+    # sparse path wins on wall clock even when the broadcast would
+    # still fit.  Round-6 re-measurement after the upper-triangle GEMM
+    # + masked-candidate scoring rewrite: 20k docs x 944 terms =
+    # 3.8e11 runs in 5.0 s warm (was 43.6 s), so the budget rises
+    # 1e12 -> 5e12 at the same wall-clock ceiling.
     if nv <= dense_max_vocab and nd <= dense_max_docs and nd * nd * nv <= dense_max_flop:
         return ngram_jaccard_pairs(
             df, threshold, n, text_col, id_col, _sets=sets, _dfreq=dfreq
@@ -325,6 +327,9 @@ def ngram_jaccard_pairs(
             )
 
     packed = sets.mapInPandas(pack, "id long, size long, words array<long>").toPandas()
+    # sort by id so the jaccard branch can GEMM only the upper
+    # triangle (columns > slice start) — halves the quadratic work
+    packed = packed.sort_values("id", ignore_index=True)
     ids = packed["id"].to_numpy(dtype=np.int64)
     sizes = packed["size"].to_numpy(dtype=np.int64)
     bits = (
@@ -354,6 +359,18 @@ def ngram_jaccard_pairs(
     rows_per = -(-max(len(ids), 1) // npart)  # ceil
     slices = spark.range(0, npart, 1, npart)
 
+    # The scoring math over the (slice x corpus) grid is memory-bound
+    # elementwise work — at 20k docs it cost 3x the GEMM itself.  So:
+    # (a) jaccard GEMMs only columns > slice start (ids are sorted and
+    # the output is s_id < c_id, so earlier columns belong to earlier
+    # slices — halves the quadratic work), and (b) a float32 mask with
+    # a conservative margin prunes the grid first; the exact float64
+    # ROUND runs only on surviving candidates.  Margin soundness:
+    # round(j,4) >= thr implies j >= thr - 5.1e-5, and with counts
+    # <= 2*4096 the float32 compare error is <~1e-3 in count units
+    # while the 1e-3 margin contributes >= ~10 units of slack.
+    thr_margin = threshold - 1e-3
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c_ids, c_corpus, c_sizes = b.value
         for pdf in batches:
@@ -361,35 +378,55 @@ def ngram_jaccard_pairs(
                 lo, hi = int(pid) * rows_per, min((int(pid) + 1) * rows_per, len(c_ids))
                 if hi <= lo:
                     continue
+                c0 = 0 if measure == "containment" else lo + 1
+                if c0 >= len(c_ids):
+                    continue
                 s_ids, s_mat = c_ids[lo:hi], c_corpus[lo:hi]
                 s_sizes = c_sizes[lo:hi]
                 if dense:
-                    inter = (s_mat @ c_corpus.T).astype(np.int64)
+                    inter = s_mat @ c_corpus[c0:].T  # float32, exact counts
                 else:
-                    inter = np.empty((hi - lo, len(c_ids)), dtype=np.int64)
-                    chunk = max(1, (32 << 20) // max(len(c_ids) * nwords * 8, 1))
+                    inter = np.empty((hi - lo, len(c_ids) - c0), dtype=np.int64)
+                    chunk = max(1, (32 << 20) // max((len(c_ids) - c0) * nwords * 8, 1))
                     for clo in range(0, hi - lo, chunk):
                         chi = min(clo + chunk, hi - lo)
                         inter[clo:chi] = (
-                            _popcount_u64(s_mat[clo:chi, None, :] & c_corpus[None, :, :])
+                            _popcount_u64(s_mat[clo:chi, None, :] & c_corpus[None, c0:, :])
                             .sum(axis=2)
                             .astype(np.int64)
                         )
                 if measure == "containment":
                     # DIRECTED: inter / |A| for the slice's rows as A
-                    score = np.round(inter / np.maximum(s_sizes[:, None], 1), 4)
-                    ii, jj = np.nonzero(
-                        (score >= threshold) & (s_ids[:, None] != c_ids[None, :])
-                    )
+                    cand = inter >= (thr_margin * np.maximum(s_sizes, 1))[:, None]
+                    cand &= s_ids[:, None] != c_ids[None, c0:]
+                    ii, jj = np.nonzero(cand)
+                    iv = np.asarray(inter[ii, jj], dtype=np.float64)
+                    score = np.round(iv / np.maximum(s_sizes[ii], 1), 4)
+                    keep = score >= threshold
                     yield pd.DataFrame(
-                        {"src": s_ids[ii], "dst": c_ids[jj], "containment": score[ii, jj]}
+                        {
+                            "src": s_ids[ii[keep]],
+                            "dst": c_ids[c0:][jj[keep]],
+                            "containment": score[keep],
+                        }
                     )
                     continue
-                union = s_sizes[:, None] + c_sizes[None, :] - inter
-                jac = np.round(inter / np.maximum(union, 1), 4)
-                ii, jj = np.nonzero((jac >= threshold) & (s_ids[:, None] < c_ids[None, :]))
+                tot = s_sizes[:, None].astype(np.float32) + c_sizes[None, c0:].astype(
+                    np.float32
+                )
+                cand = inter * np.float32(1.0 + thr_margin) >= np.float32(thr_margin) * tot
+                cand &= s_ids[:, None] < c_ids[None, c0:]
+                ii, jj = np.nonzero(cand)
+                iv = np.asarray(inter[ii, jj], dtype=np.float64)
+                union = s_sizes[ii] + c_sizes[c0:][jj] - iv
+                jac = np.round(iv / np.maximum(union, 1), 4)
+                keep = jac >= threshold
                 yield pd.DataFrame(
-                    {"id_a": s_ids[ii], "id_b": c_ids[jj], "jaccard": jac[ii, jj]}
+                    {
+                        "id_a": s_ids[ii[keep]],
+                        "id_b": c_ids[c0:][jj[keep]],
+                        "jaccard": jac[keep],
+                    }
                 )
 
     if measure == "containment":
@@ -859,7 +896,9 @@ def containment_pairs_auto(
     id_col: str = "doc_id",
     dense_max_vocab: int = 4096,
     dense_max_docs: int = 200_000,
-    dense_max_flop: float = 1e12,
+    # containment is directed, so the GEMM can't drop to the upper
+    # triangle — budget stays half the jaccard selector's 5e12
+    dense_max_flop: float = 2.5e12,
 ) -> DataFrame:
     """Regime selector for directed containment, mirroring
     `ngram_jaccard_pairs_auto`: bounded vocab + bounded corpus -> the
