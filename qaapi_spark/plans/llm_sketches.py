@@ -267,7 +267,12 @@ def stream_hll_running_users(spark, sf_dir):
 def sketch_cms_windowed_counts(spark, sf_dir):
     from qaapi_spark.operators.sketches import _bucket
 
-    e = t(spark, sf_dir, "events")
+    # single-file fixture -> one partition; spread the depth-x md5
+    # explode across cores (with the merged persist below: 4.6 s ->
+    # 2.7 s warm at sf0.1)
+    e = t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     depth, width = 4, 1024
     hour = (F.floor(F.unix_timestamp(F.col("ts")) / 3600) * 3600).cast("long")
     pairs = F.array(
@@ -285,11 +290,19 @@ def sketch_cms_windowed_counts(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
     )
     ks = F.array(*[F.lit(k) for k in range(6)])
-    merged = (
+    from qaapi_spark.session import register_kernel_cache
+
+    # merged feeds BOTH the window-domain distinct and the probe join;
+    # without a persist the whole events-scan + depth-x md5 explode
+    # lineage runs twice (4.6 s -> ~2.8 s warm at sf0.1).  The counter
+    # relation is sketch-sized (windows x depth x width), never
+    # corpus-sized.
+    merged = register_kernel_cache(
         hourly.select(F.explode(ks).alias("k"), "h", "row", "bucket", "cnt")
         .select((F.col("h") - F.col("k") * 3600).alias("ws"), "row", "bucket", "cnt")
         .groupBy("ws", "row", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
+        .persist()
     )
     keys = e.filter(F.col("user_id") % 50 == 0).select("user_id").distinct()
     wins = merged.select("ws").distinct()
