@@ -80,6 +80,23 @@ def covariance_upper(
     unit-normalized d=64 float32 per 128 MB partition gives ~1.6e17,
     two orders under the limit (asserted per chunk).
     """
+    return covariance_from_moments(
+        gram_partials(df, vec_col, quant), round_dp, quant
+    )
+
+
+def gram_partials(
+    df: DataFrame, vec_col: str = "embedding", quant: int = COV_QUANT
+) -> DataFrame:
+    """Exact integer moment partials ``(i, j, v)`` per partition of
+    ``vec_col``: rows with ``i>=1, j>=i`` carry the Gram cell sums
+    Σ z_i z_j, rows ``(k, 0)`` the linear sums Σ z_k, and ``(0, 0)``
+    the row count — an ADDITION-MERGEABLE state (integer sums are
+    order- and grouping-independent), so per-partition, per-epoch, or
+    per-day partials all merge to the same covariance.  This is what
+    lets :func:`covariance_upper` and the streaming drift monitor
+    (`streaming/incremental.stream_covariance_update`) share one
+    oracle."""
     from typing import Iterator
 
     import numpy as np
@@ -122,7 +139,16 @@ def covariance_upper(
             }
         )
 
-    parts = x.mapInPandas(gram, "i int, j int, v long")
+    return x.mapInPandas(gram, "i int, j int, v long")
+
+
+def covariance_from_moments(
+    parts: DataFrame, round_dp: int = 6, quant: int = COV_QUANT
+) -> DataFrame:
+    """Close a :func:`gram_partials` relation into upper-triangle
+    covariance rows ``(i, j, cov)``: one tiny exact DECIMAL(38,0) sum
+    per cell, then the fixed double arithmetic both engines share."""
+    q = float(quant)
     agg = parts.groupBy("i", "j").agg(
         F.sum(F.col("v").cast("decimal(38,0)")).alias("s")
     )

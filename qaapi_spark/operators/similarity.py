@@ -156,6 +156,65 @@ def cosine_topk_bruteforce(
     return topk_per_group(partial, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k)
 
 
+def cosine_topk_filtered(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_col: str = "label",
+    round_to: int = 4,
+) -> DataFrame:
+    """Metadata-filtered exact top-k by cosine — the vector-DB
+    "search within my tenant/class" surface: each query ranks only
+    candidates whose ``filter_col`` equals the query's own, scored
+    and tie-broken exactly like :func:`cosine_topk_bruteforce`.
+
+    Same scale shape as the unfiltered kernel (broadcast queries +
+    their filter values, stream candidates, per-batch GEMM + partial
+    top-k); the filter is a mask on the score grid, NOT a pre-shuffle
+    — so a low-selectivity filter costs nothing extra and a
+    high-selectivity one still never shuffles the corpus.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    # one collect so ids/vectors/filter values share a row order
+    rows = queries.select(id_col, vec_col, filter_col).collect()
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_lab = np.array([r[2] for r in rows], dtype=np.int64)
+    spark = candidates.sparkSession
+    b = spark.sparkContext.broadcast((q_ids, q_mat, q_lab))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, lab = b.value
+        for pdf in batches:
+            c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_lab = pdf[filter_col].to_numpy(dtype=np.int64)
+            sims = np.round(mat @ c.T, round_to)  # (n_query, batch)
+            sims[ids[:, None] == c_ids[None, :]] = -np.inf  # self-match
+            sims[lab[:, None] != c_lab[None, :]] = -np.inf  # filter
+            kk = min(k, sims.shape[1])
+            order = np.lexsort((np.broadcast_to(c_ids, sims.shape), -sims), axis=1)[:, :kk]
+            out_q = np.repeat(ids, kk)
+            out_c = c_ids[order].ravel()
+            out_s = np.take_along_axis(sims, order, axis=1).ravel()
+            keep = np.isfinite(out_s)
+            yield pd.DataFrame(
+                {"query_id": out_q[keep], "cand_id": out_c[keep], "cosine": out_s[keep]}
+            )
+
+    partial = candidates.select(id_col, vec_col, filter_col).mapInPandas(
+        gen, _PAIR_SCHEMA
+    )
+    return topk_per_group(partial, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,

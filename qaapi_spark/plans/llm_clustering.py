@@ -359,6 +359,35 @@ def emb_covariance_upper(spark, sf_dir):
     return _cov_kernel(spark, sf_dir).orderBy("i", "j")
 
 
+@query(
+    "stream_covariance_update",
+    # Integer moment partials are ADDITION-mergeable (order- and
+    # grouping-independent exact sums), so the epoch-keyed moment
+    # store closes to the same covariance as the one-shot batch
+    # aggregate bit-for-bit — the streamed query shares the batch
+    # oracle outright (the additive-merge counterpart of the
+    # register-MAX trick behind stream_hll_running_users).
+    oracle=f"""
+    WITH {_COV_CTES}
+    SELECT i, j, cov FROM covu ORDER BY i, j
+    """,
+    doc="streaming covariance / embedding-drift maintenance: each "
+    "micro-batch reduces MAP-ONLY to exact int64 moment partials "
+    "(d x d Gram + linear sums + count) appended to an epoch-keyed "
+    "O(d^2) store; summing the store recovers the covariance of "
+    "everything seen so far exactly — the drift monitor a training "
+    "pipeline consults between snapshots (extension, SURVEY §2.9; "
+    "same oracle as emb_covariance_upper by mergeability)",
+)
+def stream_covariance_update_q(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import stream_covariance_update
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return stream_covariance_update(
+        spark, f"{sf_dir}/embeddings.parquet"
+    ).orderBy("i", "j")
+
+
 def _cov_kernel(spark, sf_dir):
     """Memoized covariance rows — shared by emb_covariance_upper and
     emb_pca_pc1_power so the corpus-scanning aggregate runs once."""

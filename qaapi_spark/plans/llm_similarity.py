@@ -46,6 +46,50 @@ def ann_topk_bruteforce(spark, sf_dir):
     )
 
 
+@query(
+    "ann_topk_filtered",
+    # same exactness posture as ann_topk_bruteforce (normalized f64
+    # dots rounded to 4dp, (cosine desc, cand_id) ties), plus a label
+    # equi-predicate on the score grid — the vector-DB
+    # metadata-filtered search surface.
+    oracle=f"""
+    WITH u AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
+                            list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                            list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS uv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROUND(list_dot_product(q.uv, c.uv), 4) AS cosine
+        FROM u q JOIN u c ON q.vec_id % {_QUERY_MOD} = 0
+                         AND q.vec_id <> c.vec_id AND q.label = c.label
+    )
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT query_id, cand_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_K}
+    ORDER BY query_id, cosine DESC, cand_id
+    """,
+    doc="metadata-filtered exact vector search: per-query top-k "
+    "restricted to candidates sharing the query's label — the "
+    "filtered-ANN surface every vector store exposes; the filter is a "
+    "mask on the broadcast-GEMM score grid, never a corpus shuffle "
+    "(extension)",
+)
+def ann_topk_filtered(spark, sf_dir):
+    from qaapi_spark.operators.similarity import cosine_topk_filtered
+
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    return cosine_topk_filtered(qs, e, _K).orderBy(
+        "query_id", F.desc("cosine"), "cand_id"
+    )
+
+
 _IVF_MOD = 37  # centroid stripe: vec_id % 37 == 0
 _NPROBE = 3
 

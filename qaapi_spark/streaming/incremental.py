@@ -874,3 +874,73 @@ def stream_pq_encode(
         F.col("id").alias(id_col),
         F.posexplode("codes").alias("j", "code"),
     )
+
+
+def stream_covariance_update(
+    spark: SparkSession,
+    embeddings_path: str,
+    round_dp: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming covariance / embedding-drift maintenance: embedding
+    micro-batches are reduced MAP-ONLY to their exact integer moment
+    partials (`operators/linalg.gram_partials` — d x d Gram + linear
+    sums + count in 6dp fixed point) and appended to an epoch-keyed
+    moment store; the covariance of everything seen so far is
+    recovered by SUMMING the store and closing the fixed arithmetic
+    (`covariance_from_moments`).
+
+    Integer sums are addition-mergeable — order- and
+    grouping-independent — so the streamed store's covariance equals
+    the batch `covariance_upper` BIT-FOR-BIT and the catalog query
+    shares `emb_covariance_upper`'s DuckDB oracle (the additive-merge
+    counterpart of the register-MAX trick that gave the streaming HLL
+    its batch oracle).
+
+    Scale shape: per epoch one Arrow kernel pass over the batch, one
+    d(d+1)/2 + d + 1 row store append; no shuffle, state is O(d^2)
+    regardless of how much the stream has seen — the moment store IS
+    the drift monitor a training pipeline consults between snapshots.
+    """
+    import os
+    import tempfile
+
+    from qaapi_spark.operators.linalg import (
+        covariance_from_moments,
+        gram_partials,
+    )
+
+    corpus = spark.read.parquet(embeddings_path)
+
+    stage_dir = tempfile.mkdtemp(prefix="emb_cov_stream_")
+    store_dir = tempfile.mkdtemp(prefix="emb_cov_store_")
+    corpus.filter(F.col(id_col) % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage_dir, "b0.parquet")
+    )
+    corpus.filter(F.col(id_col) % 2 == 1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage_dir, "b1.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir + "/*.parquet")
+    )
+
+    def moments_batch(bdf: DataFrame, epoch_id: int) -> None:
+        # map-only partials; epoch-keyed overwrite = idempotent retry
+        gram_partials(bdf, vec_col).coalesce(1).write.mode("overwrite").parquet(
+            f"{store_dir}/data/epoch={epoch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(moments_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_dir + "/_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    return covariance_from_moments(
+        spark.read.parquet(store_dir + "/data").select("i", "j", "v"), round_dp
+    )
