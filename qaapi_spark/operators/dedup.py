@@ -337,20 +337,20 @@ def ngram_jaccard_pairs(
         if len(packed)
         else np.zeros((0, nwords), dtype=np.uint64)
     )
-    if dense:
-        # expand bitsets to the float32 one-hot matrix the BLAS GEMM
-        # consumes (bit k of word w = column w*64+k, little-endian)
-        corpus = (
-            np.unpackbits(
-                bits.view(np.uint8).reshape(len(bits), nwords * 8), axis=1, bitorder="little"
-            )[:, :nv].astype(np.float32)
-            if len(bits)
-            else np.zeros((0, nv), dtype=np.float32)
-        )
-    else:
-        corpus = bits
+    # Broadcast the COMPACT bitset matrix (nv/8 bytes per doc); the
+    # dense branch unpacks float32 one-hot blocks lazily inside each
+    # task (r6: the driver previously built and broadcast the unpacked
+    # matrix — 32x the memory and the one remaining corpus-sized
+    # driver compute).
+    b = spark.sparkContext.broadcast((ids, bits, sizes))
 
-    b = spark.sparkContext.broadcast((ids, corpus, sizes))
+    def _unpack(bt):
+        # bit k of word w = column w*64+k, little-endian
+        if not len(bt):
+            return np.zeros((0, nv), dtype=np.float32)
+        return np.unpackbits(
+            bt.view(np.uint8).reshape(len(bt), nwords * 8), axis=1, bitorder="little"
+        )[:, :nv].astype(np.float32)
 
     # Parallelize the quadratic kernel over row-slices of the broadcast
     # corpus itself (slice index = partition) — no cached intermediate,
@@ -371,8 +371,14 @@ def ngram_jaccard_pairs(
     # while the 1e-3 margin contributes >= ~10 units of slack.
     thr_margin = threshold - 1e-3
 
+    # Column-block the corpus side (unpack + GEMM + mask per <=8k-doc
+    # block) so a task's working set stays ~slice + one block of
+    # float32 one-hots regardless of corpus size — at the 200k-doc
+    # bound that is ~150 MB/task instead of a 3.3 GB unpacked corpus.
+    COL_BLOCK = 8192
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c_ids, c_corpus, c_sizes = b.value
+        c_ids, c_bits, c_sizes = b.value
         for pdf in batches:
             for pid in pdf["id"].to_numpy(dtype=np.int64):
                 lo, hi = int(pid) * rows_per, min((int(pid) + 1) * rows_per, len(c_ids))
@@ -381,53 +387,64 @@ def ngram_jaccard_pairs(
                 c0 = 0 if measure == "containment" else lo + 1
                 if c0 >= len(c_ids):
                     continue
-                s_ids, s_mat = c_ids[lo:hi], c_corpus[lo:hi]
+                s_ids = c_ids[lo:hi]
                 s_sizes = c_sizes[lo:hi]
-                if dense:
-                    inter = s_mat @ c_corpus[c0:].T  # float32, exact counts
-                else:
-                    inter = np.empty((hi - lo, len(c_ids) - c0), dtype=np.int64)
-                    chunk = max(1, (32 << 20) // max((len(c_ids) - c0) * nwords * 8, 1))
-                    for clo in range(0, hi - lo, chunk):
-                        chi = min(clo + chunk, hi - lo)
-                        inter[clo:chi] = (
-                            _popcount_u64(s_mat[clo:chi, None, :] & c_corpus[None, c0:, :])
-                            .sum(axis=2)
-                            .astype(np.int64)
+                s_mat = _unpack(c_bits[lo:hi]) if dense else c_bits[lo:hi]
+                for blo in range(c0, len(c_ids), COL_BLOCK):
+                    bhi = min(blo + COL_BLOCK, len(c_ids))
+                    b_ids = c_ids[blo:bhi]
+                    b_sizes = c_sizes[blo:bhi]
+                    if dense:
+                        # float32 GEMM, exact counts (<= nv <= 4096)
+                        inter = s_mat @ _unpack(c_bits[blo:bhi]).T
+                    else:
+                        inter = np.empty((hi - lo, bhi - blo), dtype=np.int64)
+                        chunk = max(1, (32 << 20) // max((bhi - blo) * nwords * 8, 1))
+                        for clo in range(0, hi - lo, chunk):
+                            chi = min(clo + chunk, hi - lo)
+                            inter[clo:chi] = (
+                                _popcount_u64(
+                                    s_mat[clo:chi, None, :] & c_bits[None, blo:bhi, :]
+                                )
+                                .sum(axis=2)
+                                .astype(np.int64)
+                            )
+                    if measure == "containment":
+                        # DIRECTED: inter / |A| for the slice's rows as A
+                        cand = inter >= (thr_margin * np.maximum(s_sizes, 1))[:, None]
+                        cand &= s_ids[:, None] != b_ids[None, :]
+                        ii, jj = np.nonzero(cand)
+                        iv = np.asarray(inter[ii, jj], dtype=np.float64)
+                        score = np.round(iv / np.maximum(s_sizes[ii], 1), 4)
+                        keep = score >= threshold
+                        yield pd.DataFrame(
+                            {
+                                "src": s_ids[ii[keep]],
+                                "dst": b_ids[jj[keep]],
+                                "containment": score[keep],
+                            }
                         )
-                if measure == "containment":
-                    # DIRECTED: inter / |A| for the slice's rows as A
-                    cand = inter >= (thr_margin * np.maximum(s_sizes, 1))[:, None]
-                    cand &= s_ids[:, None] != c_ids[None, c0:]
+                        continue
+                    tot = s_sizes[:, None].astype(np.float32) + b_sizes[None, :].astype(
+                        np.float32
+                    )
+                    cand = (
+                        inter * np.float32(1.0 + thr_margin)
+                        >= np.float32(thr_margin) * tot
+                    )
+                    cand &= s_ids[:, None] < b_ids[None, :]
                     ii, jj = np.nonzero(cand)
                     iv = np.asarray(inter[ii, jj], dtype=np.float64)
-                    score = np.round(iv / np.maximum(s_sizes[ii], 1), 4)
-                    keep = score >= threshold
+                    union = s_sizes[ii] + b_sizes[jj] - iv
+                    jac = np.round(iv / np.maximum(union, 1), 4)
+                    keep = jac >= threshold
                     yield pd.DataFrame(
                         {
-                            "src": s_ids[ii[keep]],
-                            "dst": c_ids[c0:][jj[keep]],
-                            "containment": score[keep],
+                            "id_a": s_ids[ii[keep]],
+                            "id_b": b_ids[jj[keep]],
+                            "jaccard": jac[keep],
                         }
                     )
-                    continue
-                tot = s_sizes[:, None].astype(np.float32) + c_sizes[None, c0:].astype(
-                    np.float32
-                )
-                cand = inter * np.float32(1.0 + thr_margin) >= np.float32(thr_margin) * tot
-                cand &= s_ids[:, None] < c_ids[None, c0:]
-                ii, jj = np.nonzero(cand)
-                iv = np.asarray(inter[ii, jj], dtype=np.float64)
-                union = s_sizes[ii] + c_sizes[c0:][jj] - iv
-                jac = np.round(iv / np.maximum(union, 1), 4)
-                keep = jac >= threshold
-                yield pd.DataFrame(
-                    {
-                        "id_a": s_ids[ii[keep]],
-                        "id_b": c_ids[c0:][jj[keep]],
-                        "jaccard": jac[keep],
-                    }
-                )
 
     if measure == "containment":
         return slices.mapInPandas(gen, "src long, dst long, containment double")
