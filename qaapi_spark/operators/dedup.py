@@ -759,9 +759,12 @@ def simhash_fingerprints_portable(
     # md5+conv evaluations per token (observed 3-5x wall-clock on the
     # portable simhash query); after this projection each bit vote is
     # a bitwise shift on a ready long.
-    hashed = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok")).select(
-        "id", h.alias("h")
-    )
+    # spread the md5 hashing + vote explode across cores: single-file
+    # corpora otherwise run the whole pipeline on one task (r6)
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    hashed = spread.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    ).select("id", h.alias("h"))
     # per-bit votes as a narrow posexplode + two-level aggregate rather
     # than one `bits`-wide aggregate: the wide form generated a Janino
     # class whose one-time compile dominated the query (measured ~6.3 s
