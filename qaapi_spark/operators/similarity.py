@@ -215,6 +215,81 @@ def cosine_topk_filtered(
     return topk_per_group(partial, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k)
 
 
+def mmr_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    pool: int = 10,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): per query, fetch a ``pool``-sized exact
+    cosine candidate pool, then greedily select ``k`` — each step
+    maximizing ``lam*rel - (1-lam)*max_sim_to_selected`` with
+    deterministic (score desc, cand_id) ties.  Output
+    (query_id, rank, cand_id, mmr) with the rank-1 score = relevance.
+
+    Scale shape: the pool fetch is the brute-force kernel (broadcast
+    queries, streamed corpus, per-batch partial top-k); the greedy
+    re-rank touches only pool-sized groups — ``applyInPandas`` over
+    (query, pool) islands, pool^2 sims per query, never the corpus.
+
+    Exactness: relevance and pairwise sims are 4dp-rounded doubles
+    (the bruteforce recipe), ``lam=0.5`` scales by a power of two, so
+    every step's score arithmetic is bit-identical in DuckDB and the
+    k greedy rounds unroll as chained CTEs (the Lloyd trick).
+    """
+    from typing import Iterator  # noqa: F401
+
+    import pandas as pd
+
+    pool_df = cosine_topk_bruteforce(
+        queries, candidates, pool, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )
+    vecs = candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    grouped = pool_df.join(vecs, "cand_id")
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cand_id", ignore_index=True)
+        m = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ m.T, round_to)
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        cids = pdf["cand_id"].to_numpy(dtype=np.int64)
+        sel: list[int] = []
+        scores_out: list[float] = []
+        remaining = list(range(len(cids)))
+        while remaining and len(sel) < k:
+            if sel:
+                cur = lam * rel - (1.0 - lam) * sims[:, sel].max(axis=1)
+            else:
+                cur = rel
+            pick = min(remaining, key=lambda i: (-cur[i], cids[i]))
+            sel.append(pick)
+            # 5dp, not 4: an MMR score is HALF of a difference of
+            # 4dp values, i.e. systematically AT 4dp midpoints where
+            # np.round (half-even) and DuckDB ROUND (half-away)
+            # disagree; at 5dp those values are exactly representable
+            # and the round is midpoint-free on both engines
+            scores_out.append(float(np.round(cur[pick], round_to + 1)) + 0.0)
+            remaining.remove(pick)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+                "cand_id": cids[sel],
+                "mmr": scores_out,
+            }
+        )
+
+    return grouped.groupBy("query_id").applyInPandas(
+        mmr, "query_id long, rank long, cand_id long, mmr double"
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -90,6 +90,159 @@ def ann_topk_filtered(spark, sf_dir):
     )
 
 
+@query(
+    "mmr_diversified_topk",
+    # greedy MMR unrolled as chained CTEs (the Lloyd trick applied to a
+    # selection loop): relevance and pairwise sims are 4dp-rounded
+    # doubles, lam=0.5 scales by a power of two, so every step's score
+    # and (score desc, cand_id) argmax reproduce bit-for-bit.
+    oracle=f"""
+    WITH u AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
+                            list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                            list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS uv
+        FROM embeddings
+    ),
+    pool AS MATERIALIZED (
+        SELECT query_id, cand_id, cosine FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROUND(list_dot_product(q.uv, c.uv), 4) AS cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(q.uv, c.uv), 4) DESC,
+                                c.vec_id) AS rn
+            FROM u q JOIN u c ON q.vec_id % {_QUERY_MOD} = 0 AND q.vec_id <> c.vec_id
+        ) WHERE rn <= 10
+    ),
+    ps AS MATERIALIZED (
+        SELECT p1.query_id AS qid, p1.cand_id AS a, p2.cand_id AS b,
+               ROUND(list_dot_product(ua.uv, ub.uv), 4) AS s
+        FROM pool p1 JOIN pool p2 ON p1.query_id = p2.query_id
+        JOIN u ua ON ua.vec_id = p1.cand_id
+        JOIN u ub ON ub.vec_id = p2.cand_id
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT query_id, cand_id, cosine + 0.0 AS mmr FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, cand_id) AS rn
+            FROM pool
+        ) WHERE rn = 1
+    ),
+    acc1 AS MATERIALIZED (SELECT query_id, cand_id FROM sel1),
+    sel2 AS MATERIALIZED (
+        SELECT query_id, cand_id, ROUND(score, 5) + 0.0 AS mmr FROM (
+            SELECT p.query_id, p.cand_id,
+                   CAST(0.5 AS DOUBLE) * p.cosine
+                       - CAST(0.5 AS DOUBLE) * mx.m AS score,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                       ORDER BY CAST(0.5 AS DOUBLE) * p.cosine
+                                - CAST(0.5 AS DOUBLE) * mx.m DESC,
+                                p.cand_id) AS rn
+            FROM pool p
+            JOIN (SELECT ps.qid, ps.a AS cand_id, MAX(ps.s) AS m
+                  FROM ps JOIN acc1 sl
+                    ON ps.qid = sl.query_id AND ps.b = sl.cand_id
+                  GROUP BY ps.qid, ps.a) mx
+              ON mx.qid = p.query_id AND mx.cand_id = p.cand_id
+            WHERE NOT EXISTS (SELECT 1 FROM acc1 s2
+                WHERE s2.query_id = p.query_id AND s2.cand_id = p.cand_id)
+        ) WHERE rn = 1
+    ),
+    acc2 AS MATERIALIZED (
+        SELECT * FROM acc1
+        UNION ALL SELECT query_id, cand_id FROM sel2
+    ),
+    sel3 AS MATERIALIZED (
+        SELECT query_id, cand_id, ROUND(score, 5) + 0.0 AS mmr FROM (
+            SELECT p.query_id, p.cand_id,
+                   CAST(0.5 AS DOUBLE) * p.cosine
+                       - CAST(0.5 AS DOUBLE) * mx.m AS score,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                       ORDER BY CAST(0.5 AS DOUBLE) * p.cosine
+                                - CAST(0.5 AS DOUBLE) * mx.m DESC,
+                                p.cand_id) AS rn
+            FROM pool p
+            JOIN (SELECT ps.qid, ps.a AS cand_id, MAX(ps.s) AS m
+                  FROM ps JOIN acc2 sl
+                    ON ps.qid = sl.query_id AND ps.b = sl.cand_id
+                  GROUP BY ps.qid, ps.a) mx
+              ON mx.qid = p.query_id AND mx.cand_id = p.cand_id
+            WHERE NOT EXISTS (SELECT 1 FROM acc2 s2
+                WHERE s2.query_id = p.query_id AND s2.cand_id = p.cand_id)
+        ) WHERE rn = 1
+    ),
+    acc3 AS MATERIALIZED (
+        SELECT * FROM acc2
+        UNION ALL SELECT query_id, cand_id FROM sel3
+    ),
+    sel4 AS MATERIALIZED (
+        SELECT query_id, cand_id, ROUND(score, 5) + 0.0 AS mmr FROM (
+            SELECT p.query_id, p.cand_id,
+                   CAST(0.5 AS DOUBLE) * p.cosine
+                       - CAST(0.5 AS DOUBLE) * mx.m AS score,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                       ORDER BY CAST(0.5 AS DOUBLE) * p.cosine
+                                - CAST(0.5 AS DOUBLE) * mx.m DESC,
+                                p.cand_id) AS rn
+            FROM pool p
+            JOIN (SELECT ps.qid, ps.a AS cand_id, MAX(ps.s) AS m
+                  FROM ps JOIN acc3 sl
+                    ON ps.qid = sl.query_id AND ps.b = sl.cand_id
+                  GROUP BY ps.qid, ps.a) mx
+              ON mx.qid = p.query_id AND mx.cand_id = p.cand_id
+            WHERE NOT EXISTS (SELECT 1 FROM acc3 s2
+                WHERE s2.query_id = p.query_id AND s2.cand_id = p.cand_id)
+        ) WHERE rn = 1
+    ),
+    acc4 AS MATERIALIZED (
+        SELECT * FROM acc3
+        UNION ALL SELECT query_id, cand_id FROM sel4
+    ),
+    sel5 AS MATERIALIZED (
+        SELECT query_id, cand_id, ROUND(score, 5) + 0.0 AS mmr FROM (
+            SELECT p.query_id, p.cand_id,
+                   CAST(0.5 AS DOUBLE) * p.cosine
+                       - CAST(0.5 AS DOUBLE) * mx.m AS score,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                       ORDER BY CAST(0.5 AS DOUBLE) * p.cosine
+                                - CAST(0.5 AS DOUBLE) * mx.m DESC,
+                                p.cand_id) AS rn
+            FROM pool p
+            JOIN (SELECT ps.qid, ps.a AS cand_id, MAX(ps.s) AS m
+                  FROM ps JOIN acc4 sl
+                    ON ps.qid = sl.query_id AND ps.b = sl.cand_id
+                  GROUP BY ps.qid, ps.a) mx
+              ON mx.qid = p.query_id AND mx.cand_id = p.cand_id
+            WHERE NOT EXISTS (SELECT 1 FROM acc4 s2
+                WHERE s2.query_id = p.query_id AND s2.cand_id = p.cand_id)
+        ) WHERE rn = 1
+    ),
+    acc5 AS MATERIALIZED (
+        SELECT * FROM acc4
+        UNION ALL SELECT query_id, cand_id FROM sel5
+    )
+    SELECT query_id, rank, cand_id, mmr FROM (
+    SELECT query_id, CAST(1 AS BIGINT) AS rank, cand_id, mmr FROM sel1\n    UNION ALL SELECT query_id, CAST(2 AS BIGINT) AS rank, cand_id, mmr FROM sel2\n    UNION ALL SELECT query_id, CAST(3 AS BIGINT) AS rank, cand_id, mmr FROM sel3\n    UNION ALL SELECT query_id, CAST(4 AS BIGINT) AS rank, cand_id, mmr FROM sel4\n    UNION ALL SELECT query_id, CAST(5 AS BIGINT) AS rank, cand_id, mmr FROM sel5)
+    ORDER BY query_id, rank
+    """,
+    doc="MMR diversified top-k re-ranking (Carbonell & Goldstein, "
+    "SIGIR'98): exact cosine pool fetch (broadcast queries, streamed "
+    "corpus, per-batch partial top-k), then a pool-local greedy "
+    "lam*rel-(1-lam)*redundancy selection via applyInPandas over "
+    "(query, pool) islands — diversity-aware retrieval for RAG "
+    "context assembly, never touching the corpus in the re-rank "
+    "(extension)",
+)
+def mmr_diversified_topk(spark, sf_dir):
+    from qaapi_spark.operators.similarity import mmr_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    return mmr_topk(qs, e, k=_K, pool=10).orderBy("query_id", "rank")
+
+
 _IVF_MOD = 37  # centroid stripe: vec_id % 37 == 0
 _NPROBE = 3
 
