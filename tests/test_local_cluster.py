@@ -36,6 +36,13 @@ QUERIES = [
     # outer join)
     "ann_topk_ivfpq",
     "hybrid_search_rrf",
+    # r6 additions: the partial-Gram covariance kernel (mapInPandas
+    # closure + integer partial merge across executor boundaries), the
+    # upper-triangle blocked dense-Jaccard GEMM, and the MMR greedy
+    # applyInPandas islands
+    "emb_covariance_upper",
+    "dedup_ngram_jaccard_dense",
+    "mmr_diversified_topk",
 ]
 
 _RUNNER = r"""
