@@ -124,3 +124,48 @@ def test_band_arrays_explode_equals_band_keys(spark):
     assert sorted(map(tuple, keys.collect())) == sorted(
         map(tuple, via_arrays.collect())
     )
+
+
+_vec_lists = st.lists(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(vecs=_vec_lists, split=st.integers(min_value=1, max_value=11))
+@_SETTINGS
+def test_gram_partials_merge_invariance(spark, vecs, split):
+    """Round-6 covariance contract: integer moment partials are
+    addition-mergeable, so covariance computed over ANY partitioning of
+    the rows equals the single-partition result exactly — the property
+    that makes the streamed moment store share the batch oracle."""
+    from qaapi_spark.operators.linalg import covariance_upper
+
+    split = min(split, len(vecs) - 1) or 1
+    rows = [(i, [float(v) for v in r]) for i, r in enumerate(vecs)]
+    schema = "vec_id long, embedding array<float>"
+    one = spark.createDataFrame(rows, schema).coalesce(1)
+    many = spark.createDataFrame(rows, schema).repartition(split, "vec_id")
+    a = sorted(map(tuple, covariance_upper(one).collect()))
+    b = sorted(map(tuple, covariance_upper(many).collect()))
+    assert a == b and len(a) == 4 * 5 // 2
+
+
+def test_gram_chunk_overflow_guard_trips(spark):
+    """The per-chunk 2^53 exactness assert must fire rather than let an
+    inexact BLAS partial through (huge quant forces the bound)."""
+    import pytest
+
+    from qaapi_spark.operators.linalg import covariance_upper
+
+    df = spark.createDataFrame(
+        [(i, [1.0, -1.0, 1.0, -1.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="gram chunk overflow"):
+        covariance_upper(df, quant=10**9).collect()
