@@ -66,11 +66,15 @@ def _driver_state() -> tuple[set[str], set[str], int, dict[str, int]]:
     return hash_verified, rows_checked, rounds, last_green
 
 
-# Queries whose kernel or oracle changed THIS round: their historical
-# green rows no longer certify the current code, so they re-enter the
-# unverified front of the window (round 6: the BPE left-greedy-fold
-# oracle fix, the z-score std=0 guard, and the dense-lexical kernel's
-# global overflow guard feeding hybrid RRF).
+# Queries whose kernel or oracle changed in round _FORCE_RECHECK_ROUND+1:
+# green rows from <= _FORCE_RECHECK_ROUND no longer certify the current
+# code, so they re-enter the unverified front of the window.  The force
+# SELF-EXPIRES once a newer green row lands (otherwise these names
+# would pin window slots forever).  Round 6: the BPE left-greedy-fold
+# oracle fix, the z-score std=0 guard, the dense-lexical kernel's
+# global overflow guard feeding hybrid RRF, and the partial-Gram
+# covariance rewrite.
+_FORCE_RECHECK_ROUND = 5
 _FORCE_RECHECK = frozenset({
     "bpe_train_merges",
     "bpe_token_counts",
@@ -110,7 +114,7 @@ def _ordered_names() -> list[str]:
     unverified = [
         n
         for n in names
-        if n in _FORCE_RECHECK
+        if (n in _FORCE_RECHECK and last_green.get(n, 0) <= _FORCE_RECHECK_ROUND)
         or not (
             (CATALOG[n].oracle is not None and n in hash_verified)
             or (CATALOG[n].oracle is None and n in rows_checked)
