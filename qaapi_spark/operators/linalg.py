@@ -78,7 +78,10 @@ def covariance_upper(
     runs the same double ops over identical operands.  int64 bound:
     n_partition * (quant * max|x|)^2 must stay < 2^63 — ~5e5 rows of
     unit-normalized d=64 float32 per 128 MB partition gives ~1.6e17,
-    two orders under the limit (asserted per chunk).
+    two orders under the limit (each chunk's partial is asserted
+    < 2^53 for float64 exactness, and the running per-partition
+    accumulation is asserted < 2^63 so the int64 ``S += g`` can
+    never silently wrap).
     """
     return covariance_from_moments(
         gram_partials(df, vec_col, quant), round_dp, quant
@@ -109,6 +112,13 @@ def gram_partials(
         S = None
         T = None
         n = 0
+        # Running upper bound on any accumulated cell |S[i,j]| (and on
+        # |T[k]| / n, which are strictly smaller): Σ chunk_n * zmax^2.
+        # The per-chunk assert keeps each BLAS partial exact in
+        # float64 (< 2^53); this cumulative assert keeps the int64
+        # `S += g` from silently wrapping on a huge partition
+        # (ADVICE r6 #1 — e.g. ~9e6 rows of |z|~1e6 overflows 2^63).
+        acc_bound = 0.0
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -119,6 +129,11 @@ def gram_partials(
                 z = np.floor(m[lo:lo + 8000] * q + 0.5)
                 zmax = float(np.abs(z).max(initial=1.0))
                 assert len(z) * zmax * zmax < 2**53, "gram chunk overflow"
+                acc_bound += len(z) * zmax * zmax
+                assert acc_bound < 2**63, (
+                    "gram partition accumulation would overflow int64; "
+                    "repartition the input into smaller partitions"
+                )
                 g = (z.T @ z).astype(np.int64)
                 t_ = z.sum(axis=0).astype(np.int64)
                 if S is None:

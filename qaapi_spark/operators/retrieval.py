@@ -822,7 +822,11 @@ def tfidf_cosine_topk_dense(
     # Exactness guard on the GLOBAL weight max (corpus side included —
     # queries are just the id%query_mod stripe, so a doc-only large
     # weight would otherwise silently break the oracle's double sums).
-    z_max = max(1.0, *(float(int(r["wmax"] * quant + 0.5)) for r in vocab_rows))
+    z_max = max(
+        (float(int(r["wmax"] * quant + 0.5)) for r in vocab_rows),
+        default=1.0,
+    )
+    z_max = max(1.0, z_max)
     if nv * z_max * z_max >= 2**53:
         raise ValueError(
             f"fixed-point dot overflow: vocab {nv} x zmax {z_max:.0f}^2 "

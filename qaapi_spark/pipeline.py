@@ -297,7 +297,13 @@ class CalabrioPipeline:
             if len(errs) == 1:
                 raise errs[0]
             if errs:
-                raise ExceptionGroup("reconcile failures", errs)
+                # BaseExceptionGroup: _future_exc gathers BaseException
+                # (a worker can raise KeyboardInterrupt/SystemExit),
+                # which plain ExceptionGroup rejects with a TypeError
+                # that would mask the real failures.  It downgrades
+                # itself to ExceptionGroup when all members are
+                # Exception subclasses.
+                raise BaseExceptionGroup("reconcile failures", errs)
 
         if not collect_counts:
             return {}

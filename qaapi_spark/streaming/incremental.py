@@ -16,10 +16,27 @@ an unbounded source (Kafka, autoloader directory) would use.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _scratch(prefix: str) -> str:
+    """``tempfile.mkdtemp`` that is removed at interpreter exit.
+
+    Streaming stage/store/checkpoint dirs must outlive the (lazy)
+    DataFrame a query returns, so they cannot be deleted inline — but
+    without cleanup every catalog/bench invocation leaked its staged
+    corpus copies to /tmp (ADVICE r6 #4).  atexit bounds the leak to
+    one process lifetime; dirs a caller deletes earlier are fine
+    (ignore_errors)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def events_windowed_counts(
@@ -45,7 +62,7 @@ def events_windowed_counts(
     import os
     import tempfile
 
-    stage_dir = tempfile.mkdtemp(prefix="events_stream_")
+    stage_dir = _scratch(prefix="events_stream_")
     os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, "part-0.parquet"))
 
     stream = normalize_ts(
@@ -143,7 +160,7 @@ def stream_dedup_events(
     from qaapi_spark.sources.tables import events_stream_spec
 
     raw_schema, normalize_ts = events_stream_spec(spark, events_path)
-    stage_dir = tempfile.mkdtemp(prefix="events_dup_stream_")
+    stage_dir = _scratch(prefix="events_dup_stream_")
     for i in range(2):  # duplicate arrival: same file, two source files
         os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, f"part-{i}.parquet"))
 
@@ -242,9 +259,9 @@ def stream_neardup_dedup(
 
     # stage the corpus as two files => two micro-batches (docs split by
     # id parity), so the store genuinely accumulates across epochs
-    stage_dir = tempfile.mkdtemp(prefix="docs_neardup_stream_")
-    store_dir = tempfile.mkdtemp(prefix="neardup_store_")
-    out_dir = tempfile.mkdtemp(prefix="neardup_kept_")
+    stage_dir = _scratch(prefix="docs_neardup_stream_")
+    store_dir = _scratch(prefix="neardup_store_")
+    out_dir = _scratch(prefix="neardup_kept_")
     batch_df = spark.read.parquet(docs_path)
     batch_df.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(stage_dir, "b0.parquet")
@@ -402,7 +419,7 @@ def stream_interval_join(
     from qaapi_spark.sources.tables import events_stream_spec
 
     raw_schema, normalize_ts = events_stream_spec(spark, events_path)
-    stage_dir = tempfile.mkdtemp(prefix="events_ssj_")
+    stage_dir = _scratch(prefix="events_ssj_")
     os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, "part-0.parquet"))
 
     def side(tp: str, alias: str) -> DataFrame:
@@ -475,7 +492,7 @@ def stream_static_enrich(
     from qaapi_spark.sources.tables import events_stream_spec, read_table
 
     raw_schema, normalize_ts = events_stream_spec(spark, events_path)
-    stage_dir = tempfile.mkdtemp(prefix="events_enrich_")
+    stage_dir = _scratch(prefix="events_enrich_")
     os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, "part-0.parquet"))
     stream = normalize_ts(
         spark.readStream.schema(raw_schema).format("parquet").load(stage_dir)
@@ -539,7 +556,7 @@ def stream_interval_join_left(
     from qaapi_spark.sources.tables import events_stream_spec
 
     raw_schema, normalize_ts = events_stream_spec(spark, events_path)
-    stage_dir = tempfile.mkdtemp(prefix="events_ssjl_")
+    stage_dir = _scratch(prefix="events_ssjl_")
     os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, "part-0.parquet"))
 
     max_ts = (
@@ -556,7 +573,7 @@ def stream_interval_join_left(
         ],
         raw_schema,
     )
-    tmp = tempfile.mkdtemp(prefix="events_ssjl_sent_")
+    tmp = _scratch(prefix="events_ssjl_sent_")
     sent.coalesce(1).write.mode("overwrite").parquet(tmp)
     shutil.copy(
         glob.glob(tmp + "/part-*.parquet")[0],
@@ -644,7 +661,7 @@ def stream_hll_running(
     raw = spark.read.schema(raw_schema).parquet(events_path)
     lo, hi = raw.agg(F.min("event_id"), F.max("event_id")).collect()[0]
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
-    stage_dir = tempfile.mkdtemp(prefix="events_hll_stream_")
+    stage_dir = _scratch(prefix="events_hll_stream_")
     for i in range(n_splits):
         (
             raw.filter(
@@ -654,7 +671,7 @@ def stream_hll_running(
             .write.mode("overwrite")
             .parquet(os.path.join(stage_dir, f"slice={i}"))
         )
-    store_dir = tempfile.mkdtemp(prefix="events_hll_store_") + "/regs"
+    store_dir = _scratch(prefix="events_hll_store_") + "/regs"
 
     m = 1 << p
     hex_b = p // 4
@@ -695,7 +712,7 @@ def stream_hll_running(
         q = (
             stream.writeStream.foreachBatch(merge_batch)
             .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="hll_ckpt_"))
+            .option("checkpointLocation", _scratch(prefix="hll_ckpt_"))
             .start()
         )
         q.awaitTermination()
@@ -761,8 +778,8 @@ def stream_ivf_assign(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
 
-    stage_dir = tempfile.mkdtemp(prefix="emb_ivf_stream_")
-    store_dir = tempfile.mkdtemp(prefix="emb_ivf_store_")
+    stage_dir = _scratch(prefix="emb_ivf_stream_")
+    store_dir = _scratch(prefix="emb_ivf_store_")
     corpus.filter(F.col(id_col) % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(stage_dir, "b0.parquet")
     )
@@ -841,8 +858,8 @@ def stream_pq_encode(
     cb = pq_codebook(corpus, m=m, ksub=ksub, train_iters=0,
                      vec_col=vec_col, id_col=id_col)
 
-    stage_dir = tempfile.mkdtemp(prefix="emb_pq_stream_")
-    store_dir = tempfile.mkdtemp(prefix="emb_pq_store_")
+    stage_dir = _scratch(prefix="emb_pq_stream_")
+    store_dir = _scratch(prefix="emb_pq_store_")
     corpus.filter(F.col(id_col) % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(stage_dir, "b0.parquet")
     )
@@ -913,8 +930,8 @@ def stream_covariance_update(
 
     corpus = spark.read.parquet(embeddings_path)
 
-    stage_dir = tempfile.mkdtemp(prefix="emb_cov_stream_")
-    store_dir = tempfile.mkdtemp(prefix="emb_cov_store_")
+    stage_dir = _scratch(prefix="emb_cov_stream_")
+    store_dir = _scratch(prefix="emb_cov_store_")
     corpus.filter(F.col(id_col) % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(stage_dir, "b0.parquet")
     )
@@ -941,6 +958,14 @@ def stream_covariance_update(
         .start()
     )
     q.awaitTermination()
+    # The staged corpus copy is consumed once the availableNow stream
+    # terminates; drop it NOW rather than at interpreter exit — it is
+    # the one scratch dir here that scales with corpus size (the
+    # moment store the returned lazy DF reads is O(epochs * d^2) and
+    # stays until atexit).
+    import shutil as _shutil
+
+    _shutil.rmtree(stage_dir, ignore_errors=True)
     return covariance_from_moments(
         spark.read.parquet(store_dir + "/data").select("i", "j", "v"), round_dp
     )
