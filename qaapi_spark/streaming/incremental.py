@@ -299,8 +299,16 @@ def stream_neardup_dedup(
 
     def dedup_batch(bdf: DataFrame, epoch_id: int) -> None:
         # one file per trigger => the batch arrives as ONE partition;
-        # spread it so the signature kernel uses every core
-        bdf = bdf.repartition(spark.sparkContext.defaultParallelism)
+        # spread it so the signature kernel parallelizes — but only to
+        # a SMALL floor, not defaultParallelism: an epoch runs ~8
+        # chained jobs over a micro-batch, and at 32-way the per-task
+        # overhead of those jobs outweighs the extra cores (measured
+        # 7.5 -> 6.4 s/epoch-pair at sf0.1 going 32 -> 8; the r6
+        # stream_ivf_assign lesson).  Batches that already arrive with
+        # >= 8 splits (a genuinely large micro-batch on a cluster)
+        # keep their natural partitioning — no forced shuffle.
+        if bdf.rdd.getNumPartitions() < 8:
+            bdf = bdf.repartition(8)
         sets = (
             _hashed_shingle_sets(bdf, 2, "text", "doc_id")
             .filter(F.size("sh") > 0)
@@ -377,13 +385,29 @@ def stream_neardup_dedup(
             bands_arr.unpersist()
             sets.unpersist()
 
-    q = (
-        stream.writeStream.foreachBatch(dedup_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", store_dir + "/_checkpoint")
-        .start()
-    )
-    q.awaitTermination()
+    # An epoch chains ~8 small jobs (signatures, band join, verify,
+    # anti-joins, two writes) over a micro-batch; AQE's per-shuffle
+    # materialize-then-replan adds serial latency to every one of them
+    # (measured 6.8 -> 4.8 s for the two-epoch replay at sf0.1 with it
+    # off) while having nothing to re-plan at micro-batch sizes.
+    # Scoped to this stream and restored; a deployment with large
+    # micro-batches (where AQE's coalescing/skew handling pays for its
+    # latency) would key this on expected batch volume.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(dedup_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", store_dir + "/_checkpoint")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.enabled")
+        else:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     # drop the epoch=N partition-discovery column the idempotent
     # epoch-keyed layout introduces
     return spark.read.parquet(out_dir + "/data").select("doc_id", "lang", "source")
