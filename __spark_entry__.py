@@ -70,29 +70,26 @@ def _driver_state() -> tuple[set[str], set[str], int, dict[str, int]]:
 # green rows from <= _FORCE_RECHECK_ROUND no longer certify the current
 # code, so they re-enter the unverified front of the window.  The force
 # SELF-EXPIRES once a newer green row lands (otherwise these names
-# would pin window slots forever).  Round 6: the BPE left-greedy-fold
-# oracle fix, the z-score std=0 guard, the dense-lexical kernel's
-# global overflow guard feeding hybrid RRF, and the partial-Gram
-# covariance rewrite.
-_FORCE_RECHECK_ROUND = 5
-_FORCE_RECHECK = frozenset({
-    "bpe_train_merges",
-    "bpe_token_counts",
-    "events_zscore_anomaly_topk",
-    "hybrid_search_rrf",
-    # the partial-Gram covariance rewrite (fixed-point inputs changed
-    # the cov values, so every consumer's oracle changed with it)
-    "emb_covariance_upper",
-    "emb_pca_pc1_power",
-    "emb_pca_project2d",
-    "emb_pca_explained_variance",
-    "emb_whiten2d",
-})
+# would pin window slots forever).  Round 7: EMPTY — all nine r6
+# forces landed green rows in CORRECTNESS_r06, and this round's
+# changes (CMS shared kernels, containment regime selector, streaming
+# latency work) alter plans but not a single query's RESULT, so every
+# existing green row still certifies the values the current code
+# produces.
+_FORCE_RECHECK_ROUND = 6
+_FORCE_RECHECK = frozenset()
 
-# Highest-priority gate candidates: this round's changed queries first
-# (a stale green row is WEAKER than no row — the code it certified is
-# gone), then any never-verified newcomers in catalog order.
-_PRIORITY = tuple(sorted(_FORCE_RECHECK))
+# Rotation pins: rows-only queries whose last EXECUTION row is old
+# enough that the LRU rotation alone won't reach them this round
+# (VERDICT r6 #6: ann_topk_pq and dedup_minhash_mllib last executed
+# r4; ann_topk_pq lands in the window by LRU order, mllib does not).
+# A pin spends one window slot to refresh the execution row.
+_ROTATION_PIN = frozenset({"dedup_minhash_mllib"})
+
+# Highest-priority gate candidates: forced re-checks first (a stale
+# green row is WEAKER than no row — the code it certified is gone),
+# then any never-verified newcomers in catalog order.
+_PRIORITY = tuple(sorted(_FORCE_RECHECK)) + tuple(sorted(_ROTATION_PIN))
 
 
 def _ordered_names() -> list[str]:
@@ -115,6 +112,7 @@ def _ordered_names() -> list[str]:
         n
         for n in names
         if (n in _FORCE_RECHECK and last_green.get(n, 0) <= _FORCE_RECHECK_ROUND)
+        or (n in _ROTATION_PIN and last_green.get(n, 0) <= _FORCE_RECHECK_ROUND)
         or not (
             (CATALOG[n].oracle is not None and n in hash_verified)
             or (CATALOG[n].oracle is None and n in rows_checked)
