@@ -60,6 +60,8 @@ import os
 import tempfile
 import time
 
+from qaapi_spark.session import scratch_dir as _scratch_dir
+
 _DAY_MS = 86_400_000
 
 
@@ -106,9 +108,9 @@ class ApiHandler:
         # run_table_updates stages — never purged by full_run;
         # temp_dir is scratch for raw pre-repair accumulation and is
         # what the X3 purge empties.
-        self.json_dir = landing_dir or tempfile.mkdtemp(prefix="qaapi_landing_")
-        self.temp_dir = tempfile.mkdtemp(prefix="qaapi_scratch_")
-        self.out_dir = out_dir or tempfile.mkdtemp(prefix="qaapi_out_")
+        self.json_dir = landing_dir or _scratch_dir(prefix="qaapi_landing_")
+        self.temp_dir = _scratch_dir(prefix="qaapi_scratch_")
+        self.out_dir = out_dir or _scratch_dir(prefix="qaapi_out_")
         self.partitioned = partitioned
         self.forms_json = None
         self.contact_json = None

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from qaapi_spark import transforms as T
 from qaapi_spark.plans.catalog import query
 from qaapi_spark.sources.landing import read_entity
+from qaapi_spark.session import scratch_dir as _scratch_dir
 
 FIXTURES_DIR = "/root/repo/fixtures"
 
@@ -309,7 +310,7 @@ def calabrio_pipeline_incremental(spark, sf_dir):
         # modes stay independently oracle-verified and timed
         pipe = CalabrioPipeline(
             spark,
-            tempfile.mkdtemp(prefix="calabrio_e2e_"),
+            _scratch_dir(prefix="calabrio_e2e_"),
             output_partitions=1,
         )
         pipe.run_batch(FIXTURES_DIR, collect_counts=False)
@@ -341,7 +342,7 @@ def calabrio_pipeline_partitioned(spark, sf_dir):
     try:
         pipe = CalabrioPipeline(
             spark,
-            tempfile.mkdtemp(prefix="calabrio_part_"),
+            _scratch_dir(prefix="calabrio_part_"),
             output_partitions=1,
             partitioned=True,
         )
@@ -423,7 +424,7 @@ def stream_rest_extraction_contacts(spark, sf_dir):
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            tempfile.mkdtemp(prefix="rest_stream_ckpt_"),
+            _scratch_dir(prefix="rest_stream_ckpt_"),
         )
         .start()
     )

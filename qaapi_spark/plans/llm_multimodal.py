@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from qaapi_spark import transforms as _T
 from qaapi_spark.operators.multimodal import decode_features, sample_frames, synthesize_media
 from qaapi_spark.plans.catalog import query, t
+from qaapi_spark.session import scratch_dir as _scratch_dir
 
 
 @query(
@@ -208,10 +209,10 @@ def stream_landing_reconcile_contacts(spark, sf_dir):
     # stage only the contact batch files (the fixtures dir also holds
     # other entities and the batch2 subdir — a directory stream must
     # see just this entity's files)
-    land = tempfile.mkdtemp(prefix="stream_land_")
+    land = _scratch_dir(prefix="stream_land_")
     for p in sorted(_glob.glob("/root/repo/fixtures/all_contacts_*.json")):
         os.symlink(p, os.path.join(land, os.path.basename(p)))
-    wh = tempfile.mkdtemp(prefix="stream_wh_")
+    wh = _scratch_dir(prefix="stream_wh_")
     stream_landing_reconcile(spark, land, wh)
     return spark.read.parquet(f"{wh}/t_contacts").orderBy("contact_id")
 

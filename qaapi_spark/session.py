@@ -21,6 +21,24 @@ for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
 from pyspark.sql import SparkSession
 
 
+def scratch_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` that is removed at interpreter exit.
+
+    Streaming stage/store/checkpoint dirs and pipeline warehouses must
+    outlive the (lazy) DataFrames built over them, so they cannot be
+    deleted inline — but without cleanup every catalog/bench
+    invocation leaked its staged copies to /tmp (ADVICE r6 #4).
+    atexit bounds the leak to one process lifetime; dirs a caller
+    deletes earlier are fine (ignore_errors)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 

@@ -16,9 +16,6 @@ an unbounded source (Kafka, autoloader directory) would use.
 
 from __future__ import annotations
 
-import atexit
-import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,17 +23,11 @@ from pyspark.sql import functions as F
 
 
 def _scratch(prefix: str) -> str:
-    """``tempfile.mkdtemp`` that is removed at interpreter exit.
+    """See :func:`qaapi_spark.session.scratch_dir` (atexit-cleaned
+    mkdtemp; ADVICE r6 #4)."""
+    from qaapi_spark.session import scratch_dir
 
-    Streaming stage/store/checkpoint dirs must outlive the (lazy)
-    DataFrame a query returns, so they cannot be deleted inline — but
-    without cleanup every catalog/bench invocation leaked its staged
-    corpus copies to /tmp (ADVICE r6 #4).  atexit bounds the leak to
-    one process lifetime; dirs a caller deletes earlier are fine
-    (ignore_errors)."""
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+    return scratch_dir(prefix)
 
 
 def events_windowed_counts(

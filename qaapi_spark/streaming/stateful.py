@@ -20,6 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from qaapi_spark.session import scratch_dir as _scratch_dir
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -117,7 +118,7 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
     from qaapi_spark.sources.tables import events_stream_spec
 
     raw_schema, normalize_ts = events_stream_spec(spark, events_path)
-    stage_dir = tempfile.mkdtemp(prefix="events_sess_")
+    stage_dir = _scratch_dir(prefix="events_sess_")
     os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, "part-0.parquet"))
 
     stream = normalize_ts(
@@ -234,8 +235,8 @@ def stream_running_totals(
     from qaapi_spark.sources.tables import events_stream_spec
 
     raw_schema, normalize_ts = events_stream_spec(spark, events_path)
-    stage_dir = tempfile.mkdtemp(prefix="events_tws_")
-    halves_dir = tempfile.mkdtemp(prefix="events_tws_halves_")
+    stage_dir = _scratch_dir(prefix="events_tws_")
+    halves_dir = _scratch_dir(prefix="events_tws_halves_")
     src = spark.read.schema(raw_schema).parquet(os.path.abspath(events_path))
     for tag, half in (
         ("a", src.filter(F.col("event_id") % 2 == 0)),
