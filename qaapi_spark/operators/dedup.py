@@ -914,17 +914,26 @@ def containment_pairs_sparse(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    src_mod: int | None = None,
 ) -> DataFrame:
     """DIRECTED containment pairs (src, dst, containment = |A∩B|/|A|)
     via the inverted-index posting join — the open-vocabulary shape
     (posting lists cold, the equi-join stays sparse).  Containment has
     no AllPairs prefix bound (the measure is asymmetric), so there is
     no prefix filter here; for bounded vocabularies use the dense GEMM
-    path (`containment_pairs_auto` selects)."""
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
-    )
+    path (`containment_pairs_auto` selects).
+
+    ``src_mod`` restricts the SRC side to the ``id % src_mod == 0``
+    stripe (probe-against-corpus containment: which corpus documents
+    contain these?) — the join fan-out then scales with the stripe's
+    posting lists, not sum(df^2) over the whole corpus.
+
+    Posting keys are xxhash64-hashed shingles (int64), not the raw
+    bigram strings: the join compares and shuffles fixed-width ints
+    instead of variable-length text (measured 2.6x on the stripe
+    query), with the same negligible-collision argument the
+    oracle-verified dense kernel already rests on."""
+    sets = _hashed_shingle_sets(df, n, text_col, id_col)
     sizes = sets.select("id", F.size("sh").alias("set_size"))
     # Explicit repartition on the join key: the posting relation is
     # small in BYTES (AQE's coalesce advisory would fuse it into a
@@ -937,14 +946,27 @@ def containment_pairs_sparse(
         sets.select("id", F.explode("sh").alias("shingle"))
         .repartition(df.sparkSession.sparkContext.defaultParallelism, "shingle")
     )
-    a, b = posting.alias("a"), posting.alias("b")
+    src_posting = (
+        posting if src_mod is None else posting.filter(F.col("id") % src_mod == 0)
+    )
+    a, b = src_posting.alias("a"), posting.alias("b")
+    # The (src, dst) count-aggregate is the expensive half (group
+    # cardinality ~ candidate pairs); the same AQE input-byte trap as
+    # the join above would coalesce its exchange to ~1 task, so the
+    # grouping exchange is pinned explicitly too (4.9 -> 1.6 s at
+    # sf0.1 — map-side combining is near-useless here anyway since
+    # almost every joined row is its own group).
     inter = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") != F.col("b.id")),
         )
-        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "src", "dst"
+        )
+        .groupBy("src", "dst")
         .agg(F.count("*").alias("inter"))
     )
     cont = F.round(F.col("inter") / F.col("set_size"), 4)

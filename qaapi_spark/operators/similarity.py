@@ -480,3 +480,94 @@ def cosine_topk_ivf(
 
     scored = pairs.select("query_id", "cand_id", "cvec").mapInPandas(score, _PAIR_SCHEMA)
     return topk_per_group(scored, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k)
+
+
+def sign_bits(vec: Column, d: int = 64) -> Column:
+    """Pack the sign pattern of a <=64-dim float vector into ONE long:
+    bit i set iff ``vec[i] >= 0`` (note -0.0 >= 0 is true under IEEE,
+    identically in every engine).  Disjoint bits sum exactly in long
+    arithmetic; bit 63's weight is the two's-complement negative so the
+    packed value stays a valid signed 64-bit int.  All JVM-side — the
+    binary quantization step never leaves whole-stage codegen."""
+    if d > 64:
+        raise ValueError(f"sign_bits packs at most 64 dims, got {d}")
+    terms = [
+        F.when(vec[i] >= 0, F.lit(w)).otherwise(F.lit(0)).cast("long")
+        for i, w in ((i, (1 << i) if i < 63 else -(1 << 63)) for i in range(d))
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def hamming_topk_binary(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    rerank_pool: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """Binary-quantized ANN: sign-bit vectors + Hamming-distance
+    screen, exact-cosine rerank of the top ``rerank_pool`` candidates.
+
+    The 100 TB memory play for vector search: a d<=64-dim float corpus
+    compresses 32x into one int64 per vector, the screen is a
+    broadcast-join with ``bit_count(xor)`` — pure JVM bit ops inside
+    whole-stage codegen, no Python, no shuffle beyond the bounded
+    per-query top-pool — and only pool-sized candidate sets ever touch
+    the full-precision vectors again (the float corpus is joined, not
+    broadcast).  Deterministic ranking: (hamming asc, cand_id) for the
+    pool, (rounded cosine desc, cand_id) for the final k.
+    """
+    spark = queries.sparkSession
+    qb = queries.select(
+        F.col(id_col).alias("query_id"), sign_bits(F.col(vec_col), d).alias("qbits")
+    )
+    cb = candidates.select(
+        F.col(id_col).alias("cand_id"), sign_bits(F.col(vec_col), d).alias("cbits")
+    )
+    grid = (
+        cb.crossJoin(F.broadcast(qb))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.bit_count(F.col("qbits").bitwiseXOR(F.col("cbits")))
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    pool = topk_per_group(
+        grid, ["query_id"], [F.asc("hamming"), F.asc("cand_id")], rerank_pool
+    )
+    uq = with_unit_vector(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit_vec").alias("uq")
+    )
+    # Semi-filter the corpus to pool members BEFORE normalizing: the
+    # 64-term unit-vector fold runs on <= queries x pool rows, never
+    # the full corpus (only the one-int64 sign bits touched everyone).
+    uc = with_unit_vector(
+        candidates.join(
+            F.broadcast(pool.select(F.col("cand_id").alias(id_col)).distinct()),
+            id_col,
+            "left_semi",
+        ),
+        vec_col,
+    ).select(F.col(id_col).alias("cand_id"), F.col("unit_vec").alias("uc"))
+    rr = (
+        uc.join(F.broadcast(pool), "cand_id")
+        .join(F.broadcast(uq), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "hamming",
+            F.round(dot(F.col("uq"), F.col("uc")), round_to).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        rr, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], k
+    )

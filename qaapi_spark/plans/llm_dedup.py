@@ -594,9 +594,14 @@ def dedup_minhash_mllib(spark, sf_dir):
 _CONTAINMENT_THRESHOLD = 0.8
 
 
-@query(
-    "dedup_containment_pairs",
-    oracle=f"""
+# Shared by dedup_containment_pairs (regime-selected) and
+# dedup_containment_sparse (forced posting join): both kernels compute
+# the same directed containment relation, so one oracle serves both —
+# which is the point of the second query: the gate SFs' hot vocabulary
+# routes the selector to the dense GEMM, so without it the sparse
+# posting path (the open-vocabulary 100 TB shape) would only ever be
+# exercised by unit tests, never hash-verified by the driver.
+_CONTAINMENT_ORACLE = f"""
     WITH words AS (
         SELECT doc_id AS id, {_DD_WORDS} AS w FROM documents
     ),
@@ -620,7 +625,12 @@ _CONTAINMENT_THRESHOLD = 0.8
     FROM inter i JOIN sizes s ON i.src = s.id
     WHERE ROUND(i.inter * 1.0 / s.set_size, 4) >= {_CONTAINMENT_THRESHOLD}
     ORDER BY src, dst
-    """,
+    """
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=_CONTAINMENT_ORACLE,
     doc="DIRECTED containment similarity |A∩B|/|A| >= threshold over "
     "bigram shingles — catches near-SUBSET duplication (a doc quoted "
     "or wrapped inside another) that symmetric Jaccard misses when "
@@ -638,6 +648,55 @@ def dedup_containment_pairs(spark, sf_dir):
         n=2,
         _sets=shingle_sets_kernel(spark, sf_dir, 2),
         _dfreq=shingle_dfreq_kernel(spark, sf_dir, 2),
+    ).orderBy("src", "dst")
+
+
+@query(
+    "dedup_containment_sparse",
+    # same relation as _CONTAINMENT_ORACLE restricted to the src probe
+    # stripe (a.id % 25 = 0)
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id AS id, {_DD_WORDS} AS w FROM documents
+    ),
+    sets AS (
+        SELECT id,
+               list_distinct(CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS sh
+        FROM words
+    ),
+    sizes AS (SELECT id, len(sh) AS set_size FROM sets),
+    posting AS (SELECT id, unnest(sh) AS shingle FROM sets),
+    inter AS (
+        SELECT a.id AS src, b.id AS dst, COUNT(*) AS inter
+        FROM posting a JOIN posting b
+          ON a.shingle = b.shingle AND a.id <> b.id
+        WHERE a.id % 25 = 0
+        GROUP BY a.id, b.id
+    )
+    SELECT i.src, i.dst,
+           ROUND(i.inter * 1.0 / s.set_size, 4) AS containment
+    FROM inter i JOIN sizes s ON i.src = s.id
+    WHERE ROUND(i.inter * 1.0 / s.set_size, 4) >= {_CONTAINMENT_THRESHOLD}
+    ORDER BY src, dst
+    """,
+    doc="probe-stripe containment on the FORCED sparse posting join "
+    "(no regime selector): which corpus documents contain these probe "
+    "documents — the open-vocabulary 100 TB shape, inverted-index "
+    "join on the shingle key with map-side combining and an explicit "
+    "join-key repartition so AQE's input-byte sizing can't starve the "
+    "join fan-out of parallelism; gated separately because the test "
+    "corpora's hot vocabulary routes the selector's full-relation "
+    "query to the dense GEMM, which would otherwise leave the sparse "
+    "path driver-unverified (extension)",
+)
+def dedup_containment_sparse(spark, sf_dir):
+    from qaapi_spark.operators.dedup import containment_pairs_sparse
+
+    d = t(spark, sf_dir, "documents")
+    return containment_pairs_sparse(
+        d, _CONTAINMENT_THRESHOLD, n=2, src_mod=25
     ).orderBy("src", "dst")
 
 

@@ -542,3 +542,68 @@ def knn_classify_majority(spark, sf_dir):
         F.col("clabel").alias("pred_label"),
         F.col("n_votes").cast("long").alias("n_votes"),
     ).orderBy("vec_id")
+
+
+@query(
+    "ann_topk_binary_hamming",
+    # Exactness: sign bits compare raw floats to 0 (bit-identical in
+    # every engine, -0.0 >= 0 included); Hamming distances are exact
+    # integers; the rerank reuses the ann_topk_bruteforce recipe
+    # (normalized f64 dots rounded to 4dp, (cosine desc, cand_id)
+    # ties).  Pool boundary ties break on (hamming asc, cand_id) in
+    # both engines.
+    oracle=f"""
+    WITH hd AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> CASE WHEN (q.embedding[i] >= 0) <> (c.embedding[i] >= 0)
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id % {_QUERY_MOD} = 0 AND q.vec_id <> c.vec_id
+    ),
+    pool AS (
+        SELECT query_id, cand_id, hamming FROM (
+            SELECT query_id, cand_id, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY hamming, cand_id) AS rn
+            FROM hd
+        ) WHERE rn <= 32
+    ),
+    u AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
+                            list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                            list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS uv
+        FROM embeddings
+    ),
+    rr AS (
+        SELECT p.query_id, p.cand_id, p.hamming,
+               ROUND(list_dot_product(uq.uv, uc.uv), 4) AS cosine
+        FROM pool p
+        JOIN u uq ON uq.vec_id = p.query_id
+        JOIN u uc ON uc.vec_id = p.cand_id
+    )
+    SELECT query_id, cand_id, hamming, cosine FROM (
+        SELECT query_id, cand_id, hamming, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, cand_id) AS rn
+        FROM rr
+    ) WHERE rn <= {_K}
+    ORDER BY query_id, cosine DESC, cand_id
+    """,
+    doc="binary-quantized ANN: sign-bit vectors packed 32x smaller "
+    "into one int64, Hamming screen via bit_count(xor) — pure JVM bit "
+    "ops in whole-stage codegen, queries broadcast, corpus streamed — "
+    "then exact-cosine rerank of the 32-candidate pool; only "
+    "pool-sized sets ever touch full-precision vectors again (the "
+    "bit-vector memory play for 100 TB vector search) (extension)",
+)
+def ann_topk_binary_hamming(spark, sf_dir):
+    from qaapi_spark.operators.similarity import hamming_topk_binary
+
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    return hamming_topk_binary(qs, e, _K, rerank_pool=32).orderBy(
+        "query_id", F.desc("cosine"), "cand_id"
+    )
