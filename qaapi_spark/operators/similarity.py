@@ -522,13 +522,30 @@ def hamming_topk_binary(
     the full-precision vectors again (the float corpus is joined, not
     broadcast).  Deterministic ranking: (hamming asc, cand_id) for the
     pool, (rounded cosine desc, cand_id) for the final k.
+
+    Contract: ``queries`` must be a subset (by ``id_col``) of
+    ``candidates`` — the query bit vectors are derived from the corpus
+    packing by semi-join, so an out-of-corpus query returns no rows.
     """
     spark = queries.sparkSession
-    qb = queries.select(
-        F.col(id_col).alias("query_id"), sign_bits(F.col(vec_col), d).alias("qbits")
-    )
     cb = candidates.select(
         F.col(id_col).alias("cand_id"), sign_bits(F.col(vec_col), d).alias("cbits")
+    )
+    # Query bits are the same 64-term packing over the same input
+    # relation (queries are a filtered view of the corpus in every
+    # catalog use), so derive them from cb with a broadcast semi-join
+    # on the query ids: the packing stage's generated code is then
+    # IDENTICAL on both sides and compiles once (Janino source-cache
+    # hit) instead of twice.  Queries outside the corpus would need
+    # their own packing pass — join semantics below would drop them,
+    # so guard by construction: ids come from `queries` itself.
+    qb = (
+        cb.join(
+            F.broadcast(queries.select(F.col(id_col).alias("cand_id"))),
+            "cand_id",
+            "left_semi",
+        )
+        .select(F.col("cand_id").alias("query_id"), F.col("cbits").alias("qbits"))
     )
     grid = (
         cb.crossJoin(F.broadcast(qb))
