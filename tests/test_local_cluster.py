@@ -43,6 +43,11 @@ QUERIES = [
     "emb_covariance_upper",
     "dedup_ngram_jaccard_dense",
     "mmr_diversified_topk",
+    # r7 additions: the one-int64 sign-bit packing + bit_count screen
+    # (pure JVM expressions across executor boundaries, broadcast
+    # query bits) and the pinned-exchange sparse posting join
+    "ann_topk_binary_hamming",
+    "dedup_containment_sparse",
 ]
 
 _RUNNER = r"""
