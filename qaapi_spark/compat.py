@@ -57,7 +57,6 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
-import tempfile
 import time
 
 from qaapi_spark.session import scratch_dir as _scratch_dir

@@ -51,7 +51,6 @@ def events_windowed_counts(
     # FileStreamSource wants a directory; stage the single parquet file
     # behind a symlink dir (zero-copy)
     import os
-    import tempfile
 
     stage_dir = _scratch(prefix="events_stream_")
     os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, "part-0.parquet"))
@@ -146,7 +145,6 @@ def stream_dedup_events(
     real cluster; ``None`` keeps the session's shuffle partitioning.
     """
     import os
-    import tempfile
 
     from qaapi_spark.sources.tables import events_stream_spec
 
@@ -238,7 +236,6 @@ def stream_neardup_dedup(
     minhash/jaccard kernels, which cannot score empty sets.
     """
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -429,7 +426,6 @@ def stream_interval_join(
     join and the query is DuckDB-oracle checkable.
     """
     import os
-    import tempfile
 
     from qaapi_spark.sources.tables import events_stream_spec
 
@@ -502,9 +498,8 @@ def stream_static_enrich(
     event counts + value sums, complete mode == the batch group-by.
     """
     import os
-    import tempfile
 
-    from qaapi_spark.sources.tables import events_stream_spec, read_table
+    from qaapi_spark.sources.tables import events_stream_spec
 
     raw_schema, normalize_ts = events_stream_spec(spark, events_path)
     stage_dir = _scratch(prefix="events_enrich_")
@@ -566,7 +561,6 @@ def stream_interval_join_left(
     import glob
     import os
     import shutil
-    import tempfile
 
     from qaapi_spark.sources.tables import events_stream_spec
 
@@ -665,7 +659,6 @@ def stream_hll_running(
     trigger), not a single-batch degenerate run.
     """
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -784,7 +777,6 @@ def stream_ivf_assign(
     shuffle, no state beyond the store itself.
     """
     import os
-    import tempfile
 
     from qaapi_spark.operators.similarity import nearest_broadcast
 
@@ -865,7 +857,6 @@ def stream_pq_encode(
     serving reads.
     """
     import os
-    import tempfile
 
     from qaapi_spark.operators.retrieval import pq_codebook, pq_encode
 
@@ -936,7 +927,6 @@ def stream_covariance_update(
     the drift monitor a training pipeline consults between snapshots.
     """
     import os
-    import tempfile
 
     from qaapi_spark.operators.linalg import (
         covariance_from_moments,
