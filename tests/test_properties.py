@@ -169,3 +169,61 @@ def test_gram_chunk_overflow_guard_trips(spark):
     )
     with pytest.raises(Exception, match="gram chunk overflow"):
         covariance_upper(df, quant=10**9).collect()
+
+
+@given(
+    vec=st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        min_size=64,
+        max_size=64,
+    )
+)
+@_SETTINGS
+def test_sign_bits_matches_numpy_reference(spark, vec):
+    """The 64-term JVM packing must equal a numpy sign-pattern pack on
+    arbitrary float vectors (two's-complement bit 63 included)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.operators.similarity import sign_bits
+
+    got = (
+        spark.createDataFrame([(vec,)], "v array<float>")
+        .select(sign_bits(F.col("v")).alias("b"))
+        .collect()[0]["b"]
+    )
+    bits = np.asarray(vec, dtype=np.float32) >= 0
+    want = int(np.packbits(bits, bitorder="little").view(np.int64)[0])
+    assert got == want
+
+
+@given(
+    nd=st.integers(min_value=1, max_value=500_000),
+    nv=st.integers(min_value=1, max_value=10_000),
+    sum_df2=st.integers(min_value=0, max_value=10**12),
+)
+@_SETTINGS
+def test_containment_regime_laws(nd, nv, sum_df2):
+    """Regime selection laws: dense only within every budget AND above
+    the sparse ceiling; monotone — growing sum_df2 can never flip
+    dense back to sparse at fixed (nd, nv)."""
+    from qaapi_spark.operators.dedup import (
+        SPARSE_MAX_JOINED_ROWS,
+        _containment_regime,
+    )
+
+    budgets = dict(
+        dense_max_vocab=4096, dense_max_docs=200_000, dense_max_flop=2.5e12
+    )
+    r = _containment_regime(nd, nv, sum_df2, **budgets)
+    dense_ok = (
+        nv <= budgets["dense_max_vocab"]
+        and nd <= budgets["dense_max_docs"]
+        and nd * nd * nv <= budgets["dense_max_flop"]
+    )
+    if not dense_ok or sum_df2 <= SPARSE_MAX_JOINED_ROWS:
+        assert r == "sparse"
+    else:
+        assert r == "dense"
+        assert _containment_regime(nd, nv, sum_df2 * 2, **budgets) == "dense"
