@@ -111,3 +111,95 @@ def exact_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def hash_negative_samples(
+    corpus: DataFrame,
+    k: int = 4,
+    attempts: int = 16,
+    query_mod: int = 100,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    seed: str = "negs1",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for every query document (the ``id % query_mod == 0`` stripe),
+    pick ``k`` pseudo-random corpus documents that are neither the
+    query itself nor from the query's own ``group_col`` (the standard
+    false-negative exclusion — a same-source doc is too likely a true
+    positive).
+
+    Scale shape: the candidate ids are COMPUTED, not searched —
+    ``cand = md5int(seed, query, j) % n`` for j in 0..attempts-1
+    (dense-id contract, the layout every packed training corpus has) —
+    so the work is |stripe| x attempts probe rows broadcast-joined
+    against the corpus projection; the corpus is never shuffled and no
+    query x corpus grid ever exists.  Rejected probes (self / same
+    group / hash collision on the same candidate) are skipped and the
+    first ``k`` acceptances by attempt order win; with a same-group
+    fraction p, P(< k of `attempts` accepted) is binomial-tail small
+    (~1e-9 at p=0.05, k=4, attempts=16) and DETERMINISTIC — both
+    engines compute the identical shortfall if it ever happens.
+
+    The md5-derived integers are engine-portable (the module recipe),
+    so the full sample is value-hash verifiable; 48 hash bits mod n
+    carries negligible modulo bias for any realistic corpus.
+
+    Output: (query_id, neg_id, attempt, rank) with rank 1..k ordered
+    by (attempt, neg_id).
+    """
+    n1 = corpus.agg(F.count("*").alias("n"))
+    q = corpus.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col(group_col).alias("qgrp")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(n1))
+        .select(
+            "query_id",
+            "qgrp",
+            F.explode(F.sequence(F.lit(0), F.lit(attempts - 1))).alias("j"),
+            "n",
+        )
+        .select(
+            "query_id",
+            "qgrp",
+            "j",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit(seed),
+                                F.col("query_id").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n"),
+            ).alias("cand_id"),
+        )
+    )
+    cand = (
+        corpus.select(F.col(id_col).alias("cand_id"), F.col(group_col).alias("cgrp"))
+        .join(F.broadcast(probes), "cand_id")
+        .filter((F.col("cand_id") != F.col("query_id")) & (F.col("cgrp") != F.col("qgrp")))
+        .groupBy("query_id", F.col("cand_id").alias("neg_id"))
+        .agg(F.min("j").alias("attempt"))
+    )
+    from qaapi_spark.operators.windows import topk_per_group
+
+    ranked = topk_per_group(
+        cand, ["query_id"], [F.asc("attempt"), F.asc("neg_id")], k
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("attempt"), F.asc("neg_id"))
+    return ranked.select(
+        "query_id", "neg_id", "attempt", F.row_number().over(w).cast("long").alias("rank")
+    )

@@ -171,3 +171,60 @@ def sample_quality_weighted(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sample_negatives_hashed",
+    # md5-derived candidate ids + integer attempt ranks => the whole
+    # sample reproduces bit-for-bit in DuckDB (module hash recipe);
+    # every aggregate/rank output column is CAST to BIGINT.
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    q AS (
+        SELECT doc_id AS query_id, source AS qgrp
+        FROM documents WHERE doc_id % 100 = 0
+    ),
+    probes AS (
+        SELECT q.query_id, q.qgrp, j.j,
+               CAST(('0x' || substr(md5('negs1:'
+                   || CAST(q.query_id AS VARCHAR) || ':'
+                   || CAST(j.j AS VARCHAR)), 1, 12)) AS BIGINT) % n.n AS cand_id
+        FROM q
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+        CROSS JOIN n
+    ),
+    valid AS (
+        SELECT p.query_id, p.cand_id AS neg_id, p.j
+        FROM probes p JOIN documents d ON d.doc_id = p.cand_id
+        WHERE p.cand_id <> p.query_id AND d.source <> p.qgrp
+    ),
+    dedup AS (
+        SELECT query_id, neg_id, CAST(MIN(j) AS BIGINT) AS attempt
+        FROM valid GROUP BY query_id, neg_id
+    )
+    SELECT query_id, neg_id, attempt, CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, neg_id, attempt,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY attempt, neg_id) AS rnk
+        FROM dedup
+    )
+    WHERE rnk <= 4
+    ORDER BY query_id, rank
+    """,
+    doc="deterministic negative sampling for contrastive pairs: k "
+    "pseudo-random negatives per query doc, excluding self and the "
+    "query's own source (false-negative rule); candidate ids are "
+    "COMPUTED as md5int(seed, query, attempt) % n against the "
+    "dense-id corpus — |stripe| x attempts probe rows broadcast onto "
+    "the corpus projection, no query x corpus grid, corpus never "
+    "shuffled (extension; the in-batch-negatives data-prep step of "
+    "every dual-encoder training pipeline)",
+)
+def sample_negatives_hashed(spark, sf_dir):
+    from qaapi_spark.operators.sampling import hash_negative_samples
+
+    d = t(spark, sf_dir, "documents")
+    return hash_negative_samples(d, k=4, attempts=16, query_mod=100).orderBy(
+        "query_id", "rank"
+    )
