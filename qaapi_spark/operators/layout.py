@@ -136,8 +136,18 @@ def _spread_bits16(c):
 
 def morton_code(x, y):
     """Z-order (Morton) interleave of two 16-bit normalized columns:
-    morton = spread(x) | spread(y) << 1.  Pure codegen expressions."""
-    return _spread_bits16(x).bitwiseOR(F.shiftleft(_spread_bits16(y), 1))
+    morton = spread(x) | spread(y) << 1.  Pure codegen expressions.
+
+    The operands are widened to LONG before the final shift: spread(y)
+    can reach 0x55555555, whose << 1 overflows a 32-bit int to a
+    NEGATIVE code — which would order the y >= 32768 half of the plane
+    BEFORE the low half and break tile compactness at the top bit.
+    Codes are therefore non-negative in [0, 2^32)."""
+    return (
+        _spread_bits16(x)
+        .cast("long")
+        .bitwiseOR(F.shiftleft(_spread_bits16(y).cast("long"), 1))
+    )
 
 
 def write_zordered(

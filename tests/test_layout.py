@@ -170,3 +170,31 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for name in (ta, tb):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_morton_code_nonnegative_and_interleaved(spark):
+    """Sign-overflow regression (r7): spread(y) << 1 overflowed int32
+    for y >= 32768, making half the plane sort FIRST.  Codes must be
+    non-negative over the full 16-bit domain and equal a python-side
+    bit interleave."""
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.operators.layout import morton_code
+
+    pts = [(0, 0), (1, 0), (0, 1), (65535, 65535), (1, 65535), (32768, 32768)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", morton_code(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+
+    def interleave(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z >= 0, (x, y, z)
+        assert z == interleave(x, y), (x, y, z, interleave(x, y))
