@@ -192,3 +192,107 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# DuckDB twin of the Morton spread/interleave below, generated by the
+# same mask sequence so the two stay in lock-step (masks in decimal:
+# 0x00FF00FF, 0x0F0F0F0F, 0x33333333, 0x55555555).
+def _spread_sql(c: str) -> str:
+    expr = c
+    for shift, mask in ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)):
+        expr = f"((({expr}) | (({expr}) << {shift})) & {mask})"
+    return expr
+
+
+_NORM_SQL = (
+    "CASE WHEN {hi} = {lo} THEN 0 ELSE LEAST(65535, GREATEST(0, "
+    "CAST(FLOOR(((CAST({x} AS DOUBLE) - CAST({lo} AS DOUBLE)) "
+    "/ (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE))) * 65535) AS INTEGER)"
+    ")) END"
+)
+
+
+def zorder_tiles_oracle_sql(
+    table: str, col_x: str, col_y: str, tile_bits: int = 12
+) -> str:
+    """Exact DuckDB twin of :func:`zorder_tiles` (bit-identical: the
+    min/max normalization is the same IEEE double expression, the
+    spread/interleave the same integer bit ops)."""
+    gx = _NORM_SQL.format(x=col_x, lo="b.lx", hi="b.hx")
+    gy = _NORM_SQL.format(x=col_y, lo="b.ly", hi="b.hy")
+    return f"""
+    WITH b AS (
+        SELECT MIN({col_x}) AS lx, MAX({col_x}) AS hx,
+               MIN({col_y}) AS ly, MAX({col_y}) AS hy
+        FROM {table}
+    ),
+    g AS (
+        SELECT {gx} AS gx, {gy} AS gy FROM {table} CROSS JOIN b
+    ),
+    z AS (
+        SELECT CAST({_spread_sql('gx')} AS BIGINT)
+               | (CAST({_spread_sql('gy')} AS BIGINT) << 1) AS z
+        FROM g
+    )
+    SELECT (z >> {32 - tile_bits}) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(z) AS BIGINT) AS min_z,
+           CAST(MAX(z) AS BIGINT) AS max_z
+    FROM z GROUP BY tile ORDER BY tile
+    """
+
+
+def zorder_tiles(
+    df: DataFrame, col_x: str, col_y: str, tile_bits: int = 12
+) -> DataFrame:
+    """Z-order tile histogram: (tile, n, min_z, max_z) per top-
+    ``tile_bits`` Morton tile of the (col_x, col_y) plane — the
+    observability query behind `write_zordered` (how many rows land in
+    each 2-D tile, and how tight the codes are within it), and the
+    clustering key a writer would range-partition on.
+
+    Scale shape: one min/max aggregate (1 row, broadcast back), then a
+    map-only normalize+interleave projection and one tile-cardinality
+    groupBy — the corpus is scanned once and the shuffle is bounded by
+    2^tile_bits tiles.  Every step is engine-exact (IEEE double
+    normalize over identical operands, integer bit ops), so the whole
+    histogram value-hash-verifies against DuckDB."""
+    b = df.agg(
+        F.min(col_x).alias("lx"),
+        F.max(col_x).alias("hx"),
+        F.min(col_y).alias("ly"),
+        F.max(col_y).alias("hy"),
+    )
+
+    def norm(x, lo, hi):
+        return (
+            F.when(F.col(hi) == F.col(lo), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(65535),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (x.cast("double") - F.col(lo).cast("double"))
+                            / (F.col(hi).cast("double") - F.col(lo).cast("double"))
+                            * 65535
+                        ).cast("int"),
+                    ),
+                )
+            )
+        )
+
+    z = df.crossJoin(F.broadcast(b)).select(
+        morton_code(
+            norm(F.col(col_x), "lx", "hx"), norm(F.col(col_y), "ly", "hy")
+        ).alias("z")
+    )
+    return (
+        z.groupBy(F.shiftright(F.col("z"), 32 - tile_bits).alias("tile"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+        )
+        .orderBy("tile")
+    )

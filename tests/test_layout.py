@@ -198,3 +198,25 @@ def test_morton_code_nonnegative_and_interleaved(spark):
     for (x, y), z in got.items():
         assert z >= 0, (x, y, z)
         assert z == interleave(x, y), (x, y, z, interleave(x, y))
+
+
+def test_zorder_tiles_matches_duckdb(spark):
+    """The z-order tile histogram is engine-exact (IEEE normalize over
+    identical operands + integer bit ops): Spark output must equal the
+    DuckDB twin bit-for-bit.  (r8 catalog candidate — kept out of the
+    driver window this round to preserve the staleness burn-down.)"""
+    import duckdb
+
+    from qaapi_spark.operators.layout import zorder_tiles, zorder_tiles_oracle_sql
+
+    e = read_table(spark, SF_SMOKE, "events")
+    got = sorted(map(tuple, zorder_tiles(e, "user_id", "value").collect()))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT user_id, value "
+        f"FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.sql(zorder_tiles_oracle_sql("events", "user_id", "value")).fetchall())
+    )
+    assert got == want and len(got) > 0
