@@ -143,7 +143,11 @@ def hash_negative_samples(
 
     The md5-derived integers are engine-portable (the module recipe),
     so the full sample is value-hash verifiable; 48 hash bits mod n
-    carries negligible modulo bias for any realistic corpus.
+    carries negligible modulo bias for any realistic corpus.  A corpus
+    with SPARSE ids degrades gracefully (computed candidates that hit
+    no row are skipped, deterministically in both engines) but
+    under-fills; compact ids first with a rank pass if yours are
+    sparse.
 
     Output: (query_id, neg_id, attempt, rank) with rank 1..k ordered
     by (attempt, neg_id).
