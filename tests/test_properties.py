@@ -227,3 +227,56 @@ def test_containment_regime_laws(nd, nv, sum_df2):
     else:
         assert r == "dense"
         assert _containment_regime(nd, nv, sum_df2 * 2, **budgets) == "dense"
+
+
+@given(
+    data=st.lists(
+        st.lists(
+            st.floats(min_value=-4, max_value=4, allow_nan=False, width=32),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+@_SETTINGS
+def test_hamming_topk_matches_python_reference(spark, data):
+    """The per-batch partial-top-pool screen must lose nothing: for
+    arbitrary small corpora the end-to-end result equals a python
+    reference with identical tie-breaks ((hamming, cand) pool cut,
+    (round4 cosine desc, cand) final)."""
+    import numpy as np
+
+    from qaapi_spark.operators.similarity import hamming_topk_binary
+
+    ids = list(range(len(data)))
+    # pad 8-dim vectors to 64 dims with a fixed negative tail so the
+    # packing path sees full-width input
+    vecs = [list(v) + [-1.0] * 56 for v in data]
+    df = spark.createDataFrame(
+        list(zip(ids, vecs)), "vec_id long, embedding array<float>"
+    )
+    qs = df.filter("vec_id % 2 = 0")
+    k, pool = 3, 5
+    got = sorted(
+        map(tuple, hamming_topk_binary(qs, df, k, rerank_pool=pool).collect())
+    )
+
+    m = np.array(vecs, dtype=np.float32)
+    signs = m >= 0
+    unit = m.astype(np.float64)
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    want = []
+    for q in ids:
+        if q % 2:
+            continue
+        hams = sorted(
+            (int((signs[q] != signs[c]).sum()), c) for c in ids if c != q
+        )[:pool]
+        rer = sorted(
+            (-round(float(unit[q] @ unit[c]), 4), c, h) for h, c in hams
+        )[:k]
+        for rank, (negcos, c, h) in enumerate(rer, 1):
+            want.append((q, c, h, -negcos))
+    assert got == sorted(want)
