@@ -290,15 +290,22 @@ def ngram_jaccard_pairs(
     # explode should use every core.  (A precomputed cached `_sets`
     # is already materialized in parallel — use it as-is.)
     spark = df.sparkSession
+    # Persist inline-built sets (mirrors the selector path): the byte-
+    # bound guard below needs a count() action BEFORE the pack collect,
+    # and without a persist that action would tokenize+hash the corpus
+    # once for the count and again for mapInPandas (ADVICE r7 #1).
+    own_sets = _sets is None
     sets = (
         _sets
         if _sets is not None
-        else df.repartition(spark.sparkContext.defaultParallelism).select(
+        else df.repartition(spark.sparkContext.defaultParallelism)
+        .select(
             F.col(id_col).alias("id"),
             F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias(
                 "sh"
             ),
         )
+        .persist()
     )
     # Dictionary: the distinct-shingle relation (vocabulary-sized —
     # bounded by the dense regime's selector, and orders of magnitude
@@ -364,6 +371,8 @@ def ngram_jaccard_pairs(
             "sparse kernel or raise _DENSE_PACK_MAX_BYTES deliberately"
         )
     packed = sets.mapInPandas(pack, "id long, size long, words array<long>").toPandas()
+    if own_sets:
+        sets.unpersist()
     # sort by id so the jaccard branch can GEMM only the upper
     # triangle (columns > slice start) — halves the quadratic work
     packed = packed.sort_values("id", ignore_index=True)
@@ -915,6 +924,7 @@ def containment_pairs_sparse(
     text_col: str = "text",
     id_col: str = "doc_id",
     src_mod: int | None = None,
+    _sets: DataFrame | None = None,
 ) -> DataFrame:
     """DIRECTED containment pairs (src, dst, containment = |A∩B|/|A|)
     via the inverted-index posting join — the open-vocabulary shape
@@ -932,8 +942,13 @@ def containment_pairs_sparse(
     bigram strings: the join compares and shuffles fixed-width ints
     instead of variable-length text (measured 2.6x on the stripe
     query), with the same negligible-collision argument the
-    oracle-verified dense kernel already rests on."""
-    sets = _hashed_shingle_sets(df, n, text_col, id_col)
+    oracle-verified dense kernel already rests on.
+
+    ``_sets`` reuses a memoized shingle relation (the auto selector
+    hands in the persisted one it priced the regime from, so the
+    large-corpus route doesn't pay a second tokenize+hash pass —
+    ADVICE r7 #2)."""
+    sets = _sets if _sets is not None else _hashed_shingle_sets(df, n, text_col, id_col)
     sizes = sets.select("id", F.size("sh").alias("set_size"))
     # Explicit repartition on the join key: the posting relation is
     # small in BYTES (AQE's coalesce advisory would fuse it into a
@@ -1079,4 +1094,4 @@ def containment_pairs_auto(
             df, threshold, n, text_col, id_col, _sets=sets,
             measure="containment", _dfreq=dstats.select("shingle"),
         )
-    return containment_pairs_sparse(df, threshold, n, text_col, id_col)
+    return containment_pairs_sparse(df, threshold, n, text_col, id_col, _sets=sets)

@@ -36,6 +36,14 @@ from qaapi_spark.operators.windows import topk_per_group
 
 _PAIR_SCHEMA = "query_id long, cand_id long, cosine double"
 
+# Driver/executor ceiling for the binary-Hamming screen's query-side
+# collect+broadcast: the screen kernel builds an (n_query x batch)
+# int64 grid per Arrow batch, so n_query is the memory lever on BOTH
+# sides.  8192 queries x ~10k-row batches = ~650 MB of transient grid
+# per task — the practical edge on local[32]; catalog queries use
+# a few hundred.
+_HAMMING_QUERY_MAX: int = 8192
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two float arrays in double precision (sequential
@@ -548,15 +556,24 @@ def hamming_topk_binary(
     # Query bits come off the same corpus packing (queries are a
     # filtered view of the corpus in every catalog use) — one bounded
     # collect of the query stripe's packed ints, broadcast to the
-    # screen kernel.
-    q_rows = (
-        cb.join(
-            F.broadcast(queries.select(F.col(id_col).alias("cand_id"))),
-            "cand_id",
-            "left_semi",
+    # screen kernel.  The bound is ENFORCED, not assumed (ADVICE r7
+    # #3, same contract as the dense-Jaccard pack's driver ceiling):
+    # the screen also materializes a (n_query x batch) int64 distance
+    # grid per Arrow batch, so a corpus-sized "query" relation would
+    # blow executor memory before it blew the driver — fail fast with
+    # the fix (swap roles or shard the query set).
+    q_stripe = cb.join(
+        F.broadcast(queries.select(F.col(id_col).alias("cand_id"))),
+        "cand_id",
+        "left_semi",
+    ).limit(_HAMMING_QUERY_MAX + 1)
+    q_rows = q_stripe.collect()
+    if len(q_rows) > _HAMMING_QUERY_MAX:
+        raise ValueError(
+            f"hamming_topk_binary: > {_HAMMING_QUERY_MAX} query vectors "
+            "would be collected/broadcast to the screen kernel; shard "
+            "the query relation or raise _HAMMING_QUERY_MAX deliberately"
         )
-        .collect()
-    )
     q_ids = np.array([r["cand_id"] for r in q_rows], dtype=np.int64)
     q_bits = np.array([r["cbits"] for r in q_rows], dtype=np.int64).view(np.uint64)
     bq = spark.sparkContext.broadcast((q_ids, q_bits))

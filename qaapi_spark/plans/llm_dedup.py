@@ -696,7 +696,11 @@ def dedup_containment_sparse(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return containment_pairs_sparse(
-        d, _CONTAINMENT_THRESHOLD, n=2, src_mod=25
+        d,
+        _CONTAINMENT_THRESHOLD,
+        n=2,
+        src_mod=25,
+        _sets=shingle_sets_kernel(spark, sf_dir, 2),
     ).orderBy("src", "dst")
 
 

@@ -381,6 +381,12 @@ def stream_neardup_dedup(
     # Scoped to this stream and restored; a deployment with large
     # micro-batches (where AQE's coalescing/skew handling pays for its
     # latency) would key this on expected batch volume.
+    # NOTE (ADVICE r7 #4): spark.conf is SESSION-global — any query
+    # planned concurrently on this SparkSession loses AQE until the
+    # finally-restore runs.  The catalog/bench runners are single-
+    # threaded per session, so this is safe here; a concurrent caller
+    # should run this stream on a cloned session
+    # (spark.newSession()) so the toggle is isolated.
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:

@@ -10,8 +10,10 @@ Writes (same recipes as the round-5/6 probes; deterministic):
   /tmp/sfuni    — events x4  (uniform: ts shifted k days,
                   event_id offset).
   /tmp/sfuni40  — events x40 (uniform).
-  /tmp/sfskew40 — events x40 with a 30% hot key: every 10th replica
-                  row rewrites user_id=7 and event_type='hot_type'.
+  /tmp/sfskew40 — events x40 with a ~30% hot key: in 9 of every 10
+                  replicas (k % 10 != 0), rows with event_id % 3 == 0
+                  rewrite user_id=7 and event_type='hot_type' —
+                  0.9 x 1/3 = 30% of all rows land on the hot key.
 
 These exist for wall-clock scaling probes only — correctness gates run
 against the driver's own /root/testdata SFs.
