@@ -49,3 +49,62 @@ def as_of_join(
     ]
     ranked = topk_per_group(joined, [left[c] for c in left.columns], order, 1)
     return ranked.drop("__k")
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    max_gap_s: int,
+) -> DataFrame:
+    """All (left, right) pairs with |right_ts - left_ts| <= max_gap_s,
+    WITHOUT an equi-key — the pure range join (Spark has no native
+    range join; the inequality-only formulation falls back to
+    BroadcastNestedLoopJoin, a full O(n*m) grid scan).
+
+    Plan — the banding rewrite (the technique behind range-join
+    optimizers in Databricks runtime / Flink interval joins, public):
+    quantize both sides to band = floor(epoch_us / gap_us); any
+    qualifying pair differs by at most one band, so LEFT probes bands
+    {b-1, b, b+1} (a 3x explode of the SMALL per-row band list, not of
+    data) and the join becomes an EQUI-join on the band key followed
+    by the exact |delta| filter.  Each qualifying pair matches exactly
+    once (on the right row's true band), so no dedup pass is needed.
+
+    At 100 TB: the shuffle key is the time band — co-locates only
+    rows that can possibly match; joined-row work per band is
+    (left-rate x 3 gap) x (right-rate x gap), bounded by arrival rate,
+    not corpus size.  A hot band (burst traffic) is an AQE skew-join
+    case, same as any hot join key.
+
+    Column contract: left/right column sets must be disjoint; output
+    is left.* + right.* + delta_us (signed right - left microseconds).
+
+    Timestamps may be TIMESTAMP or TIMESTAMP_NTZ (parquet nanos read
+    as NTZ); NTZ is cast through the session timezone — set it to UTC
+    for deterministic cross-engine comparisons (catalog pattern).
+    """
+    gap_us = int(max_gap_s) * 1_000_000
+
+    def micros(c: str):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    def band(c: str):
+        # exact long floor-division (pmod keeps it a floor, not a
+        # truncation, for pre-epoch timestamps) — `/` would promote to
+        # double, whose 0.5-ulp quotient error could in principle put
+        # an exact-boundary pair two bands apart and lose it
+        m = micros(c)
+        return ((m - F.pmod(m, F.lit(gap_us))) / F.lit(gap_us)).cast("long")
+
+    lb = band(left_ts)
+    l_probe = left.withColumn("__band", F.explode(F.array(lb - 1, lb, lb + 1)))
+    r_keyed = right.withColumn("__band", band(right_ts))
+    delta = micros(right_ts) - micros(left_ts)
+    return (
+        l_probe.join(r_keyed, "__band")
+        .filter(F.abs(delta) <= gap_us)
+        .drop("__band")
+        .withColumn("delta_us", delta)
+    )

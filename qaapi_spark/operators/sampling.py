@@ -207,3 +207,60 @@ def hash_negative_samples(
     return ranked.select(
         "query_id", "neg_id", "attempt", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+def weighted_sample_wor_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    weight_col: Column | str,
+    id_col: str = "doc_id",
+    seed: str = "wrs1",
+    round_dp: int = 6,
+) -> Column | DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — the
+    Efraimidis-Spirakis exponential-key scheme (A-ES, Inf. Process.
+    Lett. 97(5), 2006, public): each row draws a deterministic uniform
+    u and competes with key = -ln(u) / w; the k SMALLEST keys per
+    group are a weighted-WOR sample (inclusion probability
+    proportional to weight, sequentially without replacement).
+
+    Determinism/portability: u is the module's md5 recipe —
+    48 hash bits of (seed ':' id), mapped to (u48+1)/(2^48+1) in
+    (0, 1] — so both engines draw the identical uniform; the key is
+    ROUNDed to ``round_dp`` decimals with an id tiebreak, the same
+    rounded-float ordering contract the cosine family uses.
+
+    Scale shape: key computation is map-only; selection is one
+    group-keyed window top-k (WindowGroupLimit pushes the rank filter
+    to partial per-partition top-k before the shuffle).  This is the
+    one-pass distributed weighted sampler — no global sort, no
+    multi-round rejection loop, state per group = k rows.
+
+    Output: group, id, weight, es_key, rank (1..k by key asc).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u48 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (u48 + 1) / F.lit(float((1 << 48) + 1))
+    key = F.round(-F.log(u) / w, round_dp)
+    keyed = df.filter(w > 0).select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        w.alias("weight"),
+        key.alias("es_key"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("grp").orderBy(F.asc("es_key"), F.asc("id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )

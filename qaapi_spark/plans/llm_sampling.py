@@ -228,3 +228,65 @@ def sample_negatives_hashed(spark, sf_dir):
     return hash_negative_samples(d, k=4, attempts=16, query_mod=100).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "sample_weighted_wor_per_lang",
+    # A-ES keys: both engines draw the identical md5 uniform and round
+    # the exponential key to 6dp before ordering (id tiebreak) — the
+    # module's rounded-float ordering contract.
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, lang,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, lang, len(w) AS n_tokens,
+               ROUND(-ln((CAST(('0x' || substr(md5('wrs1:'
+                       || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+                     / 281474976710657.0) / len(w), 6) AS es_key
+        FROM words WHERE len(w) > 0
+    )
+    SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, es_key,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT lang, doc_id, n_tokens, es_key,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY es_key, doc_id) AS rnk
+        FROM keyed
+    ) WHERE rnk <= 5
+    ORDER BY lang, rank
+    """,
+    doc="weighted sampling WITHOUT replacement, 5 docs per language, "
+    "inclusion probability proportional to token count — the "
+    "Efraimidis-Spirakis exponential-key one-pass scheme (key = "
+    "-ln(u)/w from a deterministic md5 uniform, k smallest per group "
+    "win); map-only keys + one WindowGroupLimit top-k shuffle, the "
+    "distributed weighted sampler a mixture/curation pipeline uses "
+    "where Bernoulli acceptance (sample_quality_weighted) can only "
+    "promise expected counts (extension: sampling family; "
+    "operators/sampling.weighted_sample_wor_per_group)",
+)
+def sample_weighted_wor_per_lang(spark, sf_dir):
+    from qaapi_spark.operators.sampling import weighted_sample_wor_per_group
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(ws_tokens(F.lower(F.col("text")))).alias("n_tokens")
+    )
+    return (
+        weighted_sample_wor_per_group(
+            toks, "lang", 5, "n_tokens", id_col="doc_id", seed="wrs1"
+        )
+        .select(
+            F.col("grp").alias("lang"),
+            F.col("id").alias("doc_id"),
+            F.col("weight").cast("long").alias("n_tokens"),
+            "es_key",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("lang", "rank")
+    )

@@ -214,3 +214,43 @@ def rollup_orders_status_priority(spark, sf_dir):
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "range_join_events_nearby",
+    # exact pair relation: integer-microsecond timestamps compare
+    # identically on both engines, so the inequality join reproduces
+    # bit-for-bit.
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+    FROM events c JOIN events p
+      ON ABS(epoch_us(p.ts) - epoch_us(c.ts)) <= 300 * 1000000
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+    doc="pure RANGE join (no equi-key): click/purchase events within "
+    "+/-5 minutes of each other, via the time-band quantization "
+    "rewrite — floor(ts/gap) bands, the left side probes its three "
+    "adjacent bands, equi-join on the band key, exact |delta| filter "
+    "(a naive inequality-only join is a BroadcastNestedLoop O(n*m) "
+    "grid; the banded plan shuffles each side once on the band and "
+    "only co-banded rows ever meet; extension operator — "
+    "operators/joins.banded_range_join)",
+)
+def range_join_events_nearby(spark, sf_dir):
+    from qaapi_spark.operators.joins import banded_range_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = t(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    return (
+        banded_range_join(c, p, "c_ts", "p_ts", max_gap_s=300)
+        .select("click_id", "purchase_id", "delta_us")
+        .orderBy("click_id", "purchase_id")
+    )

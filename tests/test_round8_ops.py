@@ -1,0 +1,122 @@
+"""Round-8 operator invariants: the banded range join's equivalence
+to the naive inequality join (including exact-boundary and cross-band
+pairs), and the A-ES weighted sampler's per-group exactness against a
+driver-side recomputation."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _ts(s):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def test_banded_range_join_matches_naive(spark):
+    """Every pair within the gap appears exactly once, none outside —
+    checked against the O(n*m) reference join on a corpus engineered
+    to hit band boundaries (deltas exactly at, just under, and just
+    over the gap; pairs whose band ids differ by one)."""
+    from qaapi_spark.operators.joins import banded_range_join
+
+    gap = 10
+    left = spark.createDataFrame(
+        [(i, _ts(s)) for i, s in enumerate([0, 5, 9, 10, 19, 20, 21, 100])],
+        "lid long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, _ts(s)) for i, s in enumerate([0, 9, 10, 11, 15, 29, 30, 31, 99, 111])],
+        "rid long, rts timestamp",
+    )
+    got = {
+        (r["lid"], r["rid"], r["delta_us"])
+        for r in banded_range_join(left, right, "lts", "rts", gap).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"], r["delta_us"])
+        for r in left.crossJoin(right)
+        .withColumn("delta_us", F.unix_micros("rts") - F.unix_micros("lts"))
+        .filter(F.abs(F.col("delta_us")) <= gap * 1_000_000)
+        .collect()
+    }
+    assert got == naive
+    # boundary pairs exist in the fixture: |delta| == gap exactly
+    assert any(abs(d) == gap * 1_000_000 for _, _, d in naive)
+    # and at least one matched pair spans adjacent bands
+    assert any(
+        (ls // gap) != (rs // gap)
+        for (ls, rs) in [(0, 9), (19, 11), (21, 30)]
+    )
+
+
+def test_banded_range_join_no_duplicate_pairs(spark):
+    """The 3-band probe must not double-count a pair (each pair joins
+    on the right row's single true band)."""
+    from qaapi_spark.operators.joins import banded_range_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(10))], "lid long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(2, _ts(10))], "rid long, rts timestamp"
+    )
+    rows = banded_range_join(left, right, "lts", "rts", 10).collect()
+    assert len(rows) == 1 and rows[0]["delta_us"] == 0
+
+
+def _es_key(seed: str, doc_id: int, w: int) -> float:
+    u48 = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:12], 16)
+    u = (u48 + 1) / float((1 << 48) + 1)
+    return round(-math.log(u) / w, 6)
+
+
+def test_weighted_wor_matches_driver_recomputation(spark):
+    """Per-group selection equals a pure-python A-ES over the same
+    md5 uniforms: k smallest (rounded key, id) per group."""
+    from qaapi_spark.operators.sampling import weighted_sample_wor_per_group
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = d.select(
+        "doc_id", "lang", F.size(ws_tokens(F.lower(F.col("text")))).alias("n")
+    ).filter(F.col("n") > 0)
+    got = {
+        (r["grp"], r["id"], r["rank"])
+        for r in weighted_sample_wor_per_group(
+            toks, "lang", 3, "n", id_col="doc_id", seed="wrs1"
+        ).collect()
+    }
+    rows = toks.collect()
+    by_grp: dict = {}
+    for r in rows:
+        by_grp.setdefault(r["lang"], []).append(
+            (_es_key("wrs1", r["doc_id"], r["n"]), r["doc_id"])
+        )
+    want = set()
+    for g, lst in by_grp.items():
+        for rank, (_, did) in enumerate(sorted(lst)[:3], start=1):
+            want.add((g, did, rank))
+    assert got == want and len(want) > 0
+
+
+def test_weighted_wor_zero_weight_excluded(spark):
+    """Rows with weight <= 0 can never be sampled (the -ln(u)/w key
+    is undefined there; A-ES gives them inclusion probability 0)."""
+    from qaapi_spark.operators.sampling import weighted_sample_wor_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 0), (3, "a", 1)], "doc_id long, g string, w long"
+    )
+    ids = {
+        r["id"]
+        for r in weighted_sample_wor_per_group(
+            df, "g", 10, "w", id_col="doc_id"
+        ).collect()
+    }
+    assert ids == {1, 3}
