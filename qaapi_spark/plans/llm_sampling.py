@@ -230,12 +230,12 @@ def sample_negatives_hashed(spark, sf_dir):
     )
 
 
-@query(
-    "sample_weighted_wor_per_lang",
-    # A-ES keys: both engines draw the identical md5 uniform and round
-    # the exponential key to 6dp before ordering (id tiebreak) — the
-    # module's rounded-float ordering contract.
-    oracle="""
+# A-ES keys: both engines draw the identical md5 uniform and round
+# the exponential key to 6dp before ordering (id tiebreak) — the
+# module's rounded-float ordering contract.  Shared by the batch
+# sampler and its streaming twin (min-k merge is associative, so the
+# stream's final state is the batch selection exactly).
+_WRS_ORACLE = """
     WITH words AS (
         SELECT doc_id, lang,
                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
@@ -258,7 +258,12 @@ def sample_negatives_hashed(spark, sf_dir):
         FROM keyed
     ) WHERE rnk <= 5
     ORDER BY lang, rank
-    """,
+    """
+
+
+@query(
+    "sample_weighted_wor_per_lang",
+    oracle=_WRS_ORACLE,
     doc="weighted sampling WITHOUT replacement, 5 docs per language, "
     "inclusion probability proportional to token count — the "
     "Efraimidis-Spirakis exponential-key one-pass scheme (key = "
@@ -289,4 +294,24 @@ def sample_weighted_wor_per_lang(spark, sf_dir):
             F.col("rank").cast("long").alias("rank"),
         )
         .orderBy("lang", "rank")
+    )
+
+
+@query(
+    "stream_weighted_sample",
+    oracle=_WRS_ORACLE,
+    doc="the weighted-WOR sampler as a STREAM: documents arrive in "
+    "micro-batches (3 id-range slices, one file per trigger) and each "
+    "batch's A-ES keys merge into a k-smallest-keys-per-group store — "
+    "min-k selection is associative+commutative, so the final state "
+    "IS the batch sample and the stream hash-checks against the same "
+    "oracle as sample_weighted_wor_per_lang; state stays groups x k "
+    "rows however much data streams through (extension, SURVEY §2.9; "
+    "streaming/incremental.stream_weighted_sample)",
+)
+def stream_weighted_sample_q(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import stream_weighted_sample
+
+    return stream_weighted_sample(spark, f"{sf_dir}/documents.parquet", k=5).orderBy(
+        "lang", "rank"
     )

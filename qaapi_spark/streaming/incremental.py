@@ -980,3 +980,110 @@ def stream_covariance_update(
     return covariance_from_moments(
         spark.read.parquet(store_dir + "/data").select("i", "j", "v"), round_dp
     )
+
+
+def stream_weighted_sample(
+    spark: SparkSession,
+    docs_path: str,
+    k: int = 5,
+    n_splits: int = 3,
+    state_partitions: int | None = 8,
+    seed: str = "wrs1",
+) -> DataFrame:
+    """Streaming weighted sampling WITHOUT replacement via MERGEABLE
+    top-k state: documents arrive in micro-batches and each batch's
+    A-ES keys (-ln(u)/w from the deterministic md5 uniform —
+    operators/sampling.weighted_sample_wor_per_group) compete against
+    the accumulated k-smallest-keys-per-group store.  min-k selection
+    over (key, id) is associative and commutative, so the final state
+    is exactly the batch sampler's selection over all the data —
+    which makes the running stream value-hash-checkable against the
+    SAME DuckDB oracle as the batch `sample_weighted_wor_per_lang`
+    query (the stream_hll_running contract, applied to sampling).
+
+    This is how a training-mixture sampler keeps a live weighted
+    sample over an unbounded corpus feed: state is groups x k rows no
+    matter how much data streams through; each epoch's work is one
+    map-only key computation + a groups-x-k-bounded merge.
+    """
+    import os
+
+    from qaapi_spark.operators.sampling import weighted_sample_wor_per_group
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    raw = spark.read.parquet(docs_path)
+    raw_schema = raw.schema
+    lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
+    stage_dir = _scratch(prefix="docs_wrs_stream_")
+    for i in range(n_splits):
+        upper = int(lo) + (i + 1) * step if i < n_splits - 1 else int(hi) + 1
+        (
+            raw.filter(
+                (F.col("doc_id") >= int(lo) + i * step) & (F.col("doc_id") < upper)
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage_dir, f"slice={i}"))
+        )
+    store_dir = _scratch(prefix="docs_wrs_store_") + "/topk"
+
+    def merge_batch(bdf, epoch_id: int) -> None:
+        toks = bdf.select(
+            "doc_id",
+            "lang",
+            F.size(ws_tokens(F.lower(F.col("text")))).alias("n_tokens"),
+        )
+        batch_top = weighted_sample_wor_per_group(
+            toks, "lang", k, "n_tokens", id_col="doc_id", seed=seed
+        ).select("grp", "id", "weight", "es_key")
+        try:
+            prev = bdf.sparkSession.read.parquet(store_dir)
+            batch_top = batch_top.unionByName(prev)
+        except Exception:
+            pass
+        from pyspark.sql import Window
+
+        win = Window.partitionBy("grp").orderBy(F.asc("es_key"), F.asc("id"))
+        merged = (
+            batch_top.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+        # groups x k rows: rewrite wholesale per epoch (idempotent)
+        merged.coalesce(1).write.mode("overwrite").parquet(store_dir + ".next")
+        import shutil
+
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.move(store_dir + ".next", store_dir)
+
+    stream = spark.readStream.schema(raw_schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(stage_dir + "/slice=*")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _scratch(prefix="wrs_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("grp").orderBy(F.asc("es_key"), F.asc("id"))
+    return (
+        spark.read.parquet(store_dir)
+        .withColumn("rank", F.row_number().over(win))
+        .select(
+            F.col("grp").alias("lang"),
+            F.col("id").alias("doc_id"),
+            F.col("weight").cast("long").alias("n_tokens"),
+            "es_key",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

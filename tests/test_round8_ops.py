@@ -120,3 +120,19 @@ def test_weighted_wor_zero_weight_excluded(spark):
         ).collect()
     }
     assert ids == {1, 3}
+
+
+def test_stream_weighted_sample_equals_batch(spark):
+    """min-k merge across micro-batches must reproduce the batch A-ES
+    selection bit-for-bit (same keys, same ranks)."""
+    from qaapi_spark.plans.catalog import CATALOG
+
+    batch = [
+        tuple(r)
+        for r in CATALOG["sample_weighted_wor_per_lang"].fn(spark, SF_SMOKE).collect()
+    ]
+    streamed = [
+        tuple(r)
+        for r in CATALOG["stream_weighted_sample"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert streamed == batch and len(batch) > 0
