@@ -70,21 +70,27 @@ def _driver_state() -> tuple[set[str], set[str], int, dict[str, int]]:
 # green rows from <= _FORCE_RECHECK_ROUND no longer certify the current
 # code, so they re-enter the unverified front of the window.  The force
 # SELF-EXPIRES once a newer green row lands (otherwise these names
-# would pin window slots forever).  Round 7: EMPTY — all nine r6
-# forces landed green rows in CORRECTNESS_r06, and this round's
-# changes (CMS shared kernels, containment regime selector, streaming
-# latency work) alter plans but not a single query's RESULT, so every
-# existing green row still certifies the values the current code
-# produces.
-_FORCE_RECHECK_ROUND = 6
-_FORCE_RECHECK = frozenset()
+# would pin window slots forever).  Round 8: the ADVICE-r7 kernel-reuse
+# fixes changed the executed path of the dense-Jaccard pack (inline
+# persist + guard), the containment sparse/auto routes (_sets
+# passthrough), and the Hamming screen's query collect (limit + bound),
+# so their r7 rows certify retired code.  All four re-verified locally
+# (check_oracle sf0.001 + sf0.01); the force makes the driver confirm.
+_FORCE_RECHECK_ROUND = 7
+_FORCE_RECHECK = frozenset(
+    {
+        "dedup_ngram_jaccard_dense",
+        "dedup_containment_pairs",
+        "dedup_containment_sparse",
+        "ann_topk_binary_hamming",
+    }
+)
 
 # Rotation pins: rows-only queries whose last EXECUTION row is old
-# enough that the LRU rotation alone won't reach them this round
-# (VERDICT r6 #6: ann_topk_pq and dedup_minhash_mllib last executed
-# r4; ann_topk_pq lands in the window by LRU order, mllib does not).
-# A pin spends one window slot to refresh the execution row.
-_ROTATION_PIN = frozenset({"dedup_minhash_mllib"})
+# enough that the LRU rotation alone won't reach them this round.
+# Round 8: both rows-only stragglers (ann_topk_pq, dedup_minhash_mllib)
+# landed fresh execution rows in CORRECTNESS_r07 — nothing to pin.
+_ROTATION_PIN = frozenset()
 
 # Highest-priority gate candidates: forced re-checks first (a stale
 # green row is WEAKER than no row — the code it certified is gone),
