@@ -366,3 +366,30 @@ def events_zscore_anomaly_topk(spark, sf_dir):
         )
         .orderBy("event_type", F.desc(F.abs(F.col("z"))), "event_id")
     )
+
+
+def _zorder_oracle() -> str:
+    from qaapi_spark.operators.layout import zorder_tiles_oracle_sql
+
+    return zorder_tiles_oracle_sql("orders", "o_custkey", "o_totalprice", 12)
+
+
+@query(
+    "layout_zorder_tiles",
+    # generated from the SAME mask sequence as the engine's Morton
+    # interleave — bit-identical normalize + spread on both engines
+    oracle=_zorder_oracle(),
+    doc="Z-order (Morton) tile histogram over (o_custkey, "
+    "o_totalprice): one min/max aggregate broadcast back, map-only "
+    "16-bit normalize + bit-interleave, tile-bounded groupBy — the "
+    "observability query behind z-ordered data layout (which 2-D "
+    "tiles hold how many rows, how tight the codes are per tile), "
+    "and the clustering key a 100 TB writer range-partitions on for "
+    "2-D data-skipping (extension; operators/layout.zorder_tiles; "
+    "cf. write_zordered + tests/test_layout.py)",
+)
+def layout_zorder_tiles(spark, sf_dir):
+    from qaapi_spark.operators.layout import zorder_tiles
+
+    o = t(spark, sf_dir, "orders")
+    return zorder_tiles(o, "o_custkey", "o_totalprice", tile_bits=12)
