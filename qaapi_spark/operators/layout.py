@@ -296,3 +296,45 @@ def zorder_tiles(
         )
         .orderBy("tile")
     )
+
+
+def write_bucketed_pair(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_buckets: int,
+    db: str,
+    left_table: str,
+    right_table: str,
+    location: str,
+) -> None:
+    """Write two relations as BUCKETED datasource tables on the same
+    join key — Spark's persisted co-location layout (``bucketBy`` +
+    ``saveAsTable``; works on the in-memory catalog, no Hive needed).
+
+    Both sides land pre-hash-partitioned into ``n_buckets`` files per
+    table on xxhash64-murmur bucketing of ``key``, so ANY later
+    equi-join or aggregation on ``key`` between them reads matching
+    buckets directly: the plan has NO Exchange on either side — at
+    100 TB that's both shuffles of every repeated fact-dim join paid
+    ONCE at write time and amortized over every downstream query
+    (pin: tests/test_layout.py asserts the exchange-free plan).
+
+    Sort within buckets by the key so the join is also sort-free
+    (SortMergeJoin reads pre-sorted runs).
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{location}'")
+    for df, name in ((left, left_table), (right, right_table)):
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(f"{db}.{name}")
+        )
+
+
+def drop_bucketed_pair(spark: SparkSession, db: str) -> None:
+    """Drop the demo database and its tables (CASCADE removes files)."""
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

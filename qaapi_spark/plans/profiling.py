@@ -393,3 +393,65 @@ def layout_zorder_tiles(spark, sf_dir):
 
     o = t(spark, sf_dir, "orders")
     return zorder_tiles(o, "o_custkey", "o_totalprice", tile_bits=12)
+
+
+def _bucketed_pair_kernel(spark, sf_dir):
+    """SHARED kernel: orders + customer persisted as bucketed tables
+    on custkey (8 buckets, sorted) — built once per (session, sf);
+    every consumer's equi-join on custkey is then exchange-free."""
+    import hashlib
+
+    from qaapi_spark.operators.layout import write_bucketed_pair
+    from qaapi_spark.session import scratch_dir, shared_kernel
+
+    def build():
+        db = "bdemo_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        write_bucketed_pair(
+            spark,
+            t(spark, sf_dir, "orders").select(
+                F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+            ),
+            t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("custkey"), "c_mktsegment"
+            ),
+            key="custkey",
+            n_buckets=8,
+            db=db,
+            left_table="orders_b",
+            right_table="customer_b",
+            location=scratch_dir("bucketed_demo_"),
+        )
+        return spark.table(f"{db}.orders_b"), spark.table(f"{db}.customer_b")
+
+    return shared_kernel(spark, ("bucketed_pair", sf_dir), build)
+
+
+@query(
+    "bucketed_join_revenue_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY segment ORDER BY segment
+    """,
+    doc="co-located join over BUCKETED tables: orders and customer "
+    "persisted via bucketBy(8, custkey) + sortBy — the join reads "
+    "matching pre-hashed, pre-sorted buckets with NO Exchange on "
+    "either side (plan pinned by tests/test_layout.py), the layout "
+    "that pays a fact-dim join's two shuffles once at write time and "
+    "amortizes them over every downstream query at 100 TB; values "
+    "identical to the plain join, so the same SQL oracle applies "
+    "(extension; operators/layout.write_bucketed_pair)",
+)
+def bucketed_join_revenue_by_segment(spark, sf_dir):
+    ob, cb = _bucketed_pair_kernel(spark, sf_dir)
+    return (
+        ob.join(cb, "custkey")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("segment")
+    )

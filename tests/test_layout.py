@@ -220,3 +220,39 @@ def test_zorder_tiles_matches_duckdb(spark):
         map(tuple, con.sql(zorder_tiles_oracle_sql("events", "user_id", "value")).fetchall())
     )
     assert got == want and len(got) > 0
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """The persisted bucketBy+sortBy layout must make the custkey
+    equi-join read matching buckets directly: SortMergeJoin with NO
+    Exchange on either input (the whole point of paying the bucketed
+    write once)."""
+    from qaapi_spark.plans.profiling import _bucketed_pair_kernel
+    from tests.conftest import SF_SMOKE
+
+    ob, cb = _bucketed_pair_kernel(spark, SF_SMOKE)
+    # at smoke scale the tiny dim side would be broadcast (also
+    # shuffle-free, but it bypasses the bucketed scan); disable it so
+    # the plan shows the layout actually doing the work — at fact-x-fact
+    # scale broadcast is off the table and THIS is the plan you get
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            ob.join(cb, "custkey")._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    # and the values equal the unbucketed join
+    got = ob.join(cb, "custkey").count()
+    want = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF_SMOKE}/customer.parquet"),
+            F.expr("o_custkey = c_custkey"),
+        )
+        .count()
+    )
+    assert got == want and got > 0
