@@ -280,3 +280,46 @@ def test_hamming_topk_matches_python_reference(spark, data):
         for rank, (negcos, c, h) in enumerate(rer, 1):
             want.append((q, c, h, -negcos))
     assert got == sorted(want)
+
+
+# --- banded range join: equivalence to the naive inequality join ------
+#
+# Second offsets drawn near band multiples so examples constantly land
+# on gap boundaries and band edges; gap varies so the band width is
+# not a constant of the test.
+_rj_offsets = st.lists(
+    st.integers(min_value=0, max_value=120), min_size=1, max_size=12
+)
+_rj_gaps = st.sampled_from([7, 10, 30])
+
+
+@given(lsecs=_rj_offsets, rsecs=_rj_offsets, gap=_rj_gaps)
+@_SETTINGS
+def test_banded_range_join_equals_naive_property(spark, lsecs, rsecs, gap):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.operators.joins import banded_range_join
+
+    base = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, base + datetime.timedelta(seconds=s)) for i, s in enumerate(lsecs)],
+        "lid long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, base + datetime.timedelta(seconds=s)) for i, s in enumerate(rsecs)],
+        "rid long, rts timestamp",
+    )
+    got = sorted(
+        (r["lid"], r["rid"], r["delta_us"])
+        for r in banded_range_join(left, right, "lts", "rts", gap).collect()
+    )
+    naive = sorted(
+        (r["lid"], r["rid"], r["delta_us"])
+        for r in left.crossJoin(right)
+        .withColumn("delta_us", F.unix_micros("rts") - F.unix_micros("lts"))
+        .filter(F.abs(F.col("delta_us")) <= gap * 1_000_000)
+        .collect()
+    )
+    assert got == naive
