@@ -754,3 +754,74 @@ def text_gopher_rules_filter(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_BATCH_DOCS = 8
+
+
+@query(
+    "pack_length_bucketed_batches",
+    # bucket cap = next power of two >= n_tokens, computed with
+    # INTEGER bit ops on both engines (length of the binary string of
+    # n-1) — a float log2 would misbucket exact powers of two.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len({_DD_TOKS}) AS n FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, n,
+               CASE WHEN n <= 1 THEN 1
+                    ELSE (1::BIGINT << length(bin(n - 1)::VARCHAR)) END AS cap
+        FROM toks WHERE n > 0
+    ),
+    batched AS (
+        SELECT cap, n,
+               CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY cap ORDER BY doc_id)
+                           - 1) / {_BATCH_DOCS}) AS BIGINT) AS batch_id
+        FROM bucketed
+    )
+    SELECT cap AS bucket_cap, batch_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS batch_tokens,
+           CAST(MAX(n) AS BIGINT) AS batch_max,
+           CAST(COUNT(*) * MAX(n) - SUM(n) AS BIGINT) AS pad_waste
+    FROM batched GROUP BY bucket_cap, batch_id
+    ORDER BY bucket_cap, batch_id
+    """,
+    doc="length-bucketed batch formation: docs grouped into power-of-2 "
+    "token-length buckets (integer bit ops — no float log2 boundary), "
+    "fixed-size batches formed per bucket in deterministic doc order, "
+    "with per-batch padding waste (docs x batch-max minus real "
+    "tokens) — the dynamic-batching data-prep step that minimizes pad "
+    "tokens per training batch; one window shuffle keyed on the "
+    "bucket + a grouped rollup (extension: training batch formation)",
+)
+def pack_length_bucketed_batches(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(ws_tokens(F.lower(F.col("text")))).alias("n")
+    ).filter(F.col("n") > 0)
+    # shiftleft needs a column shift amount -> SQL expr (the python
+    # wrapper only takes a literal bit count)
+    cap = F.expr(
+        "CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) "
+        "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n - 1))) END"
+    )
+    b = d.select("doc_id", "n", cap.alias("cap"))
+    rn = F.row_number().over(Window.partitionBy("cap").orderBy("doc_id"))
+    batched = b.withColumn(
+        "batch_id", F.floor((rn - 1) / _BATCH_DOCS).cast("long")
+    )
+    return (
+        batched.groupBy(F.col("cap").alias("bucket_cap"), "batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("batch_tokens"),
+            F.max("n").alias("batch_max"),
+            (F.count("*") * F.max("n") - F.sum("n")).alias("pad_waste"),
+        )
+        .orderBy("bucket_cap", "batch_id")
+    )
