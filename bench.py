@@ -51,6 +51,62 @@ def _calib_cpu() -> float:
     return round(best, 3)
 
 
+def _calib_io() -> float:
+    """Seconds to create+write+fsync+unlink 256 small files (best of
+    3) — probes the syscall/virtio path.  Motivation (r8): vmstat
+    during bench runs on this container shows intermittent bursts of
+    40-50% SYSTEM time across all 32 vCPUs with zero memory pressure;
+    when a burst overlaps a shuffle- or file-heavy query, that query's
+    wall time inflates 3-5x run-over-run with identical plans (e.g.
+    dedup_minhash_mllib 2.8 s on one run, 23-36 s on three others at
+    equal calib_cpu).  Single-thread CPU and warm-JVM probes are blind
+    to this dimension, so a same-run syscall probe is recorded too."""
+    import tempfile
+
+    best = float("inf")
+    for _ in range(3):
+        d = tempfile.mkdtemp(prefix="bench_calib_io_")
+        t0 = time.time()
+        for i in range(256):
+            p = os.path.join(d, f"f{i}")
+            fd = os.open(p, os.O_CREAT | os.O_WRONLY, 0o644)
+            os.write(fd, b"\x00" * 4096)
+            os.fsync(fd)
+            os.close(fd)
+            os.unlink(p)
+        best = min(best, time.time() - t0)
+        os.rmdir(d)
+    return round(best, 3)
+
+
+def _calib_mt() -> float:
+    """Seconds for the same sha256 workload split across 16 threads
+    (hashlib releases the GIL on large updates), best of 3 — probes
+    MULTI-core throughput, which diverges from calib_cpu when the
+    host oversubscribes vCPUs (steal shows up here first)."""
+    import hashlib
+    import threading
+
+    block = b"\x00" * (1 << 22)
+
+    def work() -> None:
+        h = hashlib.sha256()
+        for _ in range(12):
+            h.update(block)
+        h.hexdigest()
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        ts = [threading.Thread(target=work) for _ in range(16)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def _calib_spark(spark) -> float:
     """Seconds for one fixed tiny Spark job (sum over range(2**24),
     best of 3, warm JVM) — probes JVM + scheduler speed on this host."""
@@ -151,6 +207,8 @@ def main() -> None:
         # deltas before calling anything a regression.
         "calib_cpu_s": _calib_cpu(),
         "calib_spark_s": _calib_spark(spark),
+        "calib_io_s": _calib_io(),
+        "calib_mt_s": _calib_mt(),
     }
     prev_round, prev_source, prev = _latest_prev_bench(sf_val)
     if prev:

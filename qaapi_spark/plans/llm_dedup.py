@@ -572,8 +572,13 @@ def dedup_minhash_mllib(spark, sf_dir):
     )
     # persist: the self-join consumes feat on BOTH sides, and MLlib's
     # approxSimilarityJoin additionally recomputes the hash columns per
-    # side — without this the shingle+TF lineage runs four times
-    feat = tf.transform(sets).persist()
+    # side — without this the shingle+TF lineage runs four times.
+    # Project the raw shingle-string array OFF before the join:
+    # approxSimilarityJoin carries both sides' full row structs through
+    # its exploded candidate join and the pair-distinct that follows,
+    # so every surviving column is shuffled once per candidate pair —
+    # for bigram arrays that is ~30x the bytes of (id, features).
+    feat = tf.transform(sets).select("id", "features").persist()
     register_kernel_cache(feat)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=2, seed=42
