@@ -204,3 +204,53 @@ def source_mixture_weights(
             ).alias("weight"),
         )
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_tokens, kl_nats): KL divergence of each source's
+    unigram token distribution from the whole-corpus distribution —
+    the mixture-drift monitor a training pipeline runs per ingest wave
+    (a source whose KL jumps changed its content mix).
+
+    KL(p_s || q) = sum_t p_s(t) * ln(p_s(t) / q(t)) with
+    p_s(t) = c_st / T_s and q(t) = C_t / T.  Every source token is by
+    construction in the corpus, so q(t) > 0 and no smoothing is
+    needed.
+
+    Shape: ONE corpus-sized shuffle (the (source, token) count; the
+    explode happens map-side and combines partially), after which
+    everything is vocab-scale: per-source totals and the corpus
+    distribution both re-aggregate the already-reduced counts, the
+    q(t) join keys on token over vocab-sized relations, and the final
+    per-source sum is |sources| rows.  At 100 TB the only term that
+    grows is the first partial-aggregated shuffle.
+    """
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    st = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tkn"),
+        )
+        .groupBy("source", "tkn")
+        .agg(F.count("*").alias("c"))
+    )
+    stot = st.groupBy("source").agg(F.sum("c").alias("ts"))
+    ct = st.groupBy("tkn").agg(F.sum("c").alias("ctot"))
+    tot = ct.agg(F.sum("ctot").alias("t"))
+    p = F.col("c") / F.col("ts")
+    q = F.col("ctot") / F.col("t")
+    return (
+        st.join(ct, "tkn")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("ts").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 4).alias("kl_nats"),
+        )
+    )

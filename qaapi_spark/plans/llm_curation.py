@@ -322,3 +322,37 @@ def curation_dedup_training_order(spark, sf_dir):
         .select(F.col("node").alias("doc_id"))
     )
     return training_order(keepers, seed="seed0").orderBy("train_rank")
+
+
+@query(
+    "curation_source_kl_drift",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_DD_WORDS}) AS tkn
+        FROM documents WHERE trim(text) <> ''
+    ),
+    st AS (SELECT source, tkn, COUNT(*) AS c FROM tok GROUP BY source, tkn),
+    stot AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS ts FROM st GROUP BY source),
+    ct AS (SELECT tkn, CAST(SUM(c) AS DOUBLE) AS ctot FROM st GROUP BY tkn),
+    tot AS (SELECT SUM(ctot) AS t FROM ct)
+    SELECT st.source,
+           CAST(MAX(stot.ts) AS BIGINT) AS n_tokens,
+           ROUND(SUM((st.c / stot.ts) * ln((st.c / stot.ts) / (ct.ctot / tot.t))), 4)
+               AS kl_nats
+    FROM st
+    JOIN stot USING (source)
+    JOIN ct USING (tkn)
+    CROSS JOIN tot
+    GROUP BY st.source
+    ORDER BY source
+    """,
+    doc="per-source unigram-distribution KL divergence from the corpus "
+    "distribution — the mixture-drift monitor run per ingest wave; one "
+    "partial-aggregated corpus shuffle, then vocab-scale joins "
+    "(extension: domain-mix monitoring)",
+)
+def curation_source_kl_drift(spark, sf_dir):
+    from qaapi_spark.operators.curation import source_kl_divergence
+
+    d = t(spark, sf_dir, "documents")
+    return source_kl_divergence(d).orderBy("source")

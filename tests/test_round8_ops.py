@@ -136,3 +136,41 @@ def test_stream_weighted_sample_equals_batch(spark):
         for r in CATALOG["stream_weighted_sample"].fn(spark, SF_SMOKE).collect()
     ]
     assert streamed == batch and len(batch) > 0
+
+
+def test_source_kl_divergence_matches_closed_form(spark):
+    """KL of a hand-built two-source corpus must equal the closed-form
+    sum; a source identical to the corpus mix has KL ~ 0."""
+    from qaapi_spark.operators.curation import source_kl_divergence
+
+    # src_a: tokens {x: 2, y: 2}; src_b: tokens {x: 4}
+    df = spark.createDataFrame(
+        [
+            (1, "x y", "src_a"),
+            (2, "y x", "src_a"),
+            (3, "x x", "src_b"),
+            (4, "x x", "src_b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in source_kl_divergence(df).collect()}
+    # corpus: x=6/8, y=2/8
+    pa = {"x": 0.5, "y": 0.5}
+    qa = {"x": 0.75, "y": 0.25}
+    kl_a = sum(pa[t] * math.log(pa[t] / qa[t]) for t in pa)
+    kl_b = 1.0 * math.log(1.0 / 0.75)
+    assert got["src_a"]["n_tokens"] == 4 and got["src_b"]["n_tokens"] == 4
+    assert abs(got["src_a"]["kl_nats"] - round(kl_a, 4)) < 1e-9
+    assert abs(got["src_b"]["kl_nats"] - round(kl_b, 4)) < 1e-9
+
+
+def test_source_kl_divergence_zero_for_uniform_source(spark):
+    """A single-source corpus IS the corpus distribution: KL == 0."""
+    from qaapi_spark.operators.curation import source_kl_divergence
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "only"), (2, "b c d", "only")],
+        "doc_id long, text string, source string",
+    )
+    rows = source_kl_divergence(df).collect()
+    assert len(rows) == 1 and rows[0]["kl_nats"] == 0.0
