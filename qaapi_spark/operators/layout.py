@@ -338,3 +338,208 @@ def write_bucketed_pair(
 def drop_bucketed_pair(spark: SparkSession, db: str) -> None:
     """Drop the demo database and its tables (CASCADE removes files)."""
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def zonemap_skipping_compare(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    file_bits: int = 6,
+    x_frac: tuple[float, float] = (0.45, 0.55),
+    y_frac: tuple[float, float] = (0.45, 0.55),
+) -> DataFrame:
+    """Zone-map pruning estimator: for one 2-D range predicate, how
+    many of 2^file_bits files must be READ under (a) a linear layout
+    clustered on col_x alone vs (b) a Morton/z-order layout on
+    (col_x, col_y) — the planner-side quantification of WHY 2-D
+    clustering wins (`write_zordered` is the writer this estimates
+    for).  Files are value-range chunks (top ``file_bits`` bits of the
+    16-bit normalized sort key), pruning consults only per-file
+    min/max of the raw columns — exactly what parquet row-group
+    zone maps store.  A file is read iff its [min, max] envelope on
+    BOTH columns overlaps the predicate box.
+
+    Returns one row per strategy: (strategy, files_nonempty,
+    files_read, rows_in_read_files, rows_matched).  rows_matched is
+    layout-invariant (sanity column); rows_in_read_files is the IO
+    proxy a cost model would use.
+
+    Scale shape: one min/max aggregate broadcast back, then a map-only
+    normalize/interleave projection and two file-cardinality groupBys
+    (2^file_bits groups each) — corpus scanned once per strategy,
+    never shuffled beyond the bounded file histogram.  The linear
+    strategy's y envelope per file spans ~the whole domain, so it
+    prunes on x only; the Morton tiles bound both dimensions at
+    ~1/sqrt(n_files) — measured below, not asserted."""
+    b = df.agg(
+        F.min(col_x).alias("lx"),
+        F.max(col_x).alias("hx"),
+        F.min(col_y).alias("ly"),
+        F.max(col_y).alias("hy"),
+    )
+
+    def norm(x, lo, hi):
+        return (
+            F.when(F.col(hi) == F.col(lo), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(65535),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (x.cast("double") - F.col(lo).cast("double"))
+                            / (F.col(hi).cast("double") - F.col(lo).cast("double"))
+                            * 65535
+                        ).cast("int"),
+                    ),
+                )
+            )
+        )
+
+    lo_x = F.col("lx").cast("double")
+    hi_x = F.col("hx").cast("double")
+    lo_y = F.col("ly").cast("double")
+    hi_y = F.col("hy").cast("double")
+    x1 = lo_x + F.lit(x_frac[0]) * (hi_x - lo_x)
+    x2 = lo_x + F.lit(x_frac[1]) * (hi_x - lo_x)
+    y1 = lo_y + F.lit(y_frac[0]) * (hi_y - lo_y)
+    y2 = lo_y + F.lit(y_frac[1]) * (hi_y - lo_y)
+
+    gx = norm(F.col(col_x), "lx", "hx")
+    gy = norm(F.col(col_y), "ly", "hy")
+    base = df.crossJoin(F.broadcast(b)).select(
+        F.col(col_x).cast("double").alias("x"),
+        F.col(col_y).cast("double").alias("y"),
+        F.shiftright(gx, 16 - file_bits).alias("file_linear"),
+        F.shiftright(morton_code(gx, gy), 32 - file_bits).alias("file_z"),
+        (
+            (F.col(col_x).cast("double") >= x1)
+            & (F.col(col_x).cast("double") <= x2)
+            & (F.col(col_y).cast("double") >= y1)
+            & (F.col(col_y).cast("double") <= y2)
+        ).alias("hit"),
+        x1.alias("x1"),
+        x2.alias("x2"),
+        y1.alias("y1"),
+        y2.alias("y2"),
+    )
+
+    def summarize(file_col: str, label: str) -> DataFrame:
+        files = base.groupBy(F.col(file_col).alias("f")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("hit").cast("long")).alias("n_hit"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            F.first("x1").alias("x1"),
+            F.first("x2").alias("x2"),
+            F.first("y1").alias("y1"),
+            F.first("y2").alias("y2"),
+        )
+        read = (
+            (F.col("min_x") <= F.col("x2"))
+            & (F.col("max_x") >= F.col("x1"))
+            & (F.col("min_y") <= F.col("y2"))
+            & (F.col("max_y") >= F.col("y1"))
+        )
+        return files.agg(
+            F.count("*").alias("files_nonempty"),
+            F.sum(read.cast("long")).alias("files_read"),
+            F.sum(F.when(read, F.col("n")).otherwise(F.lit(0))).alias(
+                "rows_in_read_files"
+            ),
+            F.sum("n_hit").alias("rows_matched"),
+        ).select(
+            F.lit(label).alias("strategy"),
+            "files_nonempty",
+            "files_read",
+            "rows_in_read_files",
+            "rows_matched",
+        )
+
+    return summarize("file_linear", "linear_x").unionAll(
+        summarize("file_z", "zorder_xy")
+    )
+
+
+def zonemap_skipping_oracle_sql(
+    table: str,
+    col_x: str,
+    col_y: str,
+    file_bits: int = 6,
+    x_frac: tuple[float, float] = (0.45, 0.55),
+    y_frac: tuple[float, float] = (0.45, 0.55),
+) -> str:
+    """Exact DuckDB twin of :func:`zonemap_skipping_compare` (same
+    normalize/spread/interleave integer ops, same IEEE double predicate
+    bounds, same per-file min/max overlap rule)."""
+    gx = _NORM_SQL.format(x=col_x, lo="b.lx", hi="b.hx")
+    gy = _NORM_SQL.format(x=col_y, lo="b.ly", hi="b.hy")
+    bounds = (
+        "CAST(b.lx AS DOUBLE) + {lo} * (CAST(b.hx AS DOUBLE) - CAST(b.lx AS DOUBLE)) AS x1, "
+        "CAST(b.lx AS DOUBLE) + {hi} * (CAST(b.hx AS DOUBLE) - CAST(b.lx AS DOUBLE)) AS x2, "
+        "CAST(b.ly AS DOUBLE) + {ylo} * (CAST(b.hy AS DOUBLE) - CAST(b.ly AS DOUBLE)) AS y1, "
+        "CAST(b.ly AS DOUBLE) + {yhi} * (CAST(b.hy AS DOUBLE) - CAST(b.ly AS DOUBLE)) AS y2"
+    ).format(lo=x_frac[0], hi=x_frac[1], ylo=y_frac[0], yhi=y_frac[1])
+    return f"""
+    WITH b AS (
+        SELECT MIN({col_x}) AS lx, MAX({col_x}) AS hx,
+               MIN({col_y}) AS ly, MAX({col_y}) AS hy
+        FROM {table}
+    ),
+    base AS (
+        SELECT CAST({col_x} AS DOUBLE) AS x,
+               CAST({col_y} AS DOUBLE) AS y,
+               ({gx}) AS gx, ({gy}) AS gy,
+               {bounds}
+        FROM {table} CROSS JOIN b
+    ),
+    coded AS (
+        SELECT x, y, x1, x2, y1, y2,
+               (gx >> {16 - file_bits}) AS file_linear,
+               ((CAST({_spread_sql('gx')} AS BIGINT)
+                 | (CAST({_spread_sql('gy')} AS BIGINT) << 1))
+                >> {32 - file_bits}) AS file_z,
+               (x >= x1 AND x <= x2 AND y >= y1 AND y <= y2) AS hit
+        FROM base
+    ),
+    lin AS (
+        SELECT file_linear AS f, COUNT(*) AS n,
+               SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hit,
+               MIN(x) AS min_x, MAX(x) AS max_x,
+               MIN(y) AS min_y, MAX(y) AS max_y,
+               MIN(x1) AS x1, MIN(x2) AS x2, MIN(y1) AS y1, MIN(y2) AS y2
+        FROM coded GROUP BY file_linear
+    ),
+    zor AS (
+        SELECT file_z AS f, COUNT(*) AS n,
+               SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hit,
+               MIN(x) AS min_x, MAX(x) AS max_x,
+               MIN(y) AS min_y, MAX(y) AS max_y,
+               MIN(x1) AS x1, MIN(x2) AS x2, MIN(y1) AS y1, MIN(y2) AS y2
+        FROM coded GROUP BY file_z
+    )
+    SELECT 'linear_x' AS strategy,
+           CAST(COUNT(*) AS BIGINT) AS files_nonempty,
+           CAST(SUM(CASE WHEN min_x <= x2 AND max_x >= x1
+                          AND min_y <= y2 AND max_y >= y1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+           CAST(SUM(CASE WHEN min_x <= x2 AND max_x >= x1
+                          AND min_y <= y2 AND max_y >= y1
+                    THEN n ELSE 0 END) AS BIGINT) AS rows_in_read_files,
+           CAST(SUM(n_hit) AS BIGINT) AS rows_matched
+    FROM lin
+    UNION ALL
+    SELECT 'zorder_xy',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN min_x <= x2 AND max_x >= x1
+                          AND min_y <= y2 AND max_y >= y1
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN min_x <= x2 AND max_x >= x1
+                          AND min_y <= y2 AND max_y >= y1
+                    THEN n ELSE 0 END) AS BIGINT),
+           CAST(SUM(n_hit) AS BIGINT)
+    FROM zor
+    ORDER BY strategy
+    """

@@ -455,3 +455,30 @@ def bucketed_join_revenue_by_segment(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "layout_skipping_linear_vs_zorder",
+    # generated from the SAME normalize/spread/interleave + min-max
+    # overlap expressions as the engine side — bit-identical file
+    # assignment and pruning decisions on both engines
+    oracle=__import__(
+        "qaapi_spark.operators.layout", fromlist=["zonemap_skipping_oracle_sql"]
+    ).zonemap_skipping_oracle_sql("orders", "o_custkey", "o_totalprice", 6),
+    doc="zone-map pruning estimator: files that a 2-D range predicate "
+    "(middle-decile band on BOTH of o_custkey and o_totalprice) must "
+    "read under a linear x-clustered layout vs a Morton z-order "
+    "layout, with per-file min/max pruning exactly as parquet "
+    "row-group stats allow — the quantified WHY behind "
+    "write_zordered: linear prunes on x only (y spans the domain in "
+    "every file), the Morton tiles bound both dimensions; one min/max "
+    "broadcast + map-only coding + two 64-group rollups (extension; "
+    "operators/layout.zonemap_skipping_compare)",
+)
+def layout_skipping_linear_vs_zorder(spark, sf_dir):
+    from qaapi_spark.operators.layout import zonemap_skipping_compare
+
+    o = t(spark, sf_dir, "orders")
+    return zonemap_skipping_compare(o, "o_custkey", "o_totalprice", 6).orderBy(
+        "strategy"
+    )

@@ -256,3 +256,37 @@ def test_bucketed_join_is_exchange_free(spark):
         .count()
     )
     assert got == want and got > 0
+
+
+def test_zonemap_skipping_zorder_dominates_linear(spark):
+    """On an independent uniform 2-D distribution, for a box predicate
+    WIDE relative to the per-file x-granularity (30% of the domain vs
+    64 files), the Morton layout must read no more rows than the
+    x-clustered layout (linear reads ~30% of files on x alone; the
+    8x8 Morton grid bounds both dimensions).  Note this is NOT a
+    per-instance theorem for narrow boxes: a box thinner in x than
+    one linear file can align to beat a coarse tile grid — which is
+    why the operator reports measurements instead of asserting a
+    winner.  Both layouts must contain every matching row, and
+    rows_matched is layout-invariant."""
+    from qaapi_spark.operators.layout import zonemap_skipping_compare
+
+    n = 4096
+    df = spark.range(n).select(
+        ((F.col("id") * 48271) % 9973).alias("x"),
+        ((F.col("id") * 16807) % 9973).alias("y"),
+    )
+    rows = {
+        r["strategy"]: r
+        for r in zonemap_skipping_compare(
+            df, "x", "y", 6, x_frac=(0.35, 0.65), y_frac=(0.35, 0.65)
+        ).collect()
+    }
+    lin, zor = rows["linear_x"], rows["zorder_xy"]
+    assert lin["rows_matched"] == zor["rows_matched"] > 0
+    # pruning can never drop a matching row below what the predicate finds
+    assert lin["rows_in_read_files"] >= lin["rows_matched"]
+    assert zor["rows_in_read_files"] >= zor["rows_matched"]
+    # the point of the layout: 2-D clustering reads no more than 1-D
+    assert zor["rows_in_read_files"] <= lin["rows_in_read_files"]
+    assert zor["files_read"] <= lin["files_read"]
