@@ -136,3 +136,89 @@ def merge_partial_aggregates(
     merged = mv.unionByName(delta_partial)
     aggs = [getattr(F, fn)(c).alias(c) for c, fn in merges.items()]
     return merged.groupBy(*keys).agg(*aggs)
+
+
+def list_parquet_files(spark, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every parquet data file under ``path`` — the
+    listing a compaction planner consults."""
+    out = []
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().toUri().getPath()
+        if name.endswith(".parquet"):
+            out.append((name, int(f.getLen())))
+    return out
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_col: str | None = None,
+) -> dict:
+    """Small-file compaction (the OPTIMIZE/rewrite-data-files table
+    maintenance step): coalesce a directory of parquet files into
+    ceil(total_bytes / target_file_bytes) files, optionally
+    re-clustered on ``sort_col``, then atomically swap the directory.
+
+    Why it's a first-class 100 TB operator: streaming sinks and
+    per-batch appends accumulate thousands of KB-scale files per
+    partition; every downstream scan then pays open/footer/seek per
+    file and the driver pays listing — compaction restores
+    target-sized files (and, with ``sort_col``, zone-map-tight ones).
+    At scale this runs per partition-directory (each directory is an
+    independent job); file listing is executor-parallel in real
+    deployments — this single-directory version is the per-partition
+    unit of that loop.
+
+    The swap is write-to-sibling + two renames (old -> trash,
+    new -> old), the same pattern as the pipeline's full-replace swap:
+    readers never observe a half-written directory.
+
+    Returns {files_before, bytes_before, files_after, bytes_after,
+    rows} for the caller's audit log."""
+    import math
+
+    files = list_parquet_files(spark, path)
+    bytes_before = sum(b for _, b in files)
+    n_out = max(1, math.ceil(bytes_before / float(target_file_bytes)))
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        compacted = df.repartitionByRange(n_out, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        # shuffle-free: tasks concatenate row groups (the
+        # layout.compact_small_files copy-variant's rewrite, reused
+        # here under the in-place swap)
+        compacted = df.coalesce(n_out)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    trash = path.rstrip("/") + ".__compact_old__"
+    compacted.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+
+    def _p(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs.delete(_p(trash), True)
+    if not fs.rename(_p(path), _p(trash)):
+        raise IOError(f"compact_files: could not stage {path} aside")
+    if not fs.rename(_p(tmp), _p(path)):
+        fs.rename(_p(trash), _p(path))  # roll back
+        raise IOError(f"compact_files: could not swap in compacted {path}")
+    fs.delete(_p(trash), True)
+    after = list_parquet_files(spark, path)
+    return {
+        "files_before": len(files),
+        "bytes_before": bytes_before,
+        "files_after": len(after),
+        "bytes_after": sum(b for _, b in after),
+        "rows": spark.read.parquet(path).count(),
+    }

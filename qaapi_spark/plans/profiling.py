@@ -482,3 +482,34 @@ def layout_skipping_linear_vs_zorder(spark, sf_dir):
     return zonemap_skipping_compare(o, "o_custkey", "o_totalprice", 6).orderBy(
         "strategy"
     )
+
+
+@query(
+    "maintain_compact_small_files",
+    # the compaction contract is CONTENT IDENTITY — the oracle reads
+    # the same rows straight from the source table; file-count /
+    # atomic-swap behavior is pinned by tests/test_layout.py
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_orderkey
+    """,
+    doc="small-file compaction (OPTIMIZE / rewrite-data-files): a "
+    "32-file staged copy of orders is coalesced to ~1 MB target files "
+    "re-clustered on o_orderkey via an atomic directory swap, then "
+    "read back — the table-maintenance step that keeps streaming-sink "
+    "and per-batch-append tables scannable at 100 TB (per "
+    "partition-directory unit job; open/footer cost is per file); "
+    "content must round-trip bit-identically, which is what the "
+    "oracle checks (extension; operators/maintain.compact_files)",
+)
+def maintain_compact_small_files(spark, sf_dir):
+    from qaapi_spark.operators.maintain import compact_files
+    from qaapi_spark.session import scratch_dir
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    path = scratch_dir("compact_demo_") + "/orders_small"
+    o.repartition(32).write.mode("overwrite").parquet(path)
+    stats = compact_files(spark, path, target_file_bytes=1 << 20, sort_col="o_orderkey")
+    if stats["files_after"] >= stats["files_before"]:
+        raise AssertionError(f"compaction did not reduce file count: {stats}")
+    return spark.read.parquet(path).orderBy("o_orderkey")

@@ -290,3 +290,47 @@ def test_zonemap_skipping_zorder_dominates_linear(spark):
     # the point of the layout: 2-D clustering reads no more than 1-D
     assert zor["rows_in_read_files"] <= lin["rows_in_read_files"]
     assert zor["files_read"] <= lin["files_read"]
+
+
+def test_compact_files_reduces_count_and_preserves_content(spark, tmp_path):
+    """Compaction must cut the file count to ceil(bytes/target),
+    preserve every row, keep the directory readable at the SAME path,
+    and leave no tmp/trash siblings behind."""
+    import glob as _glob
+    import os as _os
+
+    from qaapi_spark.operators.maintain import compact_files, list_parquet_files
+
+    path = str(tmp_path / "t")
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    df.repartition(24).write.parquet(path)
+    before = list_parquet_files(spark, path)
+    assert len(before) == 24
+    stats = compact_files(spark, path, target_file_bytes=1 << 30, sort_col="id")
+    assert stats["files_before"] == 24
+    assert stats["files_after"] == 1
+    assert stats["rows"] == 10000
+    got = spark.read.parquet(path)
+    assert got.count() == 10000
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(10000))
+    assert not _os.path.exists(path + ".__compact_tmp__")
+    assert not _os.path.exists(path + ".__compact_old__")
+
+
+def test_compact_files_sorted_output_is_zonemap_tight(spark, tmp_path):
+    """With sort_col, compacted files must have DISJOINT key ranges
+    (zone-map-tight), so range predicates skip whole files."""
+    from qaapi_spark.operators.layout import file_key_ranges
+    from qaapi_spark.operators.maintain import compact_files
+
+    path = str(tmp_path / "t2")
+    spark.range(50000).select(F.col("id")).repartition(16).write.parquet(path)
+    compact_files(spark, path, target_file_bytes=60_000, sort_col="id")
+    ranges = sorted(
+        file_key_ranges(spark, path, "id"), key=lambda r: r[1]
+    )
+    assert len(ranges) > 1
+    for (_, _, hi), (_, lo2, _) in zip(ranges, ranges[1:]):
+        assert hi < lo2
