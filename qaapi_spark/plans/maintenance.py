@@ -156,3 +156,56 @@ def mv_incremental_daily_revenue(spark, sf_dir):
         "n_orders",
         "max_order",
     ).orderBy("day")
+
+
+@query(
+    "mv_incremental_join_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY segment ORDER BY segment
+    """,
+    doc="incremental JOIN-view maintenance (insert-only fact deltas, "
+    "static dim): the enriched-orders MV (orders x customer) is "
+    "MATERIALIZED to parquet for the base period, then a later batch "
+    "is maintained as MV' = MV UNION (delta JOIN dim) via a file-level "
+    "append — the delta join touches ONLY the batch (dim broadcast), "
+    "the base is never rescanned or rewritten, which is the entire "
+    "point of keeping a join MV at 100 TB; the oracle proves the "
+    "maintained view aggregates identically to the full join "
+    "(extension: IVM for joins, complements the distributive-agg MV "
+    "above)",
+)
+def mv_incremental_join_enrichment(spark, sf_dir):
+    from qaapi_spark.operators.maintain import append, overwrite
+    from qaapi_spark.session import scratch_dir
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+
+    def enrich(df):
+        return df.join(F.broadcast(c), "o_custkey").select(
+            "o_orderkey", "o_totalprice", "c_mktsegment"
+        )
+
+    path = scratch_dir("mv_join_") + "/enriched_orders"
+    overwrite(enrich(o.filter(F.col("o_orderdate") < cutoff)), path)
+    append(enrich(o.filter(F.col("o_orderdate") >= cutoff)), path)
+    mv = spark.read.parquet(path)
+    return (
+        mv.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("segment")
+    )

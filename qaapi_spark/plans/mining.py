@@ -314,3 +314,42 @@ def funnel_conversion_counts(spark, sf_dir):
         )
         .orderBy(F.desc("n_users"), "stage")
     )
+
+
+@query(
+    "running_distinct_users_daily",
+    oracle="""
+    WITH fs AS (
+        SELECT user_id,
+               MIN(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) AS day_s
+        FROM events GROUP BY user_id
+    ),
+    d AS (SELECT day_s, COUNT(*) AS new_users FROM fs GROUP BY day_s)
+    SELECT day_s, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day_s) AS BIGINT)
+               AS cum_distinct_users
+    FROM d ORDER BY day_s
+    """,
+    doc="running distinct users per day WITHOUT a running distinct: "
+    "cumulative COUNT(DISTINCT) is not window-able, so the scale shape "
+    "is first-seen-day per user (one user-keyed shuffle, map-side "
+    "combined) -> per-day new-user counts (|days| rows) -> one tiny "
+    "prefix-sum window over |days| rows — the growth-curve query every "
+    "product dashboard runs, at 100 TB cost = one aggregate over "
+    "users, never a per-day distinct rescan (extension; day key in "
+    "epoch days so the hash is timezone-free)",
+)
+def running_distinct_users_daily(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(
+        F.min(F.floor(F.unix_timestamp("ts") / 86400)).alias("day_s")
+    )
+    d = fs.groupBy("day_s").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day_s").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "day_s",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_distinct_users"),
+    ).orderBy("day_s")
