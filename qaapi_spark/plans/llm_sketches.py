@@ -406,3 +406,67 @@ def sketch_cms_windowed_counts(spark, sf_dir):
         )
         .orderBy("window_start_s", "key")
     )
+
+
+_EQUIDEPTH_QS = [i / 16.0 for i in range(1, 16)]  # exact binary fractions
+
+
+@query(
+    "histogram_equidepth_event_values",
+    # boundary parity: i/16 fractions are exact in binary and the
+    # interpolation index (n-1)*q is the same in both engines, but the
+    # BLEND formula is not (Spark: lo + frac*(hi-lo); DuckDB:
+    # lo*(1-frac) + hi*frac — measured 51.87 vs 51.86999999999999 on
+    # lo == hi), so each engine rounds ITS OWN boundaries to 6 dp
+    # before comparing; the fixture values carry 2 decimals, so true
+    # boundaries are exact multiples of 1e-6 and the rounding only
+    # collapses the 1e-14 formula noise
+    oracle=f"""
+    WITH b AS (
+        SELECT list_transform(quantile_cont(value, {_EQUIDEPTH_QS}),
+                              bb -> round(bb, 6)) AS bs
+        FROM events
+    ),
+    x AS (
+        SELECT value,
+               len(list_filter(b.bs, bb -> value > bb)) AS bucket
+        FROM events CROSS JOIN b
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 4) AS lo, ROUND(MAX(value), 4) AS hi
+    FROM x GROUP BY bucket ORDER BY bucket
+    """,
+    doc="equi-depth (equal-count) 16-bucket histogram over "
+    "events.value: exact 1/16th-quantile boundaries from ONE "
+    "aggregate, broadcast back, bucket assignment map-side (count of "
+    "boundaries below the value), bounded 16-group rollup — the "
+    "feature-binning / optimizer-statistics shape; at 100 TB swap the "
+    "exact percentile for percentile_approx (the rows-only "
+    "sketch_approx_percentiles companion) and NOTHING else changes "
+    "(extension; cf. equi-width sketch_percentiles_histogram)",
+)
+def histogram_equidepth_event_values(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select("value")
+    b = e.agg(
+        F.transform(
+            F.percentile("value", F.lit(_EQUIDEPTH_QS)),
+            lambda bb: F.round(bb, 6),
+        ).alias("bs")
+    )
+    x = e.crossJoin(F.broadcast(b)).select(
+        "value",
+        F.aggregate(
+            "bs",
+            F.lit(0),
+            lambda acc, bb: acc + (F.col("value") > bb).cast("int"),
+        ).alias("bucket"),
+    )
+    return (
+        x.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
