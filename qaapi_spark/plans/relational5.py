@@ -470,3 +470,90 @@ def w5_range_frame_trailing_revenue(spark, sf_dir):
         "d",
         F.round(F.sum("rev").over(w), 2).alias("trailing_7d_rev"),
     ).orderBy("o_custkey", "d")
+
+
+_RFM_QS = [0.25, 0.5, 0.75]  # exact binary fractions
+
+
+@query(
+    "rfm_customer_segments",
+    # boundary parity: quartile fractions are exact in binary; each
+    # engine rounds ITS OWN interpolated boundaries to 6 dp (the two
+    # engines' blend formulas differ at ~1e-14 — see
+    # histogram_equidepth_event_values); scores count boundaries
+    # strictly below the value, identical integer logic both sides
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(FLOOR(epoch(MAX(o_orderdate)) / 86400) AS BIGINT) AS r_days,
+               COUNT(*) AS f_cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m_sum
+        FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT list_transform(quantile_cont(r_days, {_RFM_QS}), x -> round(x, 6)) AS rb,
+               list_transform(quantile_cont(f_cnt, {_RFM_QS}), x -> round(x, 6)) AS fb,
+               list_transform(quantile_cont(m_sum, {_RFM_QS}), x -> round(x, 6)) AS mb
+        FROM cust
+    ),
+    scored AS (
+        SELECT (1 + len(list_filter(b.rb, x -> cust.r_days > x))) AS r_score,
+               (1 + len(list_filter(b.fb, x -> cust.f_cnt > x))) AS f_score,
+               (1 + len(list_filter(b.mb, x -> cust.m_sum > x))) AS m_score,
+               m_sum
+        FROM cust CROSS JOIN b
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(m_sum), 2) AS avg_monetary
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    doc="RFM customer segmentation: per-customer recency (epoch-day of "
+    "last order) / frequency / monetary in ONE customer-keyed "
+    "aggregate, exact quartile boundaries for all three measures from "
+    "one stats row broadcast back, map-side 1-4 scoring, <=64-group "
+    "rollup — the classic lifecycle-segmentation query; at 100 TB the "
+    "only corpus-sized cost is the first aggregate, and "
+    "percentile_approx swaps into the same plan (extension)",
+)
+def rfm_customer_segments(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.floor(F.unix_timestamp(F.max("o_orderdate")) / 86400).alias("r_days"),
+        F.count("*").alias("f_cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("m_sum"),
+    )
+
+    def bounds(c):
+        return F.transform(
+            F.percentile(c, F.lit(_RFM_QS)), lambda x: F.round(x, 6)
+        )
+
+    b = cust.agg(
+        bounds(F.col("r_days").cast("double")).alias("rb"),
+        bounds(F.col("f_cnt").cast("double")).alias("fb"),
+        bounds(F.col("m_sum")).alias("mb"),
+    )
+
+    def score(val, bs):
+        return F.lit(1) + F.aggregate(
+            bs, F.lit(0), lambda acc, x: acc + (val > x).cast("int")
+        )
+
+    scored = cust.crossJoin(F.broadcast(b)).select(
+        score(F.col("r_days"), F.col("rb")).alias("r_score"),
+        score(F.col("f_cnt"), F.col("fb")).alias("f_score"),
+        score(F.col("m_sum"), F.col("mb")).alias("m_score"),
+        "m_sum",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("m_sum"), 2).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
