@@ -736,3 +736,132 @@ def stream_pq_encode_q(spark, sf_dir):
     return stream_pq_encode(
         spark, f"{sf_dir}/embeddings.parquet", m=_PQ_M, ksub=_PQ_KSUB
     ).orderBy("vec_id", "j")
+
+
+@query(
+    "ann_recall_eval_srp",
+    # Composes the two existing exact oracles (brute-force cosine
+    # top-k; the fully-portable SRP-LSH pipeline) and compares them
+    # with INTEGER arithmetic: total/min recall are single divisions
+    # of exact integer counts, so no float-summation order can flip
+    # the 4 dp rounding.
+    oracle=f"""
+    WITH u AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
+                            list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                            list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS uv
+        FROM embeddings
+    ),
+    brute AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(q.uv, c.uv), 4) DESC,
+                                c.vec_id) AS rn
+            FROM u q JOIN u c
+              ON q.vec_id % {_QUERY_MOD} = 0 AND q.vec_id <> c.vec_id
+        ) WHERE rn <= {_K}
+    ),
+    qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5)) AS q
+        FROM embeddings
+    ),
+    planes AS (
+        SELECT p.range AS p,
+               list_transform(range(64), d ->
+                   CASE WHEN CAST(('0x' || substr(md5(
+                            CAST(p.range AS VARCHAR) || ':' || CAST(d AS VARCHAR)
+                        ), 1, 8)) AS BIGINT) & 1 = 1
+                        THEN 1.0 ELSE -1.0 END) AS s
+        FROM range({_SRP_PLANES}) p
+    ),
+    dots AS (
+        SELECT v.vec_id, pl.p, list_dot_product(pl.s, v.q) AS dot
+        FROM qv v CROSS JOIN planes pl
+    ),
+    keys AS (
+        SELECT vec_id, CAST(p // {_SRP_RPB} AS INT) AS band,
+               CAST(SUM(CASE WHEN dot > 0
+                        THEN (CAST(1 AS BIGINT) << CAST({_SRP_RPB} - 1 - (p % {_SRP_RPB}) AS INT))
+                        ELSE 0 END) AS BIGINT) AS key
+        FROM dots GROUP BY vec_id, p // {_SRP_RPB}
+    ),
+    cand AS (
+        SELECT DISTINCT kq.vec_id AS query_id, kc.vec_id AS cand_id
+        FROM keys kq JOIN keys kc ON kq.band = kc.band AND kq.key = kc.key
+        WHERE kq.vec_id % {_QUERY_MOD} = 0 AND kq.vec_id <> kc.vec_id
+    ),
+    lsh AS (
+        SELECT query_id, cand_id FROM (
+            SELECT c.query_id, c.cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY ROUND(list_dot_product(qu.uv, cu.uv), 4) DESC,
+                                c.cand_id) AS rn
+            FROM cand c
+            JOIN u qu ON qu.vec_id = c.query_id
+            JOIN u cu ON cu.vec_id = c.cand_id
+        ) WHERE rn <= {_K}
+    ),
+    per_q AS (
+        SELECT b.query_id,
+               COUNT(*) AS n_true,
+               SUM(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM brute b
+        LEFT JOIN lsh l
+          ON l.query_id = b.query_id AND l.cand_id = b.cand_id
+        GROUP BY b.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(SUM(n_hit) * 1.0 / SUM(n_true), 4) AS recall_at_k,
+           ROUND(MIN(n_hit * 1.0 / n_true), 4) AS min_query_recall,
+           CAST(SUM(CASE WHEN n_hit = n_true THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_perfect_queries
+    FROM per_q
+    """,
+    doc="ANN self-evaluation: recall@k of the SRP-LSH pipeline against "
+    "the exact brute-force top-k, computed IN-ENGINE (left-semi-style "
+    "join of the two result relations, integer-exact recall "
+    "aggregates) — the eval harness a 100 TB vector deployment runs "
+    "per index build to pick nprobe/bands; both legs reuse the "
+    "catalog kernels, so the eval costs one extra bounded join over "
+    "queries x k rows (extension: ANN evaluation)",
+)
+def ann_recall_eval_srp(spark, sf_dir):
+    from qaapi_spark.operators.similarity import cosine_topk_bruteforce
+
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    brute = cosine_topk_bruteforce(qs, e, _K).select("query_id", "cand_id")
+    lsh = srp_lsh_topk(
+        qs, e, _K, n_planes=_SRP_PLANES, n_bands=_SRP_BANDS
+    ).select("query_id", F.col("cand_id").alias("lsh_cand"))
+    per_q = (
+        brute.join(
+            lsh,
+            (brute["query_id"] == lsh["query_id"])
+            & (brute["cand_id"] == lsh["lsh_cand"]),
+            "left",
+        )
+        .select(brute["query_id"].alias("qid"), "lsh_cand")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.col("lsh_cand").isNotNull().cast("long")).alias("n_hit"),
+        )
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.sum("n_hit") / F.sum("n_true"), 4).alias("recall_at_k"),
+        F.round(F.min(F.col("n_hit") / F.col("n_true")), 4).alias(
+            "min_query_recall"
+        ),
+        F.sum((F.col("n_hit") == F.col("n_true")).cast("long")).alias(
+            "n_perfect_queries"
+        ),
+    )
