@@ -316,9 +316,7 @@ def funnel_conversion_counts(spark, sf_dir):
     )
 
 
-@query(
-    "running_distinct_users_daily",
-    oracle="""
+_RUNNING_DISTINCT_ORACLE = """
     WITH fs AS (
         SELECT user_id,
                MIN(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) AS day_s
@@ -329,7 +327,12 @@ def funnel_conversion_counts(spark, sf_dir):
            CAST(SUM(new_users) OVER (ORDER BY day_s) AS BIGINT)
                AS cum_distinct_users
     FROM d ORDER BY day_s
-    """,
+    """
+
+
+@query(
+    "running_distinct_users_daily",
+    oracle=_RUNNING_DISTINCT_ORACLE,
     doc="running distinct users per day WITHOUT a running distinct: "
     "cumulative COUNT(DISTINCT) is not window-able, so the scale shape "
     "is first-seen-day per user (one user-keyed shuffle, map-side "
@@ -353,3 +356,26 @@ def running_distinct_users_daily(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).alias("cum_distinct_users"),
     ).orderBy("day_s")
+
+
+@query(
+    "stream_running_distinct_users",
+    oracle=_RUNNING_DISTINCT_ORACLE,
+    doc="the running-distinct growth curve as a STREAM: events arrive "
+    "in micro-batches (3 id-range slices, one file per trigger) and "
+    "each batch's (user_id, min epoch-day) MIN-merges into the "
+    "first-seen store — min over first-seen days is associative and "
+    "commutative, so the final state is bit-equal to the batch "
+    "first-seen relation regardless of arrival order and the stream "
+    "hash-checks against the same oracle as "
+    "running_distinct_users_daily; state is |users| rows (the honest "
+    "cost of exactness — stream_hll_running is the bounded-state "
+    "companion) (extension, SURVEY §2.9; "
+    "streaming/incremental.stream_running_distinct)",
+)
+def stream_running_distinct_users(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import stream_running_distinct
+
+    return stream_running_distinct(spark, f"{sf_dir}/events.parquet").orderBy(
+        "day_s"
+    )

@@ -1087,3 +1087,100 @@ def stream_weighted_sample(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def stream_running_distinct(
+    spark: SparkSession,
+    events_path: str,
+    n_splits: int = 3,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming EXACT running-distinct-users curve via MIN-mergeable
+    first-seen state: each micro-batch reduces to (user_id, min
+    epoch-day) and MIN-merges into the first-seen store.  min() over
+    first-seen days is associative and commutative, so the final state
+    is bit-equal to the batch first-seen relation REGARDLESS of
+    arrival order — the streamed growth curve hash-checks against the
+    same DuckDB oracle as the batch `running_distinct_users_daily`
+    query (the stream_hll_running contract, applied to the exact
+    computation).
+
+    State is |users| rows — the honest cost of exactness; the
+    bounded-state companion is `stream_hll_running` (2^p registers per
+    group).  Per-epoch work: one map-side-combined user aggregate over
+    the batch plus a |users|-bounded merge.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.sources.tables import events_stream_spec
+
+    raw_schema, normalize_ts = events_stream_spec(spark, events_path)
+    raw = spark.read.schema(raw_schema).parquet(events_path)
+    lo, hi = raw.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
+    stage_dir = _scratch(prefix="events_rdist_stream_")
+    for i in range(n_splits):
+        hi_pad = (1 << 60) if i == n_splits - 1 else 0
+        (
+            raw.filter(
+                (F.col("event_id") >= int(lo) + i * step)
+                & (F.col("event_id") < int(lo) + (i + 1) * step + hi_pad)
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage_dir, f"slice={i}"))
+        )
+    store_dir = _scratch(prefix="events_rdist_store_") + "/first_seen"
+
+    def merge_batch(bdf, epoch_id: int) -> None:
+        ts = normalize_ts(bdf)
+        seen = (
+            ts.groupBy("user_id")
+            .agg(F.min(F.floor(F.unix_timestamp("ts") / 86400)).alias("day_s"))
+        )
+        try:
+            prev = bdf.sparkSession.read.parquet(store_dir)
+            seen = (
+                seen.unionByName(prev)
+                .groupBy("user_id")
+                .agg(F.min("day_s").alias("day_s"))
+            )
+        except Exception:
+            pass
+        seen.coalesce(1).write.mode("overwrite").parquet(store_dir + ".next")
+        import shutil
+
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.move(store_dir + ".next", store_dir)
+
+    stream = spark.readStream.schema(raw_schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(stage_dir + "/slice=*")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _scratch(prefix="rdist_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    from pyspark.sql import Window
+
+    d = (
+        spark.read.parquet(store_dir)
+        .groupBy("day_s")
+        .agg(F.count("*").alias("new_users"))
+    )
+    w = Window.orderBy("day_s").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "day_s",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_distinct_users"),
+    )

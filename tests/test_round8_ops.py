@@ -202,3 +202,19 @@ def test_phonetic_blocking_catches_spelling_variant_blocks(spark):
     codes = {r["p_name"]: r["blk"] for r in df.select("p_name", skeleton.alias("blk")).collect()}
     assert codes["azure green"] == codes["azure grene"] == "GRN"
     assert codes["ivory blush"] != "GRN"
+
+
+def test_stream_running_distinct_equals_batch(spark):
+    """MIN-merge over first-seen days is order-independent, so the
+    streamed growth curve must reproduce the batch curve bit-for-bit."""
+    from qaapi_spark.plans.catalog import CATALOG
+
+    batch = [
+        tuple(r)
+        for r in CATALOG["running_distinct_users_daily"].fn(spark, SF_SMOKE).collect()
+    ]
+    streamed = [
+        tuple(r)
+        for r in CATALOG["stream_running_distinct_users"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert streamed == batch and len(batch) > 0
