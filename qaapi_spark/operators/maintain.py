@@ -176,12 +176,36 @@ def compact_files(
     unit of that loop.
 
     The swap is write-to-sibling + two renames (old -> trash,
-    new -> old), the same pattern as the pipeline's full-replace swap:
-    readers never observe a half-written directory.
+    new -> old).  Readers never observe a HALF-WRITTEN directory, but
+    the two-rename window is not reader-atomic: between the renames
+    the dataset is briefly absent at ``path`` (a concurrent reader
+    gets FileNotFound), so run this only inside a single-writer,
+    no-concurrent-reader maintenance window — the same contract as
+    Hive/Iceberg's non-transactional rewrite (ADVICE r8 #3).  Crash
+    recovery: a crash between the renames strands the data at
+    ``<path>.__compact_old__``; on entry this function detects that
+    state (trash present, ``path`` absent) and restores the trash
+    before compacting, so a rerun self-heals.
 
     Returns {files_before, bytes_before, files_after, bytes_after,
     rows} for the caller's audit log."""
     import math
+
+    jvm0 = spark._jvm
+    trash0 = path.rstrip("/") + ".__compact_old__"
+    fs0 = jvm0.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    if fs0.exists(
+        jvm0.org.apache.hadoop.fs.Path(trash0)
+    ) and not fs0.exists(jvm0.org.apache.hadoop.fs.Path(path)):
+        # Prior run crashed between the two renames: recover the
+        # stranded original before doing anything else.
+        if not fs0.rename(
+            jvm0.org.apache.hadoop.fs.Path(trash0),
+            jvm0.org.apache.hadoop.fs.Path(path),
+        ):
+            raise IOError(f"compact_files: could not recover {trash0}")
 
     files = list_parquet_files(spark, path)
     bytes_before = sum(b for _, b in files)

@@ -217,7 +217,7 @@ def weighted_sample_wor_per_group(
     id_col: str = "doc_id",
     seed: str = "wrs1",
     round_dp: int = 6,
-) -> Column | DataFrame:
+) -> DataFrame:
     """Weighted sampling WITHOUT replacement, k per group — the
     Efraimidis-Spirakis exponential-key scheme (A-ES, Inf. Process.
     Lett. 97(5), 2006, public): each row draws a deterministic uniform

@@ -982,6 +982,55 @@ def stream_covariance_update(
     )
 
 
+def _merge_weighted_sample_batch(bdf, store_dir: str, k: int, seed: str) -> None:
+    """One foreachBatch merge step of the streaming weighted-WOR
+    sample, module-level so retry-idempotence is unit-testable
+    (tests/test_round9_fixes.py replays the same batch twice).
+
+    Merge contract: union new batch keys with the bounded store,
+    dedup, keep the k smallest A-ES keys per group, atomically swap
+    the store.  Applying the SAME batch twice must leave the store
+    bit-identical (foreachBatch retries replay batches)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from qaapi_spark.operators.sampling import weighted_sample_wor_per_group
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    toks = bdf.select(
+        "doc_id",
+        "lang",
+        F.size(ws_tokens(F.lower(F.col("text")))).alias("n_tokens"),
+    )
+    batch_top = weighted_sample_wor_per_group(
+        toks, "lang", k, "n_tokens", id_col="doc_id", seed=seed
+    ).select("grp", "id", "weight", "es_key")
+    # Existence check, not try/except: a read error other than the
+    # expected first-epoch missing store must propagate, or it would
+    # silently discard all accumulated state (ADVICE r8 #2).
+    if os.path.isdir(store_dir):
+        batch_top = batch_top.unionByName(bdf.sparkSession.read.parquet(store_dir))
+    # Retry-idempotence: if foreachBatch replays a batch whose rows
+    # already merged into the store, the union holds exact duplicate
+    # (grp, id, es_key) rows; both copies would count toward the k
+    # smallest and evict legitimate ids (ADVICE r8 #1).  Duplicates
+    # are exact copies (es_key is a pure function of id+seed), so a
+    # key-dedup restores idempotence.
+    batch_top = batch_top.dropDuplicates(["grp", "id"])
+    win = Window.partitionBy("grp").orderBy(F.asc("es_key"), F.asc("id"))
+    merged = (
+        batch_top.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    # groups x k rows: rewrite wholesale per epoch (idempotent)
+    merged.coalesce(1).write.mode("overwrite").parquet(store_dir + ".next")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    shutil.move(store_dir + ".next", store_dir)
+
+
 def stream_weighted_sample(
     spark: SparkSession,
     docs_path: str,
@@ -1028,33 +1077,7 @@ def stream_weighted_sample(
     store_dir = _scratch(prefix="docs_wrs_store_") + "/topk"
 
     def merge_batch(bdf, epoch_id: int) -> None:
-        toks = bdf.select(
-            "doc_id",
-            "lang",
-            F.size(ws_tokens(F.lower(F.col("text")))).alias("n_tokens"),
-        )
-        batch_top = weighted_sample_wor_per_group(
-            toks, "lang", k, "n_tokens", id_col="doc_id", seed=seed
-        ).select("grp", "id", "weight", "es_key")
-        try:
-            prev = bdf.sparkSession.read.parquet(store_dir)
-            batch_top = batch_top.unionByName(prev)
-        except Exception:
-            pass
-        from pyspark.sql import Window
-
-        win = Window.partitionBy("grp").orderBy(F.asc("es_key"), F.asc("id"))
-        merged = (
-            batch_top.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") <= k)
-            .drop("rn")
-        )
-        # groups x k rows: rewrite wholesale per epoch (idempotent)
-        merged.coalesce(1).write.mode("overwrite").parquet(store_dir + ".next")
-        import shutil
-
-        shutil.rmtree(store_dir, ignore_errors=True)
-        shutil.move(store_dir + ".next", store_dir)
+        _merge_weighted_sample_batch(bdf, store_dir, k, seed)
 
     stream = spark.readStream.schema(raw_schema).option(
         "maxFilesPerTrigger", "1"
@@ -1139,15 +1162,15 @@ def stream_running_distinct(
             ts.groupBy("user_id")
             .agg(F.min(F.floor(F.unix_timestamp("ts") / 86400)).alias("day_s"))
         )
-        try:
-            prev = bdf.sparkSession.read.parquet(store_dir)
+        # Existence check, not try/except (ADVICE r8 #2): only the
+        # first-epoch missing-store path may be skipped; any other read
+        # error must propagate rather than silently dropping all state.
+        if os.path.isdir(store_dir):
             seen = (
-                seen.unionByName(prev)
+                seen.unionByName(bdf.sparkSession.read.parquet(store_dir))
                 .groupBy("user_id")
                 .agg(F.min("day_s").alias("day_s"))
             )
-        except Exception:
-            pass
         seen.coalesce(1).write.mode("overwrite").parquet(store_dir + ".next")
         import shutil
 
