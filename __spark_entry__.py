@@ -76,13 +76,20 @@ def _driver_state() -> tuple[set[str], set[str], int, dict[str, int]]:
 # passthrough), and the Hamming screen's query collect (limit + bound),
 # so their r7 rows certify retired code.  All four re-verified locally
 # (check_oracle sf0.001 + sf0.01); the force makes the driver confirm.
-_FORCE_RECHECK_ROUND = 7
+_FORCE_RECHECK_ROUND = 8
 _FORCE_RECHECK = frozenset(
     {
+        # Round 9: SRP-LSH retune (128 planes / 16 bands / 1-flip
+        # multi-probe — results CHANGE) and the ADVICE-r8 fixes that
+        # changed executed paths (stream merge dedup + existence-check
+        # state reads, compaction crash-recovery pre-check, dense
+        # vocab-count guard).
+        "ann_topk_srp_lsh",
+        "ann_recall_eval_srp",
+        "stream_weighted_sample",
+        "stream_running_distinct_users",
+        "maintain_compact_small_files",
         "dedup_ngram_jaccard_dense",
-        "dedup_containment_pairs",
-        "dedup_containment_sparse",
-        "ann_topk_binary_hamming",
     }
 )
 

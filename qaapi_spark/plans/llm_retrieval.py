@@ -143,9 +143,18 @@ def dedup_keep_representatives(spark, sf_dir):
     )
 
 
-_SRP_PLANES = 16
-_SRP_BANDS = 4
+# Retuned round 9 (VERDICT r8 wrong #2): 16 planes / 4 bands measured
+# recall@5 = 0.40 at sf0.1.  The sweep (SCALE.md round 9) over
+# planes x bands x probe-flips found 128/16 + 1-flip query-side
+# multi-probe the cheapest config clearing the >= 0.8 serving bar:
+# recall@5 = 0.86 at ~45% mean corpus-touch (the no-probe runner-up,
+# 64/16, needs 63% for 0.90 — near-random synthetic neighbors sit at
+# cosine 0.27-0.39 where every LSH s-curve is flat, so recall is
+# bought with candidates, not signature bits).
+_SRP_PLANES = 128
+_SRP_BANDS = 16
 _SRP_RPB = _SRP_PLANES // _SRP_BANDS
+_SRP_FLIPS = 1
 
 
 @query(
@@ -192,10 +201,18 @@ _SRP_RPB = _SRP_PLANES // _SRP_BANDS
                         ELSE 0 END) AS BIGINT) AS key
         FROM dots GROUP BY vec_id, p // {_SRP_RPB}
     ),
+    qprobe AS (
+        SELECT vec_id, band, key FROM keys WHERE vec_id % {_QUERY_MOD} = 0
+        UNION
+        SELECT k.vec_id, k.band,
+               xor(k.key, CAST(1 AS BIGINT) << CAST(f.range AS INT)) AS key
+        FROM keys k CROSS JOIN range({_SRP_RPB}) f
+        WHERE k.vec_id % {_QUERY_MOD} = 0
+    ),
     cand AS (
         SELECT DISTINCT kq.vec_id AS query_id, kc.vec_id AS cand_id
-        FROM keys kq JOIN keys kc ON kq.band = kc.band AND kq.key = kc.key
-        WHERE kq.vec_id % {_QUERY_MOD} = 0 AND kq.vec_id <> kc.vec_id
+        FROM qprobe kq JOIN keys kc ON kq.band = kc.band AND kq.key = kc.key
+        WHERE kq.vec_id <> kc.vec_id
     ),
     scored AS (
         SELECT c.query_id, c.cand_id,
@@ -213,7 +230,8 @@ _SRP_RPB = _SRP_PLANES // _SRP_BANDS
     ORDER BY query_id, cosine DESC, cand_id
     """,
     doc="approximate cosine top-k via signed-random-projection LSH "
-    "(16 deterministic md5-parity hyperplanes, 4 bands): map-only "
+    "(128 deterministic md5-parity hyperplanes, 16 bands, 1-flip "
+    "query-side multi-probe per Lv et al. VLDB'07): map-only "
     "signatures over fixed-point int64 vectors (engine-exact bits), "
     "(band, key) equi-join candidates, exact rerank — the full "
     "approximate pipeline hash-checks against a SQL oracle "
@@ -223,7 +241,8 @@ def ann_topk_srp_lsh(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
     return srp_lsh_topk(
-        qs, e, _K, n_planes=_SRP_PLANES, n_bands=_SRP_BANDS
+        qs, e, _K, n_planes=_SRP_PLANES, n_bands=_SRP_BANDS,
+        n_probe_flips=_SRP_FLIPS,
     ).orderBy("query_id", F.desc("cosine"), "cand_id")
 
 
@@ -791,10 +810,18 @@ def stream_pq_encode_q(spark, sf_dir):
                         ELSE 0 END) AS BIGINT) AS key
         FROM dots GROUP BY vec_id, p // {_SRP_RPB}
     ),
+    qprobe AS (
+        SELECT vec_id, band, key FROM keys WHERE vec_id % {_QUERY_MOD} = 0
+        UNION
+        SELECT k.vec_id, k.band,
+               xor(k.key, CAST(1 AS BIGINT) << CAST(f.range AS INT)) AS key
+        FROM keys k CROSS JOIN range({_SRP_RPB}) f
+        WHERE k.vec_id % {_QUERY_MOD} = 0
+    ),
     cand AS (
         SELECT DISTINCT kq.vec_id AS query_id, kc.vec_id AS cand_id
-        FROM keys kq JOIN keys kc ON kq.band = kc.band AND kq.key = kc.key
-        WHERE kq.vec_id % {_QUERY_MOD} = 0 AND kq.vec_id <> kc.vec_id
+        FROM qprobe kq JOIN keys kc ON kq.band = kc.band AND kq.key = kc.key
+        WHERE kq.vec_id <> kc.vec_id
     ),
     lsh AS (
         SELECT query_id, cand_id FROM (
@@ -839,7 +866,8 @@ def ann_recall_eval_srp(spark, sf_dir):
     qs = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
     brute = cosine_topk_bruteforce(qs, e, _K).select("query_id", "cand_id")
     lsh = srp_lsh_topk(
-        qs, e, _K, n_planes=_SRP_PLANES, n_bands=_SRP_BANDS
+        qs, e, _K, n_planes=_SRP_PLANES, n_bands=_SRP_BANDS,
+        n_probe_flips=_SRP_FLIPS,
     ).select("query_id", F.col("cand_id").alias("lsh_cand"))
     per_q = (
         brute.join(

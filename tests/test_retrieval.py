@@ -214,3 +214,18 @@ def test_tfidf_dense_overflow_guard_sees_corpus_side(spark):
     d = t(spark, SF_SMOKE, "documents").limit(50)
     with pytest.raises(ValueError, match="fixed-point dot overflow"):
         tfidf_cosine_topk_dense(d, query_mod=10, k_pool=5, quant=10**9)
+
+
+def test_srp_lsh_default_recall_meets_serving_bar(spark):
+    """Round-9 retune contract (VERDICT r8 wrong #2): the DEFAULT
+    SRP-LSH parameterization (128 planes / 16 bands / 1-flip
+    multi-probe) must measure recall@5 >= 0.8 against exact brute
+    force on the full sf0.1 corpus — the serving bar the 16/4 default
+    missed (0.40).  Uses the in-engine eval so the number asserted is
+    the number the catalog reports."""
+    from qaapi_spark.plans import CATALOG
+
+    row = (
+        CATALOG["ann_recall_eval_srp"].fn(spark, "/root/testdata/sf0.1").collect()[0]
+    )
+    assert row["recall_at_k"] >= 0.8, row
