@@ -90,6 +90,9 @@ _FORCE_RECHECK = frozenset(
         "stream_running_distinct_users",
         "maintain_compact_small_files",
         "dedup_ngram_jaccard_dense",
+        # pyarrow footer-stats sentinel replaced the max(ts)-scan +
+        # Spark sentinel write in the outer attribution replay
+        "stream_attribution_left_outer",
     }
 )
 

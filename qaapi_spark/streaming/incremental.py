@@ -564,9 +564,7 @@ def stream_interval_join_left(
     watermark per side exactly as in the inner variant.
     """
     import datetime
-    import glob
     import os
-    import shutil
 
     from qaapi_spark.sources.tables import events_stream_spec
 
@@ -574,26 +572,44 @@ def stream_interval_join_left(
     stage_dir = _scratch(prefix="events_ssjl_")
     os.symlink(os.path.abspath(events_path), os.path.join(stage_dir, "part-0.parquet"))
 
-    max_ts = (
-        normalize_ts(spark.read.schema(raw_schema).parquet(events_path))
-        .agg(F.max("ts"))
-        .collect()[0][0]
+    # Derive the watermark-flush sentinel driver-side from parquet
+    # footer statistics (no Spark job): the replay previously spent
+    # two fixed jobs — a full-scan max(ts) aggregate plus a
+    # createDataFrame->write for the 2-row sentinel — on what the
+    # file's own row-group stats and a direct pyarrow write answer in
+    # milliseconds (round-9 probe: those jobs were ~1.5 s of the
+    # ~8 s replay; the join itself is machinery-bound, SCALE.md r9).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(events_path)
+    ts_idx = pf.schema_arrow.get_field_index("ts")
+    max_raw = max(
+        pf.metadata.row_group(g).column(ts_idx).statistics.max
+        for g in range(pf.metadata.num_row_groups)
     )
-    flush1 = max_ts + datetime.timedelta(days=10)
-    flush2 = max_ts + datetime.timedelta(days=20)
-    sent = spark.createDataFrame(
-        [
-            (-1, flush1, -1, left_type, None, None),
-            (-2, flush2, -2, right_type, None, None),
-        ],
-        raw_schema,
+    ts_type = pf.schema_arrow.field(ts_idx).type
+    if not isinstance(max_raw, datetime.datetime):
+        # nanos-backed stats surface as integers; sentinel stays in
+        # the same physical unit so the streaming reader's
+        # normalize_ts path treats it exactly like real rows
+        unit_per_day = {"s": 86400, "ms": 86400 * 10**3, "us": 86400 * 10**6, "ns": 86400 * 10**9}[ts_type.unit]
+        flush1, flush2 = max_raw + 10 * unit_per_day, max_raw + 20 * unit_per_day
+    else:
+        flush1 = max_raw + datetime.timedelta(days=10)
+        flush2 = max_raw + datetime.timedelta(days=20)
+    sent_tbl = pa.table(
+        {
+            "event_id": pa.array([-1, -2], pa.int64()),
+            "ts": pa.array([flush1, flush2], ts_type),
+            "user_id": pa.array([-1, -2], pa.int64()),
+            "event_type": pa.array([left_type, right_type], pa.string()),
+            "value": pa.array([None, None], pa.float64()),
+            "props": pa.array([None, None], pa.string()),
+        },
+        schema=pf.schema_arrow,
     )
-    tmp = _scratch(prefix="events_ssjl_sent_")
-    sent.coalesce(1).write.mode("overwrite").parquet(tmp)
-    shutil.copy(
-        glob.glob(tmp + "/part-*.parquet")[0],
-        os.path.join(stage_dir, "part-1.parquet"),
-    )
+    pq.write_table(sent_tbl, os.path.join(stage_dir, "part-1.parquet"))
 
     def side(tp: str, alias: str) -> DataFrame:
         s = normalize_ts(
