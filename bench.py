@@ -257,6 +257,11 @@ def main() -> None:
         "slowest": slowest,
         "calib_cpu_s": out["calib_cpu_s"],
         "calib_spark_s": out["calib_spark_s"],
+        # io/mt probes in the driver-parsed line too (VERDICT r8 #5):
+        # the stall-window adjudications key on these, so the judge
+        # must not have to re-derive them from SCALE.md prose
+        "calib_io_s": out["calib_io_s"],
+        "calib_mt_s": out["calib_mt_s"],
     }
     if prev:
         compact["prev_round"] = prev_round
