@@ -767,6 +767,92 @@ def minhash_lsh_verified_pairs(
     )
 
 
+def minhash_lsh_verified_pairs_from_sets(
+    sets: DataFrame,
+    threshold: float,
+    num_hashes: int = 64,
+    n_bands: int = 32,
+    id_col: str = "id",
+    set_col: str = "sh",
+) -> DataFrame:
+    """``minhash_lsh_verified_pairs`` generalized to a pre-fingerprinted
+    (id, sh: array<long>) relation — the set elements are whatever
+    granularity the caller chose (span hashes, line hashes, shingle
+    hashes), so document-level near-dup can run at span granularity
+    without re-tokenizing (reference semantics: same LSH pipeline, new
+    set universe; composition target from VERDICT r8 next #7).
+
+    Same three-stage shape as the text kernel: map-only signatures
+    (h_i = xxhash64(i, element) remixes + array_min — no explode, no
+    shuffle), (band, bsig) equi-join candidates carrying 24-byte rows,
+    exact-Jaccard verify on the re-attached sets.  With the r=2 / 32
+    band default a true pair at j=0.8 escapes all bands with
+    (1-0.64)^32 ~= 7e-15, so the verified output equals the exact
+    all-pairs relation and hash-checks against a plain-SQL oracle.
+    Elements must already be distinct per id (``collect_set`` upstream
+    guarantees this for the span path)."""
+    from qaapi_spark.session import register_kernel_cache
+
+    own = register_kernel_cache(
+        sets.select(
+            F.col(id_col).alias("id"),
+            F.col(set_col).alias("sh"),
+            F.size(set_col).alias("set_size"),
+        )
+        .filter(F.col("set_size") > 0)
+        .persist()
+    )
+    signed = own.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("sh"), lambda v: F.xxhash64(F.lit(i), v)))
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    bands = minhash_band_keys(signed, num_hashes, n_bands)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.join(
+            own.select(
+                F.col("id").alias("id_a"),
+                F.col("sh").alias("sh_a"),
+                F.col("set_size").alias("size_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            own.select(
+                F.col("id").alias("id_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("set_size").alias("size_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 63
 ) -> DataFrame:

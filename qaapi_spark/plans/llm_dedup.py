@@ -918,3 +918,64 @@ def dedup_phonetic_blocked_names(spark, sf_dir):
         .filter(F.col("dist") <= _LEV_MAX)
         .orderBy("name_a", "name_b")
     )
+
+
+_SPAN_MH_THRESHOLD = 0.8
+
+
+def _span_jaccard_oracle() -> str:
+    from qaapi_spark.plans.llm_text import _DD_SPANS
+
+    return f"""
+    WITH {_DD_SPANS},
+    span_sets AS (
+        SELECT doc_id, list_distinct(list(span_key)) AS sh
+        FROM spans GROUP BY doc_id
+    ),
+    ssizes AS (SELECT doc_id, len(sh) AS n FROM span_sets),
+    sposting AS (SELECT doc_id, unnest(sh) AS k FROM span_sets),
+    sinter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sposting a JOIN sposting b ON a.k = b.k AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
+    FROM sinter i
+    JOIN ssizes sa ON i.id_a = sa.doc_id
+    JOIN ssizes sb ON i.id_b = sb.doc_id
+    WHERE ROUND(i.c * 1.0 / (sa.n + sb.n - i.c), 4) >= {_SPAN_MH_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "dedup_minhash_spans",
+    # Same oracle strategy as dedup_minhash_lsh: with r=2 over 32
+    # bands a true pair at j=0.8 escapes every band with
+    # (1-0.64)^32 ~= 7e-15, so the banded+verified output provably
+    # equals the exact all-pairs span-Jaccard relation — plain SQL
+    # over llm_text's shared _DD_SPANS fragment (md5 span keys,
+    # engine-portable; the fragment's span_df CTE is unused here).
+    oracle=_span_jaccard_oracle(),
+    doc="document-level near-dup MinHash at SPAN granularity "
+    "(VERDICT r8 next #7): the per-doc set universe is the md5 "
+    "fingerprints of non-overlapping 10-token spans (the same spans "
+    "relation the boilerplate/span-dedup queries share), so two "
+    "documents match when they are built from the same long blocks "
+    "even where local edits shift every word-shingle; 64 map-only "
+    "minhash remixes over the span-key sets, 32 bands of r=2, exact "
+    "span-Jaccard verify — banding recall ~1 at j>=0.8 makes the "
+    "output equal the exact relation, so it hash-checks against "
+    "plain SQL (extension: span-granular corpus dedup; composes "
+    "_shared_spans with minhash_lsh_verified_pairs_from_sets)",
+)
+def dedup_minhash_spans(spark, sf_dir):
+    from qaapi_spark.operators.dedup import minhash_lsh_verified_pairs_from_sets
+    from qaapi_spark.plans.llm_text import _shared_spans
+
+    spans, _ = _shared_spans(spark, sf_dir)
+    sets = spans.groupBy("doc_id").agg(F.collect_set("span_key").alias("sh"))
+    return minhash_lsh_verified_pairs_from_sets(
+        sets, _SPAN_MH_THRESHOLD, num_hashes=64, n_bands=32, id_col="doc_id"
+    ).orderBy("id_a", "id_b")

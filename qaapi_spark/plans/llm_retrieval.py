@@ -156,18 +156,16 @@ _SRP_BANDS = 16
 _SRP_RPB = _SRP_PLANES // _SRP_BANDS
 _SRP_FLIPS = 1
 
-
-@query(
-    "ann_topk_srp_lsh",
-    # Exact oracle (upgraded from rows-only in r4): the hyperplane
-    # signs come from md5 parity (engine-stable) and the projection
-    # bits from fixed-point int64 dots (floor(x*1e6 + 0.5) quantized
-    # vectors; every intermediate < 2^53 so DuckDB's double SUM is
-    # exact too), so the WHOLE approximate pipeline — signature ->
-    # band keys -> candidate join -> exact rerank — is reproducible
-    # in SQL.  Same pattern that gave ann_topk_ivf its oracle in r2.
-    oracle=f"""
-    WITH u AS (
+# The full SRP-LSH scored-candidates CTE chain (signature -> band keys
+# -> multi-probe -> candidate join -> exact cosine), shared by the
+# plain top-k oracle and the two-stage rerank pipeline's oracle: the
+# hyperplane signs come from md5 parity (engine-stable) and the
+# projection bits from fixed-point int64 dots (floor(x*1e6 + 0.5)
+# quantized vectors; every intermediate < 2^53 so DuckDB's double SUM
+# is exact too), so the WHOLE approximate pipeline is reproducible in
+# SQL.  Ends with scored(query_id, cand_id, cosine).
+_SRP_SCORED_CTES = f"""
+    u AS (
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
@@ -221,6 +219,17 @@ _SRP_FLIPS = 1
         JOIN u qu ON qu.vec_id = c.query_id
         JOIN u cu ON cu.vec_id = c.cand_id
     )
+"""
+
+
+@query(
+    "ann_topk_srp_lsh",
+    # Exact oracle (upgraded from rows-only in r4): the shared
+    # _SRP_SCORED_CTES chain is engine-exact end to end — see the
+    # fragment comment.  Same pattern that gave ann_topk_ivf its
+    # oracle in r2.
+    oracle=f"""
+    WITH {_SRP_SCORED_CTES}
     SELECT query_id, cand_id, cosine FROM (
         SELECT query_id, cand_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY query_id
@@ -244,6 +253,116 @@ def ann_topk_srp_lsh(spark, sf_dir):
         qs, e, _K, n_planes=_SRP_PLANES, n_bands=_SRP_BANDS,
         n_probe_flips=_SRP_FLIPS,
     ).orderBy("query_id", F.desc("cosine"), "cand_id")
+
+
+_CE_POOL = 20  # stage-1 candidate budget per query (caps stage-2 cost)
+
+
+@query(
+    "retrieval_two_stage_ce",
+    # Stage 1 is the shared engine-exact SRP chain cut at rn <= pool;
+    # stage 2's features are integer-exact (distinct-token posting
+    # intersection) or already-rounded doubles.  The blend is the
+    # UNWEIGHTED SUM, not the 0.5/0.5 mean: the mean of two 4-dp
+    # values lands exactly on x.xxxx5 rounding boundaries (measured:
+    # 0.5*0.2673 + 0.5*0.6154 rounds 0.4413 in Spark, 0.4414 in
+    # DuckDB), while the sum sits ~1e-16 from a 4-dp grid POINT —
+    # maximally far from any boundary — and ranks identically.
+    oracle=f"""
+    WITH {_SRP_SCORED_CTES},
+    pool AS (
+        SELECT query_id, cand_id, cosine FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_CE_POOL}
+    ),
+    tok AS (SELECT doc_id, list_distinct({_DD_TOKS}) AS tk FROM documents),
+    tsz AS (SELECT doc_id, len(tk) AS n FROM tok),
+    tposting AS (SELECT doc_id, unnest(tk) AS term FROM tok),
+    pinter AS (
+        SELECT p.query_id, p.cand_id, COUNT(*) AS c
+        FROM pool p
+        JOIN tposting a ON a.doc_id = p.query_id
+        JOIN tposting b ON b.doc_id = p.cand_id AND b.term = a.term
+        GROUP BY p.query_id, p.cand_id
+    ),
+    feat AS (
+        SELECT p.query_id, p.cand_id, p.cosine,
+               CASE WHEN (qa.n + qb.n - COALESCE(pi.c, 0)) = 0
+                    THEN CAST(0.0 AS DOUBLE)
+                    ELSE ROUND(COALESCE(pi.c, 0) * 1.0
+                               / (qa.n + qb.n - COALESCE(pi.c, 0)), 4)
+               END AS tok_jaccard
+        FROM pool p
+        LEFT JOIN pinter pi
+            ON pi.query_id = p.query_id AND pi.cand_id = p.cand_id
+        JOIN tsz qa ON qa.doc_id = p.query_id
+        JOIN tsz qb ON qb.doc_id = p.cand_id
+    ),
+    ce AS (
+        SELECT query_id, cand_id, cosine, tok_jaccard,
+               ROUND(cosine + tok_jaccard, 4) AS ce_score
+        FROM feat
+    )
+    SELECT query_id, cand_id, cosine, tok_jaccard, ce_score FROM (
+        SELECT query_id, cand_id, cosine, tok_jaccard, ce_score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ce_score DESC, cand_id) AS rn
+        FROM ce
+    ) WHERE rn <= {_K}
+    ORDER BY query_id, ce_score DESC, cand_id
+    """,
+    doc="budgeted two-stage retrieval pipeline END TO END (VERDICT r8 "
+    "next #7): stage 1 retrieves a pool of 20 candidates per query "
+    "via the retuned SRP-LSH index (multi-probe band join + exact "
+    "cosine), stage 2 re-scores every pooled pair with a "
+    "cross-encoder-STYLE exact pairwise interaction — distinct-token "
+    "overlap Jaccard between the two documents' texts, blended "
+    "equal-weight (rank-identical unweighted sum) with the dense cosine — and keeps the blended top-5. "
+    "The scorer is a deterministic stand-in for a learned "
+    "cross-encoder forward pass (no model weights in-container), but "
+    "the SHAPE is the production one: the pool budget caps stage-2 "
+    "cost at |queries| x 20 pairs regardless of corpus size, pair "
+    "features join against the corpus only through the broadcast "
+    "pool, and the final rerank is a WindowGroupLimit top-k "
+    "(extension: closes the retrieval story — index, probe, pool, "
+    "rerank in one plan)",
+)
+def retrieval_two_stage_ce(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    pool = srp_lsh_topk(
+        qs, e, _CE_POOL, n_planes=_SRP_PLANES, n_bands=_SRP_BANDS,
+        n_probe_flips=_SRP_FLIPS,
+    )
+    toks = d.select(
+        "doc_id", F.array_distinct(ws_tokens(F.lower(F.col("text")))).alias("tk")
+    )
+    # pool is bounded (|queries| x pool budget), so BOTH feature
+    # attachments stream the corpus token relation past a broadcast of
+    # the pool side — the corpus is never shuffled for stage 2
+    with_q = toks.select(
+        F.col("doc_id").alias("query_id"), F.col("tk").alias("tk_q")
+    ).join(F.broadcast(pool), "query_id")
+    pairs = toks.select(
+        F.col("doc_id").alias("cand_id"), F.col("tk").alias("tk_c")
+    ).join(F.broadcast(with_q), "cand_id")
+    inter = F.size(F.array_intersect("tk_q", "tk_c"))
+    union = F.size("tk_q") + F.size("tk_c") - inter
+    feat = pairs.withColumn(
+        "tok_jaccard",
+        F.when(union == 0, F.lit(0.0)).otherwise(F.round(inter / union, 4)),
+    ).withColumn(
+        "ce_score",
+        F.round(F.col("cosine") + F.col("tok_jaccard"), 4),
+    ).select("query_id", "cand_id", "cosine", "tok_jaccard", "ce_score")
+    top = topk_per_group(
+        feat, ["query_id"], [F.desc("ce_score"), F.asc("cand_id")], _K
+    )
+    return top.orderBy("query_id", F.desc("ce_score"), "cand_id")
 
 
 @query(
