@@ -254,3 +254,126 @@ def source_kl_divergence(
             F.round(F.sum(p * F.log(p / q)), 4).alias("kl_nats"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_toks, importance): DSIR-style hashed-feature importance
+    weights for distributionally-targeted data selection (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023 — public method).
+
+    Bag-of-hashed-unigrams models of the TARGET slice (rows where
+    ``target_pred``) and the RAW corpus, add-1 smoothed over
+    ``n_buckets`` hashed buckets; a document's importance is the
+    log-likelihood ratio  sum_t [ln p_target(b(t)) - ln p_raw(b(t))]
+    over its token occurrences — resample high-importance documents to
+    shift the corpus toward the target distribution without a trained
+    classifier.
+
+    Engine-portable: the bucket hash is the md5-prefix family (same as
+    the span keys), counts are exact integers, and the only floats are
+    the final ln ratios (mirrors the green bigram-LM precedent).
+    Plan: ONE corpus-sized token aggregate builds both models
+    (conditional counts per bucket — raw and target in the same pass),
+    the bucket model is n_buckets rows and BROADCASTS into the scoring
+    join, then one per-document sum.  At 100 TB the only growing terms
+    are the two corpus-sized passes (model + scoring), both map-side
+    combined.
+    """
+    from qaapi_spark.operators.textstats import ws_tokens
+    from qaapi_spark.session import register_kernel_cache
+
+    toks = register_kernel_cache(
+        df.select(
+            F.col(id_col).alias("id"),
+            target_pred.alias("is_target"),
+            F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tkn"),
+        )
+        .withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5("tkn"), 1, 8), 16, 10).cast("long")
+            % F.lit(n_buckets),
+        )
+        .persist()
+    )
+    model = toks.groupBy("bucket").agg(
+        F.count("*").alias("r_b"),
+        F.count(F.when(F.col("is_target"), 1)).alias("t_b"),
+    )
+    totals = model.agg(
+        F.sum("r_b").alias("r_tot"), F.sum("t_b").alias("t_tot")
+    )
+    lam = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("t_b") + 1) / (F.col("t_tot") + F.lit(n_buckets)))
+                - F.log((F.col("r_b") + 1) / (F.col("r_tot") + F.lit(n_buckets)))
+            ).alias("loglam"),
+        )
+    )
+    return toks.join(F.broadcast(lam), "bucket").groupBy("id").agg(
+        F.count("*").alias("n_toks"),
+        F.round(F.sum("loglam"), 4).alias("importance"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    ntok_col: str = "n_toks",
+) -> DataFrame:
+    """(group, id, n_toks, start_tok, first_chunk, last_chunk,
+    n_chunks): concat-and-chunk sequence packing — the standard LM
+    training-data layout where documents concatenate in a fixed order
+    within a shard and the token stream splits into fixed
+    ``budget``-token training sequences.
+
+    Deterministic and integer-exact: start offsets come from a running
+    SUM window over ``order_col`` within ``group_col``; chunk ids are
+    floor divisions of exact int64 offsets.  Zero-token documents are
+    excluded (they occupy no chunk).  Parallelism is per group — at
+    100 TB the pack group IS the output shard (thousands of them), so
+    the single-partition window bottleneck of a global pack never
+    appears; within a shard the window is one shuffle keyed on the
+    shard id.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(ntok_col).over(w), F.lit(0))
+    out = (
+        df.filter(F.col(ntok_col) > 0)
+        .withColumn("start_tok", start.cast("long"))
+        .withColumn(
+            "first_chunk", F.floor(F.col("start_tok") / F.lit(budget)).cast("long")
+        )
+        .withColumn(
+            "last_chunk",
+            F.floor(
+                (F.col("start_tok") + F.col(ntok_col) - 1) / F.lit(budget)
+            ).cast("long"),
+        )
+    )
+    return out.select(
+        group_col,
+        order_col,
+        F.col(ntok_col).cast("long").alias("n_toks"),
+        "start_tok",
+        "first_chunk",
+        "last_chunk",
+        (F.col("last_chunk") - F.col("first_chunk") + 1).alias("n_chunks"),
+    )

@@ -16,6 +16,7 @@ from qaapi_spark.operators.curation import (
     training_order,
 )
 from qaapi_spark.plans.catalog import query, t
+from qaapi_spark.plans.llm_text import _DD_TOKS_RAW
 
 _DD_WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
 _NGRAM_N = 5
@@ -356,3 +357,117 @@ def curation_source_kl_drift(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return source_kl_divergence(d).orderBy("source")
+
+
+_DSIR_BUCKETS = 1024
+_DSIR_TOPN = 100
+
+
+@query(
+    "curation_dsir_importance",
+    # Integer-exact counts; the only floats are ln of identical double
+    # quotients (same exact-integer operands both engines — mirrors the
+    # green bigram-LM precedent) summed per doc and rounded to 4 dp;
+    # the top-N boundary orders on the ROUNDED value with a doc_id
+    # tiebreak, so the selected set is engine-stable.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_target,
+               unnest({_DD_WORDS}) AS tkn
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, is_target,
+               CAST(('0x' || substr(md5(tkn), 1, 8)) AS BIGINT)
+                   % {_DSIR_BUCKETS} AS bucket
+        FROM toks
+    ),
+    model AS (
+        SELECT bucket, COUNT(*) AS r_b,
+               SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_b
+        FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(r_b) AS r_tot, SUM(t_b) AS t_tot FROM model),
+    lam AS (
+        SELECT bucket,
+               ln((t_b + 1) * 1.0 / (t_tot + {_DSIR_BUCKETS}))
+               - ln((r_b + 1) * 1.0 / (r_tot + {_DSIR_BUCKETS})) AS loglam
+        FROM model CROSS JOIN tot
+    )
+    SELECT doc_id, n_toks, importance FROM (
+        SELECT b.doc_id, COUNT(*) AS n_toks,
+               ROUND(SUM(lam.loglam), 4) AS importance
+        FROM b JOIN lam USING (bucket)
+        GROUP BY b.doc_id
+    )
+    ORDER BY importance DESC, doc_id LIMIT {_DSIR_TOPN}
+    """,
+    doc="DSIR-style data selection (Xie et al., NeurIPS 2023, public): "
+    "bag-of-hashed-unigram models (1024 md5 buckets, add-1 smoothing) "
+    "of the lang='en' TARGET slice vs the raw corpus; per-document "
+    "importance = summed log-likelihood ratio over token occurrences; "
+    "keep the top-100 most target-like documents. One corpus token "
+    "aggregate builds BOTH models in a single conditional pass, the "
+    "bucket model broadcasts (1024 rows) into the scoring join, the "
+    "top-N compiles to TakeOrderedAndProject (extension: "
+    "distribution-targeted corpus selection without a trained "
+    "classifier)",
+)
+def curation_dsir_importance(spark, sf_dir):
+    from qaapi_spark.operators.curation import dsir_importance
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        dsir_importance(d, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS)
+        .select(F.col("id").alias("doc_id"), "n_toks", "importance")
+        .orderBy(F.desc("importance"), "doc_id")
+        .limit(_DSIR_TOPN)
+    )
+
+
+_PACK_BUDGET = 128
+
+
+@query(
+    "curation_pack_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id, len({_DD_TOKS_RAW}) AS n_toks FROM documents
+    ),
+    p AS (
+        SELECT source, doc_id, n_toks,
+               COALESCE(SUM(n_toks) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_tok
+        FROM toks WHERE n_toks > 0
+    )
+    SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT) AS first_chunk,
+           CAST(FLOOR((start_tok + n_toks - 1) / {_PACK_BUDGET}.0) AS BIGINT)
+               AS last_chunk,
+           CAST(FLOOR((start_tok + n_toks - 1) / {_PACK_BUDGET}.0) AS BIGINT)
+               - CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT) + 1
+               AS n_chunks
+    FROM p ORDER BY source, doc_id
+    """,
+    doc="concat-and-chunk sequence packing (the standard LM training "
+    "layout): within each source shard, documents concatenate in "
+    "doc_id order and the token stream splits into fixed 128-token "
+    "training sequences; output maps every document to its byte-exact "
+    "[first_chunk, last_chunk] span. Integer-exact running-SUM window "
+    "per shard — at 100 TB the pack group IS the output shard, so "
+    "window parallelism equals shard count and no global prefix-sum "
+    "bottleneck exists (extension: training-sequence formation; "
+    "complements the length-bucketed batch query)",
+)
+def curation_pack_chunks(spark, sf_dir):
+    from qaapi_spark.operators.curation import pack_sequences
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    d = t(spark, sf_dir, "documents")
+    nt = d.select(
+        "source", "doc_id", F.size(ws_tokens(F.col("text"))).alias("n_toks")
+    )
+    return pack_sequences(nt, _PACK_BUDGET).orderBy("source", "doc_id")

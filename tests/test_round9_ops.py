@@ -1,0 +1,110 @@
+"""Round-9 new-family operator tests: DSIR importance resampling and
+concat-and-chunk sequence packing."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_dsir_importance_shifts_toward_target(spark):
+    """Selecting the top importance-scored documents must enrich the
+    target slice well past its base rate — the defining DSIR property.
+    Asserted on a constructed corpus with a genuinely distinct target
+    vocabulary (the sf testdata assigns every lang the SAME 31-token
+    pool, so unigram separation there is sampling noise by design —
+    measured top-decile enrichment 0.48 vs base 0.386; the real-data
+    sanity check below only asserts non-degradation)."""
+    from qaapi_spark.operators.curation import dsir_importance
+
+    rows = []
+    for i in range(40):  # target dialect: alpha/beta-heavy
+        rows.append((i, "t", "alpha beta alpha gamma beta alpha"))
+    for i in range(40, 160):  # background: delta/epsilon-heavy
+        rows.append((i, "r", "delta epsilon zeta delta epsilon eta"))
+    for i in range(160, 180):  # unlabeled docs written in the dialect
+        rows.append((i, "r", "alpha beta gamma alpha beta alpha"))
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    scored = dsir_importance(df, F.col("grp") == "t").join(
+        df.select(F.col("doc_id").alias("id"), "text"), "id"
+    )
+    out = scored.orderBy(F.desc("importance"), "id").collect()
+    top = out[:60]
+    assert all("alpha" in r["text"] for r in top)  # dialect docs win
+    assert all(r["importance"] > 0 for r in top)
+    assert all(r["importance"] < 0 for r in out[60:])
+
+
+def test_dsir_importance_real_corpus_sanity(spark):
+    """On the sf corpus: n_toks must equal the ws token count and the
+    en top-decile rate must not fall below the base rate."""
+    from qaapi_spark.operators.curation import dsir_importance
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    scored = dsir_importance(d, F.col("lang") == "en").join(
+        d.select(F.col("doc_id").alias("id"), "lang",
+                 F.size(ws_tokens(F.col("text"))).alias("true_toks")),
+        "id",
+    )
+    rows = scored.orderBy(F.desc("importance"), "id").collect()
+    assert all(r["n_toks"] == r["true_toks"] for r in rows)
+
+    base_rate = sum(r["lang"] == "en" for r in rows) / len(rows)
+    top = rows[: max(20, len(rows) // 10)]
+    top_rate = sum(r["lang"] == "en" for r in top) / len(top)
+    assert top_rate >= base_rate, (top_rate, base_rate)
+
+
+def test_dsir_importance_raw_target_identity(spark):
+    """If the target IS the raw corpus, every log-ratio is exactly 0
+    and all importances are 0.0 (smoothing terms cancel)."""
+    from qaapi_spark.operators.curation import dsir_importance
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = dsir_importance(d, F.lit(True)).collect()
+    assert len(out) > 0 and all(r["importance"] == 0.0 for r in out)
+
+
+def test_pack_sequences_offsets_are_gapless(spark):
+    """Within each group the packed stream must be gapless: the first
+    document starts at 0, each next start is the previous start plus
+    its token count, and chunk ids are exact floor divisions."""
+    from qaapi_spark.operators.curation import pack_sequences
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    nt = d.select("source", "doc_id", F.size(ws_tokens(F.col("text"))).alias("n_toks"))
+    rows = pack_sequences(nt, 128).orderBy("source", "doc_id").collect()
+    assert len(rows) > 0
+
+    by_group = defaultdict(list)
+    for r in rows:
+        by_group[r["source"]].append(r)
+    for grp in by_group.values():
+        expect = 0
+        for r in grp:
+            assert r["start_tok"] == expect
+            assert r["first_chunk"] == r["start_tok"] // 128
+            assert r["last_chunk"] == (r["start_tok"] + r["n_toks"] - 1) // 128
+            assert r["n_chunks"] == r["last_chunk"] - r["first_chunk"] + 1
+            expect += r["n_toks"]
+
+
+def test_pack_sequences_drops_zero_token_docs(spark):
+    """Zero-token documents occupy no chunk and must not perturb the
+    running offsets of their neighbors."""
+    from qaapi_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [("s", 1, 100), ("s", 2, 0), ("s", 3, 50)],
+        "source string, doc_id long, n_toks int",
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(df, 64).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["start_tok"] == 0 and rows[1]["n_chunks"] == 2
+    assert rows[3]["start_tok"] == 100
+    assert rows[3]["first_chunk"] == 1 and rows[3]["last_chunk"] == 2
