@@ -271,3 +271,103 @@ def emb_quantize_int8(spark, sf_dir):
         F.array_max("codes").alias("max_code"),
         F.size(F.filter("codes", lambda c: c == 0)).alias("n_zero"),
     ).orderBy("vec_id")
+
+
+_SHARD_MIN_TOKS = 16
+_SHARD_CAP = 15
+_SHARD_BUDGET = 128
+
+
+@query(
+    "pipeline_corpus_to_shards",
+    # Every stage is integer-exact (CC labels, token counts, window
+    # ranks, running sums), so the WHOLE four-stage pipeline
+    # hash-checks against one recursive-CTE SQL statement.
+    oracle=f"""
+    WITH RECURSIVE {_DD_JACCARD_PAIRS},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+    kept AS (
+        SELECT d.source, d.doc_id,
+               len(string_split_regex(trim(lower(d.text)), '\\s+')) AS n_toks
+        FROM documents d
+        JOIN comp ON d.doc_id = comp.node AND comp.comp = comp.node
+        WHERE trim(d.text) <> ''
+          AND len(string_split_regex(trim(lower(d.text)), '\\s+'))
+              >= {_SHARD_MIN_TOKS}
+    ),
+    capped AS (
+        SELECT source, doc_id, n_toks FROM (
+            SELECT source, doc_id, n_toks,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM kept
+        ) WHERE rn <= {_SHARD_CAP}
+    ),
+    p AS (
+        SELECT source, doc_id, n_toks,
+               COALESCE(SUM(n_toks) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_tok
+        FROM capped
+    )
+    SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(FLOOR(start_tok / {_SHARD_BUDGET}.0) AS BIGINT) AS first_chunk,
+           CAST(FLOOR((start_tok + n_toks - 1) / {_SHARD_BUDGET}.0) AS BIGINT)
+               AS last_chunk,
+           CAST(FLOOR((start_tok + n_toks - 1) / {_SHARD_BUDGET}.0) AS BIGINT)
+               - CAST(FLOOR(start_tok / {_SHARD_BUDGET}.0) AS BIGINT) + 1
+               AS n_chunks
+    FROM p ORDER BY source, doc_id
+    """,
+    doc="the END-TO-END corpus-to-training-shards pipeline in ONE "
+    "plan: (1) near-dup dedup keeps the min-id representative per "
+    "connected component (memoized cc_jaccard_labels kernel), "
+    "(2) a quality gate drops short documents (< 16 ws tokens), "
+    "(3) RefinedWeb-style per-source quota capping (first 15 docs "
+    "per source by doc_id), (4) concat-and-chunk packing into "
+    "128-token training sequences per source shard.  All four stages "
+    "are integer-exact, so the composition hash-checks against one "
+    "recursive-CTE oracle.  100 TB: CC labels are the standing "
+    "label-propagation kernel, the gate is a scan-level filter, cap "
+    "and pack are per-source windows (shard-parallel) — no stage "
+    "introduces a shuffle the isolated operators didn't already have "
+    "(extension: the composed pipeline VERDICT r8 next #7 calls for "
+    "on the curation side; composes cc_jaccard_labels + quota cap + "
+    "pack_sequences)",
+)
+def pipeline_corpus_to_shards(spark, sf_dir):
+    from qaapi_spark.operators.curation import pack_sequences
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    d = t(spark, sf_dir, "documents")
+    comp = cc_jaccard_labels(spark, sf_dir)
+    keepers = comp.filter(F.col("comp") == F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = (
+        d.join(keepers, "doc_id", "left_semi")
+        .select(
+            "source", "doc_id",
+            F.size(ws_tokens(F.lower(F.col("text")))).alias("n_toks"),
+        )
+        .filter(F.col("n_toks") >= _SHARD_MIN_TOKS)
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    capped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SHARD_CAP)
+        .drop("rn")
+    )
+    return pack_sequences(capped, _SHARD_BUDGET).orderBy("source", "doc_id")

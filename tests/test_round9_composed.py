@@ -126,3 +126,35 @@ def test_two_stage_ce_reranks_beyond_cosine_order(spark):
         if [r["cand_id"] for r in rows] != [r["cand_id"] for r in cos_order]:
             reordered += 1
     assert reordered > 0
+
+
+def test_corpus_to_shards_stage_invariants(spark):
+    """Every packed doc must be a CC representative, clear the
+    quality gate, respect the per-source cap, and pack gaplessly."""
+    from qaapi_spark.plans.llm_pipeline import (
+        _SHARD_CAP,
+        _SHARD_MIN_TOKS,
+        pipeline_corpus_to_shards,
+    )
+    from qaapi_spark.plans.llm_dedup import cc_jaccard_labels
+
+    rows = pipeline_corpus_to_shards(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+
+    reps = {
+        r["node"]
+        for r in cc_jaccard_labels(spark, SF_SMOKE)
+        .filter(F.col("comp") == F.col("node"))
+        .collect()
+    }
+    by_src: dict[str, list] = {}
+    for r in rows:
+        assert r["doc_id"] in reps
+        assert r["n_toks"] >= _SHARD_MIN_TOKS
+        by_src.setdefault(r["source"], []).append(r)
+    for grp in by_src.values():
+        assert len(grp) <= _SHARD_CAP
+        expect = 0
+        for r in sorted(grp, key=lambda r: r["doc_id"]):
+            assert r["start_tok"] == expect
+            expect += r["n_toks"]
