@@ -427,10 +427,7 @@ def curation_dsir_importance(spark, sf_dir):
 
 _PACK_BUDGET = 128
 
-
-@query(
-    "curation_pack_chunks",
-    oracle=f"""
+_PACK_CHUNKS_ORACLE = f"""
     WITH toks AS (
         SELECT source, doc_id, len({_DD_TOKS_RAW}) AS n_toks FROM documents
     ),
@@ -451,7 +448,12 @@ _PACK_BUDGET = 128
                - CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT) + 1
                AS n_chunks
     FROM p ORDER BY source, doc_id
-    """,
+    """
+
+
+@query(
+    "curation_pack_chunks",
+    oracle=_PACK_CHUNKS_ORACLE,
     doc="concat-and-chunk sequence packing (the standard LM training "
     "layout): within each source shard, documents concatenate in "
     "doc_id order and the token stream splits into fixed 128-token "
@@ -471,3 +473,27 @@ def curation_pack_chunks(spark, sf_dir):
         "source", "doc_id", F.size(ws_tokens(F.col("text"))).alias("n_toks")
     )
     return pack_sequences(nt, _PACK_BUDGET).orderBy("source", "doc_id")
+
+
+@query(
+    "stream_pack_chunks",
+    oracle=_PACK_CHUNKS_ORACLE,
+    doc="incremental training-shard formation as a STREAM: documents "
+    "arrive in doc_id-ordered micro-batches (3 range slices, one "
+    "sorted file per trigger) and each batch takes its packed offsets "
+    "from an O(|sources|) running-total state, appending to shards "
+    "without recomputing earlier offsets; under the ordered-ingest "
+    "contract the streamed relation is bit-equal to the batch pack "
+    "and shares curation_pack_chunks' oracle. State is written as "
+    "per-epoch snapshots, so a replayed epoch reproduces identical "
+    "bytes instead of double-counting (retry-idempotent by "
+    "construction) (extension, SURVEY §2.9; "
+    "streaming/incremental.stream_pack_chunks)",
+)
+def stream_pack_chunks_q(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import stream_pack_chunks
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return stream_pack_chunks(
+        spark, f"{sf_dir}/documents.parquet", budget=_PACK_BUDGET
+    ).orderBy("source", "doc_id")

@@ -1223,3 +1223,144 @@ def stream_running_distinct(
         "new_users",
         F.sum("new_users").over(w).alias("cum_distinct_users"),
     )
+
+
+def stream_pack_chunks(
+    spark: SparkSession,
+    docs_path: str,
+    budget: int = 128,
+    n_splits: int = 3,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming concat-and-chunk shard formation: documents arrive in
+    doc_id-ordered micro-batches and each batch's rows are assigned
+    their packed offsets from an O(|sources|) running-total state —
+    new documents append to training shards without ever recomputing
+    earlier offsets, the incremental counterpart of the batch
+    `pack_sequences` operator (same output schema, same oracle).
+
+    Ordered ingest is the CONTRACT (shard formation consumes an
+    ordered feed): slices are doc_id ranges staged as one sorted file
+    each, so cross-batch per-source doc_id order holds; within a
+    batch the offset window orders by doc_id.  Under that contract
+    the streamed relation is bit-equal to the batch pack.
+
+    Retry-idempotent BY CONSTRUCTION (the ADVICE r8 #1 class of bug
+    cannot occur): state is written as per-epoch SNAPSHOTS — epoch e
+    derives everything from the epoch e-1 snapshot plus the batch
+    content and overwrites its own snapshot and output partition, so
+    a replayed epoch reproduces identical bytes instead of
+    double-counting into a mutated store.  Snapshot size is
+    |sources| rows; per-epoch work is one per-source window over the
+    batch plus a |sources|-sized outer merge.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    raw = spark.read.parquet(docs_path)
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    narrow = raw.select(
+        "source", "doc_id", F.size(ws_tokens(F.col("text"))).alias("n_toks")
+    )
+    lo, hi = narrow.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
+    stage_dir = _scratch(prefix="docs_pack_stream_")
+    for i in range(n_splits):
+        hi_pad = (1 << 60) if i == n_splits - 1 else 0
+        (
+            narrow.filter(
+                (F.col("doc_id") >= int(lo) + i * step)
+                & (F.col("doc_id") < int(lo) + (i + 1) * step + hi_pad)
+            )
+            # one SORTED file per slice: cross-batch doc_id order is
+            # the ordered-ingest contract, and staging only the narrow
+            # (source, doc_id, n_toks) projection is the 100 TB shape
+            # (the replay never ships text)
+            .coalesce(1)
+            .sortWithinPartitions("source", "doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage_dir, f"slice={i}"))
+        )
+    store_root = _scratch(prefix="docs_pack_store_")
+    out_root = _scratch(prefix="docs_pack_out_")
+
+    def merge_batch(bdf, epoch_id: int) -> None:
+        ss = bdf.sparkSession
+        prev_dir = os.path.join(store_root, f"epoch={int(epoch_id) - 1}")
+        if int(epoch_id) > 0 and os.path.isdir(prev_dir):
+            prev = ss.read.parquet(prev_dir)
+        else:
+            prev = ss.createDataFrame([], "source string, total_toks long")
+        b = bdf.filter(F.col("n_toks") > 0)
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum = F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+        placed = (
+            b.withColumn("cum_before", cum)
+            .join(F.broadcast(prev), "source", "left")
+            .withColumn(
+                "start_tok",
+                (F.coalesce(F.col("total_toks"), F.lit(0)) + F.col("cum_before"))
+                .cast("long"),
+            )
+        )
+        out = placed.select(
+            "source",
+            "doc_id",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            "start_tok",
+            F.floor(F.col("start_tok") / F.lit(budget))
+            .cast("long")
+            .alias("first_chunk"),
+            F.floor((F.col("start_tok") + F.col("n_toks") - 1) / F.lit(budget))
+            .cast("long")
+            .alias("last_chunk"),
+        ).withColumn(
+            "n_chunks", F.col("last_chunk") - F.col("first_chunk") + 1
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"epoch={int(epoch_id)}")
+        )
+        bsum = b.groupBy("source").agg(F.sum("n_toks").alias("b_toks"))
+        totals = (
+            prev.join(bsum, "source", "full_outer")
+            .select(
+                "source",
+                (
+                    F.coalesce(F.col("total_toks"), F.lit(0))
+                    + F.coalesce(F.col("b_toks"), F.lit(0))
+                ).cast("long").alias("total_toks"),
+            )
+        )
+        totals.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store_root, f"epoch={int(epoch_id)}")
+        )
+
+    stream = (
+        spark.readStream.schema(narrow.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir + "/slice=*")
+    )
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _scratch(prefix="pack_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    return spark.read.parquet(out_root + "/epoch=*").select(
+        "source", "doc_id", "n_toks", "start_tok",
+        "first_chunk", "last_chunk", "n_chunks",
+    )

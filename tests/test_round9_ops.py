@@ -108,3 +108,19 @@ def test_pack_sequences_drops_zero_token_docs(spark):
     assert rows[1]["start_tok"] == 0 and rows[1]["n_chunks"] == 2
     assert rows[3]["start_tok"] == 100
     assert rows[3]["first_chunk"] == 1 and rows[3]["last_chunk"] == 2
+
+
+def test_stream_pack_chunks_equals_batch(spark):
+    """Under the ordered-ingest contract the streamed shard formation
+    must reproduce the batch pack bit-for-bit (same oracle)."""
+    from qaapi_spark.plans.catalog import CATALOG
+
+    batch = [
+        tuple(r)
+        for r in CATALOG["curation_pack_chunks"].fn(spark, SF_SMOKE).collect()
+    ]
+    streamed = [
+        tuple(r)
+        for r in CATALOG["stream_pack_chunks"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert streamed == batch and len(batch) > 0
