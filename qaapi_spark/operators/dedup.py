@@ -802,14 +802,20 @@ def minhash_lsh_verified_pairs_from_sets(
         .filter(F.col("set_size") > 0)
         .persist()
     )
-    signed = own.select(
-        "id",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("sh"), lambda v: F.xxhash64(F.lit(i), v)))
-                for i in range(num_hashes)
-            ]
-        ).alias("sig"),
+    # persisted: the band self-join consumes bands twice (alias a/b),
+    # and without the cache each side re-runs the 64-remix projection
+    signed = register_kernel_cache(
+        own.select(
+            "id",
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(F.col("sh"), lambda v: F.xxhash64(F.lit(i), v))
+                    )
+                    for i in range(num_hashes)
+                ]
+            ).alias("sig"),
+        ).persist()
     )
     bands = minhash_band_keys(signed, num_hashes, n_bands)
     cand = (
