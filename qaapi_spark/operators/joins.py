@@ -108,3 +108,73 @@ def banded_range_join(
         .drop("__band")
         .withColumn("delta_us", delta)
     )
+
+
+def _bloom_hash(key_str, i: int, m_bits: int):
+    """Portable md5-family bloom hash i of a string column, in [0, m)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), key_str)), 1, 15), 16, 10)
+        .cast("long")
+        % F.lit(m_bits)
+    )
+
+
+def bloom_filter_bits(
+    keys: DataFrame, key_col: str, m_bits: int = 4096, k: int = 3
+) -> list[int]:
+    """Build a bloom filter over a key relation DISTRIBUTEDLY and
+    return it as m_bits/64 packed int64 words (driver-side size is
+    the FILTER, never the keys: 4096 bits = 64 longs regardless of
+    key count).
+
+    Hashes are the portable md5-prefix family, so the same filter is
+    reproducible in any engine; bits aggregate with one bit_or
+    hash-agg over (word, bit) pairs — map-side combined, |words|
+    result rows.
+    """
+    key_str = F.col(key_col).cast("string")
+    hashes = F.array(*[_bloom_hash(key_str, i, m_bits) for i in range(k)])
+    words = (
+        keys.select(F.explode(hashes).alias("h"))
+        .select(
+            (F.col("h") / 64).cast("int").alias("word"),
+            # shiftleft with a COLUMN shift amount only exists as the
+            # SQL function (the Python wrapper takes an int literal)
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    out = [0] * (m_bits // 64)
+    for r in words:
+        out[r["word"]] = r["bits"]
+    return out
+
+
+def bloom_prefilter(
+    probe: DataFrame, key_col: str, bits: list[int], m_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Map-only bloom membership screen: keeps every true member (no
+    false negatives by construction) plus a hash-deterministic set of
+    false positives — the explicit runtime-filter shape for paths
+    where the planner cannot inject one (app-level pre-shuffle
+    filtering, cross-system pushdown).  At 100 TB this is the point:
+    the probe side drops most rows INSIDE its scan stage, so the
+    exact semi-join that follows shuffles the survivors only; the
+    filter itself broadcasts as m/64 longs (a literal array), never
+    as the key set.
+    """
+    lit_bits = F.array(*[F.lit(b) for b in bits])
+    key_str = F.col(key_col).cast("string")
+    tmp = probe.withColumn("__bloom_bits", lit_bits)
+    for i in range(k):
+        tmp = tmp.withColumn(f"__bloom_h{i}", _bloom_hash(key_str, i, m_bits))
+    # shiftright with a COLUMN shift amount only exists as the SQL fn
+    pred = " AND ".join(
+        f"(shiftright(element_at(__bloom_bits, CAST(__bloom_h{i} / 64 AS INT) + 1),"
+        f" CAST(__bloom_h{i} % 64 AS INT)) & CAST(1 AS BIGINT)) = 1"
+        for i in range(k)
+    )
+    drop = ["__bloom_bits"] + [f"__bloom_h{i}" for i in range(k)]
+    return tmp.filter(F.expr(pred)).drop(*drop)

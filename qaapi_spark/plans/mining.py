@@ -379,3 +379,68 @@ def stream_running_distinct_users(spark, sf_dir):
     return stream_running_distinct(spark, f"{sf_dir}/events.parquet").orderBy(
         "day_s"
     )
+
+
+@query(
+    "scd2_user_status_history",
+    # Exact-integer microsecond boundaries and an event_id tiebreak
+    # make every interval engine-deterministic; valid_to_us is NULL on
+    # the open (current) interval.
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type AS status, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    marked AS (
+        SELECT *, LAG(status) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id) AS prev
+        FROM ev
+    ),
+    changes AS (
+        SELECT user_id, status, event_id, us FROM marked
+        WHERE prev IS NULL OR status <> prev
+    )
+    SELECT user_id, status,
+           us AS valid_from_us,
+           LEAD(us) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id) AS valid_to_us,
+           LEAD(us) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id) IS NULL AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from_us
+    """,
+    doc="slowly-changing-dimension TYPE-2 history build (the classic "
+    "warehouse ELT operator, Kimball SCD2): per-user event_type "
+    "transitions collapse to validity intervals [valid_from, "
+    "valid_to) with an open current row — one lag window to detect "
+    "changes, one lead window for interval ends, both keyed on "
+    "user_id (the natural high-cardinality partitioner; the two "
+    "windows share one exchange).  Boundaries are exact integer "
+    "microseconds, so both engines agree bit-for-bit (extension: "
+    "CDC/history materialization — the MERGE family's J2-J4 build "
+    "the snapshot, this builds the full history)",
+)
+def scd2_user_status_history(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = e.select(
+        "user_id", F.col("event_type").alias("status"), "event_id", us.alias("us")
+    ).withColumn("prev", F.lag("status").over(w))
+    changes = marked.filter(
+        F.col("prev").isNull() | (F.col("status") != F.col("prev"))
+    )
+    valid_to = F.lead("us").over(w)
+    return (
+        changes.select(
+            "user_id",
+            "status",
+            F.col("us").alias("valid_from_us"),
+            valid_to.alias("valid_to_us"),
+            valid_to.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )

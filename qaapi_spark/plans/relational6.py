@@ -758,3 +758,55 @@ def q22_dormant_rich_customers(spark, sf_dir):
         )
         .orderBy("cntry")
     )
+
+
+@query(
+    "bloom_semi_join_revenue",
+    # The bloom prefilter keeps every true member (no false negatives
+    # by construction) and the exact semi-join removes the false
+    # positives, so the result EQUALS the plain semi-join — the
+    # oracle needs no bloom at all.
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="explicit bloom-filter runtime semi-join (Kirsch-Mitzenmacher-"
+    "style md5 hash family, 4096 bits / 3 hashes): the dim-side "
+    "filter keys aggregate DISTRIBUTEDLY into 64 packed int64 words "
+    "(one bit_or hash-agg; driver materializes the FILTER, never the "
+    "keys), the fact side drops non-members map-only inside its scan "
+    "stage, and the exact semi-join then shuffles survivors only — "
+    "the app-level form of the runtime filter Spark's planner injects "
+    "natively when it can (spark.sql.optimizer.runtime.bloomFilter), "
+    "for cross-system pushdown or pre-shuffle app filtering where it "
+    "can't.  Result provably equals the plain semi-join (extension: "
+    "join-optimization family; complements the bucketed co-located "
+    "join)",
+)
+def bloom_semi_join_revenue(spark, sf_dir):
+    from qaapi_spark.operators.joins import bloom_filter_bits, bloom_prefilter
+
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = t(spark, sf_dir, "orders")
+    bits = bloom_filter_bits(c, "c_custkey")
+    pre = bloom_prefilter(o, "o_custkey", bits)
+    # growing dim: no broadcast hint — AQE picks the strategy
+    exact = pre.join(
+        c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+    )
+    return (
+        exact.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

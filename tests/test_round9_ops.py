@@ -124,3 +124,48 @@ def test_stream_pack_chunks_equals_batch(spark):
         for r in CATALOG["stream_pack_chunks"].fn(spark, SF_SMOKE).collect()
     ]
     assert streamed == batch and len(batch) > 0
+
+
+def test_bloom_prefilter_no_false_negatives_and_selective(spark):
+    """The bloom screen must keep EVERY true member (no false
+    negatives by construction) while dropping most non-members
+    map-only; the composed query must equal the plain semi-join."""
+    from qaapi_spark.operators.joins import bloom_filter_bits, bloom_prefilter
+
+    c = (
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    bits = bloom_filter_bits(c, "c_custkey")
+    pre = bloom_prefilter(o, "o_custkey", bits)
+
+    keys = {r["c_custkey"] for r in c.collect()}
+    pre_keys = {r["o_custkey"] for r in pre.select("o_custkey").distinct().collect()}
+    all_keys = {r["o_custkey"] for r in o.select("o_custkey").distinct().collect()}
+    assert (all_keys & keys) <= pre_keys          # no false negatives
+    n_pre, n_all = pre.count(), o.count()
+    assert n_pre < n_all                          # the screen actually screens
+    # false-positive keys are bounded (4096 bits, 3 hashes, |keys|~34:
+    # theoretical fp ~ (1 - e^(-3*34/4096))^3 ~ 1.5e-5)
+    assert len(pre_keys - keys) <= max(2, len(all_keys) // 20)
+
+
+def test_scd2_intervals_partition_each_user_timeline(spark):
+    """SCD2 invariants: per user exactly one open (current) row, each
+    valid_to equals the next interval's valid_from, and consecutive
+    statuses always differ (no zero-change rows)."""
+    from qaapi_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["scd2_user_status_history"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for ivs in by_user.values():
+        assert sum(r["is_current"] for r in ivs) == 1
+        assert ivs[-1]["valid_to_us"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+            assert a["status"] != b["status"]
