@@ -169,3 +169,33 @@ def test_scd2_intervals_partition_each_user_timeline(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to_us"] == b["valid_from_us"]
             assert a["status"] != b["status"]
+
+
+def test_contrastive_mining_invariants(spark):
+    """Hard negatives must never be near-dup partners or self-pairs,
+    at most 3 per anchor, and every positive anchor must also be a
+    hard-negative anchor (the grid covers the full anchor set)."""
+    from qaapi_spark.plans.catalog import CATALOG
+    from qaapi_spark.plans.llm_dedup import jaccard_pairs_kernel
+
+    rows = CATALOG["pairs_mine_contrastive"].fn(spark, SF_SMOKE).collect()
+    pos_pairs = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in jaccard_pairs_kernel(spark, SF_SMOKE).collect()
+    }
+    assert len(pos_pairs) > 0
+    neg_per_anchor: dict[int, int] = {}
+    pos_anchors, neg_anchors = set(), set()
+    for r in rows:
+        if r["label"] == "pos":
+            pos_anchors.add(r["anchor_id"])
+            assert frozenset((r["anchor_id"], r["other_id"])) in pos_pairs
+        else:
+            neg_anchors.add(r["anchor_id"])
+            assert r["anchor_id"] != r["other_id"]
+            assert frozenset((r["anchor_id"], r["other_id"])) not in pos_pairs
+            neg_per_anchor[r["anchor_id"]] = neg_per_anchor.get(r["anchor_id"], 0) + 1
+    assert max(neg_per_anchor.values()) <= 3
+    # every doc appearing in a positive pair gets its hard negatives
+    all_pos_ids = {i for p in pos_pairs for i in p}
+    assert neg_anchors == all_pos_ids
