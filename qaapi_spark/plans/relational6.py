@@ -810,3 +810,94 @@ def bloom_semi_join_revenue(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "rollup_revenue_region_nation",
+    # GROUPING() disambiguates real NULLs from subtotal rows in both
+    # engines; revenue is ROUND(SUM(double), 2) — the established
+    # revenue-aggregate parity posture.
+    oracle="""
+    SELECT COALESCE(r.r_name, '(all)') AS region,
+           CASE WHEN GROUPING(n.n_name) = 1 THEN '(all)'
+                ELSE n.n_name END AS nation,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY region, nation
+    """,
+    doc="hierarchical subtotals via ROLLUP grouping sets (region -> "
+    "nation -> grand total): ONE pass over the joined relation "
+    "produces all three aggregation levels — Spark expands the "
+    "grouping sets inside a single Expand+HashAggregate, so the fact "
+    "table is scanned and shuffled once instead of once per level; "
+    "GROUPING() tags subtotal rows so they can't collide with real "
+    "NULL keys (extension: §2.5 aggregate surface — grouping sets "
+    "were the one classic aggregate form the catalog lacked)",
+)
+def rollup_revenue_region_nation(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+    )
+    agg = j.rollup("r_name", "n_name").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.grouping("n_name").alias("__gn"),
+    )
+    return agg.select(
+        F.coalesce(F.col("r_name"), F.lit("(all)")).alias("region"),
+        F.when(F.col("__gn") == 1, F.lit("(all)"))
+        .otherwise(F.col("n_name"))
+        .alias("nation"),
+        "n_orders",
+        "revenue",
+    ).orderBy("region", "nation")
+
+
+@query(
+    "pivot_status_by_priority",
+    # PIVOT compiles to conditional aggregation in both engines; the
+    # pivot domain is pinned explicitly ('F','O','P') so the output
+    # schema is static — the scale-correct form (an unpinned pivot
+    # needs a distinct-scan planning pass first).
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS status_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+               AS BIGINT) AS status_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+               AS BIGINT) AS status_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="PIVOT (long -> wide reshape): order counts per priority "
+    "pivoted over the pinned status domain {F, O, P} — compiles to "
+    "one conditional hash-aggregate (no extra shuffle vs the plain "
+    "groupBy); pinning the pivot values keeps the plan single-pass "
+    "at 100 TB, where the values-discovery distinct scan of an "
+    "unpinned pivot would read the fact table twice (extension: "
+    "§2.5 aggregate surface)",
+)
+def pivot_status_by_priority(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    ).orderBy("o_orderpriority")
