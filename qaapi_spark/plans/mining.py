@@ -444,3 +444,93 @@ def scd2_user_status_history(spark, sf_dir):
         )
         .orderBy("user_id", "valid_from_us")
     )
+
+
+@query(
+    "events_mad_outliers",
+    # Exact ELEMENT medians (row_number selection, no interpolation):
+    # both engines pick the same stored double, the deviation
+    # |v - med| is the same difference of identical doubles, and the
+    # strict > 3*MAD comparison sees identical operands — no rounding
+    # needed anywhere in the decision path.
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS val FROM events
+    ),
+    r1 AS (
+        SELECT event_type, val,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY val) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    med AS (
+        SELECT event_type, val AS med FROM r1 WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT v.event_type, v.val, ABS(v.val - m.med) AS d, m.med
+        FROM v JOIN med m USING (event_type)
+    ),
+    r2 AS (
+        SELECT event_type, d,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, d AS mad FROM r2 WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.event_type,
+           ROUND(MIN(dev.med), 4) AS med,
+           ROUND(MIN(mad.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_events
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    ORDER BY dev.event_type
+    """,
+    doc="robust outlier detection via median absolute deviation "
+    "(median/MAD instead of mean/stddev — immune to the outliers it "
+    "hunts, the robust-statistics companion to the winsorize query): "
+    "lower-median ELEMENT selection by row_number (no interpolation, "
+    "so both engines pick the same stored double and the 3-MAD "
+    "decision is bit-deterministic), two window passes sharing the "
+    "event_type exchange; at 100 TB swap the exact rank selection "
+    "for percentile_approx in the same plan (extension: telemetry "
+    "data-quality family)",
+)
+def events_mad_outliers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    v = e.select("event_type", F.col("value").cast("double").alias("val"))
+    w = Window.partitionBy("event_type").orderBy("val")
+    wc = Window.partitionBy("event_type")
+    r1 = v.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wc)
+    )
+    # integer lower-median: rn == floor((n+1)/2)
+    med = r1.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("int")
+    ).select("event_type", F.col("val").alias("med"))
+    dev = v.join(med, "event_type").withColumn("d", F.abs(F.col("val") - F.col("med")))
+    w2 = Window.partitionBy("event_type").orderBy("d")
+    r2 = dev.withColumn("rn", F.row_number().over(w2)).withColumn(
+        "n", F.count("*").over(wc)
+    )
+    mad = r2.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("int")
+    ).select("event_type", F.col("d").alias("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 4).alias("med"),
+            F.round(F.min("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

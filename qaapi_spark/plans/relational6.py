@@ -901,3 +901,36 @@ def pivot_status_by_priority(spark, sf_dir):
         F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "unpivot_customer_measures",
+    # exact integer/double pass-through; the long layout is the
+    # UNION-ALL relation in both engines
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS measure,
+           CAST(c_acctbal AS DOUBLE) AS val
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+    FROM customer
+    ORDER BY c_custkey, measure
+    """,
+    doc="UNPIVOT (wide -> long reshape, the PIVOT inverse): customer "
+    "measure columns melt into (key, measure, val) rows via the "
+    "native unpivot operator — a Generate (explode) over a constant "
+    "2-element struct array, map-only, no shuffle beyond the final "
+    "presentation sort; the long layout is what feature stores and "
+    "EAV-style metric tables ingest (extension: §2.5/§2.3 reshape "
+    "surface, complements pivot_status_by_priority)",
+)
+def unpivot_customer_measures(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return (
+        c.unpivot("c_custkey", ["acctbal", "nationkey"], "measure", "val")
+        .orderBy("c_custkey", "measure")
+    )
