@@ -381,12 +381,11 @@ def stream_running_distinct_users(spark, sf_dir):
     )
 
 
-@query(
-    "scd2_user_status_history",
-    # Exact-integer microsecond boundaries and an event_id tiebreak
-    # make every interval engine-deterministic; valid_to_us is NULL on
-    # the open (current) interval.
-    oracle="""
+# Exact-integer microsecond boundaries and an event_id tiebreak make
+# every interval engine-deterministic; valid_to_us is NULL on the open
+# (current) interval.  Shared by the batch build and its streaming
+# CDC-apply twin.
+_SCD2_ORACLE = """
     WITH ev AS (
         SELECT user_id, event_type AS status, event_id,
                epoch_us(CAST(ts AS TIMESTAMP)) AS us
@@ -409,7 +408,12 @@ def stream_running_distinct_users(spark, sf_dir):
                           ORDER BY us, event_id) IS NULL AS is_current
     FROM changes
     ORDER BY user_id, valid_from_us
-    """,
+    """
+
+
+@query(
+    "scd2_user_status_history",
+    oracle=_SCD2_ORACLE,
     doc="slowly-changing-dimension TYPE-2 history build (the classic "
     "warehouse ELT operator, Kimball SCD2): per-user event_type "
     "transitions collapse to validity intervals [valid_from, "
@@ -533,4 +537,26 @@ def events_mad_outliers(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "stream_scd2_history",
+    oracle=_SCD2_ORACLE,
+    doc="SCD2 history maintained as a STREAM (the CDC-apply shape): "
+    "time-ordered event micro-batches close intervals append-only and "
+    "carry ONE open row per user as state — history rows are "
+    "immutable once emitted, per-epoch work is one user-keyed window "
+    "over (batch + open rows), never a history rescan; state "
+    "snapshots are per-epoch so replays are byte-identical. Under the "
+    "ordered-ingest contract the emitted union + final open set is "
+    "bit-equal to the batch build and shares its oracle (extension, "
+    "SURVEY §2.9; streaming/incremental.stream_scd2_history)",
+)
+def stream_scd2_history_q(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import stream_scd2_history
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return stream_scd2_history(spark, f"{sf_dir}/events.parquet").orderBy(
+        "user_id", "valid_from_us"
     )

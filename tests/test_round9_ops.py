@@ -199,3 +199,23 @@ def test_contrastive_mining_invariants(spark):
     # every doc appearing in a positive pair gets its hard negatives
     all_pos_ids = {i for p in pos_pairs for i in p}
     assert neg_anchors == all_pos_ids
+
+
+def test_stream_scd2_equals_batch(spark):
+    """Under time-ordered ingest the streamed CDC-apply history must
+    reproduce the batch SCD2 relation bit-for-bit, and history rows
+    must come from MULTIPLE epochs (intervals actually close
+    incrementally, not all in one batch)."""
+    import glob
+
+    from qaapi_spark.plans.catalog import CATALOG
+
+    batch = sorted(
+        tuple(r)
+        for r in CATALOG["scd2_user_status_history"].fn(spark, SF_SMOKE).collect()
+    )
+    streamed = sorted(
+        tuple(r)
+        for r in CATALOG["stream_scd2_history"].fn(spark, SF_SMOKE).collect()
+    )
+    assert streamed == batch and len(batch) > 0
