@@ -934,3 +934,82 @@ def unpivot_customer_measures(spark, sf_dir):
         c.unpivot("c_custkey", ["acctbal", "nationkey"], "measure", "val")
         .orderBy("c_custkey", "measure")
     )
+
+
+@query(
+    "audit_orders_lineitem_reconciliation",
+    # The per-order recomputation rounds its float SUM to 2 dp (4-6
+    # terms, error orders below the grain); every downstream value —
+    # the diff, the 0.01 tolerance test, the max — is then arithmetic
+    # on identical doubles in both engines.  NULL-computed orders
+    # (no lineitems) count separately and drop out of SUM/MAX by
+    # standard aggregate NULL-skip in both engines.
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS computed
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderpriority,
+               ABS(o.o_totalprice - li.computed) AS adiff,
+               li.computed IS NULL AS missing
+        FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN missing THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+           CAST(SUM(CASE WHEN NOT missing AND adiff > 0.01
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+           ROUND(MAX(adiff), 2) AS max_abs_diff,
+           ROUND(SUM(adiff), 2) AS total_abs_diff
+    FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="source-vs-target reconciliation audit (the QA heart of an "
+    "ELT pipeline — exactly what a user of the reference's QA API "
+    "runs after every load): recompute each order's total from its "
+    "line items and tie it out against the stored o_totalprice with "
+    "a 0.01 tolerance, reporting mismatch counts, orders with no "
+    "detail rows, and the worst/total divergence per priority class. "
+    "One lineitem aggregate (map-side combined), one orderkey join, "
+    "one rollup — at 100 TB the detail table is touched exactly "
+    "once (extension: data-quality family; complements "
+    "dq_checks_orders' single-table constraints with a CROSS-TABLE "
+    "consistency contract)",
+)
+def audit_orders_lineitem_reconciliation(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("computed")
+        )
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left").select(
+        "o_orderpriority",
+        F.abs(F.col("o_totalprice") - F.col("computed")).alias("adiff"),
+        F.col("computed").isNull().alias("missing"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("missing"), 1).otherwise(0)).alias("n_missing"),
+            F.sum(
+                F.when(~F.col("missing") & (F.col("adiff") > 0.01), 1).otherwise(0)
+            ).alias("n_mismatch"),
+            F.round(F.max("adiff"), 2).alias("max_abs_diff"),
+            F.round(F.sum("adiff"), 2).alias("total_abs_diff"),
+        )
+        .orderBy("o_orderpriority")
+    )
