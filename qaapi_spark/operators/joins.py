@@ -132,6 +132,8 @@ def bloom_filter_bits(
     hash-agg over (word, bit) pairs — map-side combined, |words|
     result rows.
     """
+    if m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     key_str = F.col(key_col).cast("string")
     hashes = F.array(*[_bloom_hash(key_str, i, m_bits) for i in range(k)])
     words = (
@@ -165,6 +167,10 @@ def bloom_prefilter(
     filter itself broadcasts as m/64 longs (a literal array), never
     as the key set.
     """
+    if len(bits) != m_bits // 64:
+        raise ValueError(
+            f"bits has {len(bits)} words; m_bits={m_bits} needs {m_bits // 64}"
+        )
     lit_bits = F.array(*[F.lit(b) for b in bits])
     key_str = F.col(key_col).cast("string")
     tmp = probe.withColumn("__bloom_bits", lit_bits)

@@ -1483,7 +1483,12 @@ def stream_scd2_history(
 
     import glob as _glob
 
-    epochs = sorted(_glob.glob(store_root + "/epoch=*"))
+    # numeric epoch sort: lexicographic would put epoch=10 before
+    # epoch=2 and hand back a stale open set on long replays
+    epochs = sorted(
+        _glob.glob(store_root + "/epoch=*"),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
     final_open = spark.read.parquet(epochs[-1]).select(
         "user_id", "status", "valid_from_us",
         F.lit(None).cast("long").alias("valid_to_us"),

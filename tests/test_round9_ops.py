@@ -219,3 +219,17 @@ def test_stream_scd2_equals_batch(spark):
         for r in CATALOG["stream_scd2_history"].fn(spark, SF_SMOKE).collect()
     )
     assert streamed == batch and len(batch) > 0
+
+
+def test_bloom_guards_reject_bad_sizes(spark):
+    """m_bits must be word-aligned and the probe's bits array must
+    match — both misuses fail fast instead of silently mis-indexing."""
+    import pytest
+
+    from qaapi_spark.operators.joins import bloom_filter_bits, bloom_prefilter
+
+    c = spark.createDataFrame([(1,)], "c_custkey long")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_filter_bits(c, "c_custkey", m_bits=100)
+    with pytest.raises(ValueError, match="words"):
+        bloom_prefilter(c, "c_custkey", bits=[0] * 10, m_bits=4096)
