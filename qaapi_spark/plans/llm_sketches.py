@@ -470,3 +470,54 @@ def histogram_equidepth_event_values(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "sketch_hll_error_eval",
+    # Both legs are already engine-exact (the portable HLL oracle and
+    # an integer COUNT DISTINCT), and the relative error divides
+    # identical doubles by an exact integer — fully hash-verified
+    # accuracy measurement of an approximate operator.
+    oracle=f"""
+    WITH hll AS (
+        {hll_portable_oracle_sql("events", "user_id", ["event_type"])}
+    ),
+    ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_n
+        FROM events GROUP BY event_type
+    )
+    SELECT h.event_type, h.hll_est,
+           CAST(ex.exact_n AS BIGINT) AS exact_n,
+           ROUND((h.hll_est - ex.exact_n) / ex.exact_n, 4) AS rel_error
+    FROM hll h JOIN ex USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="in-engine accuracy self-eval of the portable HLL sketch "
+    "(the ann_recall_eval pattern applied to sketches): per-group "
+    "HLL estimate joined against the exact COUNT(DISTINCT) with the "
+    "signed relative error — the eval a deployment runs before "
+    "trusting a sketch at a given precision p; the exact leg is the "
+    "eval's cost (one distinct aggregate), the sketch leg is the "
+    "production-shaped register pipeline, and the WHOLE eval "
+    "hash-checks because both legs are engine-exact (extension: "
+    "sketch-accuracy observability; pins the 2^8-register error at "
+    "~the theoretical 1.04/sqrt(256) = 6.5%)",
+)
+def sketch_hll_error_eval(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    hll = hll_portable(e, "user_id", ["event_type"])
+    ex = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_n")
+    )
+    return (
+        hll.join(ex, "event_type")
+        .select(
+            "event_type",
+            "hll_est",
+            "exact_n",
+            F.round(
+                (F.col("hll_est") - F.col("exact_n")) / F.col("exact_n"), 4
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )

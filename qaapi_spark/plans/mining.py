@@ -560,3 +560,83 @@ def stream_scd2_history_q(spark, sf_dir):
     return stream_scd2_history(spark, f"{sf_dir}/events.parquet").orderBy(
         "user_id", "valid_from_us"
     )
+
+
+@query(
+    "timeseries_gapfill_hourly",
+    # hour keys are exact integer floor divisions of epoch
+    # microseconds; the moving average divides an exact integer sum by
+    # the exact in-frame row count (1..3), so both engines round the
+    # same double.
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT)
+                   AS hour_s
+        FROM events
+    ),
+    cnt AS (
+        SELECT event_type, hour_s, COUNT(*) AS n FROM b GROUP BY 1, 2
+    ),
+    rng AS (SELECT MIN(hour_s) AS lo, MAX(hour_s) AS hi FROM b),
+    spine AS (
+        SELECT unnest(range(rng.lo, rng.hi + 1)) AS hour_s FROM rng
+    ),
+    types AS (SELECT DISTINCT event_type FROM b),
+    dense AS (
+        SELECT t.event_type, s.hour_s, COALESCE(cnt.n, 0) AS n
+        FROM types t
+        CROSS JOIN spine s
+        LEFT JOIN cnt ON cnt.event_type = t.event_type
+                     AND cnt.hour_s = s.hour_s
+    )
+    SELECT event_type, hour_s, CAST(n AS BIGINT) AS n,
+           ROUND(AVG(n) OVER (PARTITION BY event_type ORDER BY hour_s
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS ma3
+    FROM dense ORDER BY event_type, hour_s
+    """,
+    doc="time-series densification (gap-fill) + trailing window over "
+    "the DENSIFIED series: hourly event counts per type left-join "
+    "onto a generated calendar spine with zero-fill, then a 3-hour "
+    "trailing mean — the step every windowed metric needs first, "
+    "because a ROWS frame over a SPARSE series silently spans "
+    "missing hours and overstates the average.  The spine is a "
+    "generated sequence (|types| x |hours| rows, no scan), counts "
+    "come from one map-side-combined aggregate, and the window keys "
+    "on event_type — at 100 TB the spine stays metadata-sized while "
+    "only the count aggregate scales (extension: time-series "
+    "analytics family)",
+)
+def timeseries_gapfill_hourly(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000)
+        ).alias("hour_s"),
+    )
+    cnt = b.groupBy("event_type", "hour_s").agg(F.count("*").alias("n"))
+    lo, hi = b.agg(F.min("hour_s"), F.max("hour_s")).collect()[0]
+    spine = spark.range(int(lo), int(hi) + 1).select(
+        F.col("id").alias("hour_s")
+    )
+    types = b.select("event_type").distinct()
+    dense = (
+        types.crossJoin(spine)
+        .join(cnt, ["event_type", "hour_s"], "left")
+        .select(
+            "event_type", "hour_s",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_s")
+        .rowsBetween(-2, 0)
+    )
+    return dense.withColumn("ma3", F.round(F.avg("n").over(w), 4)).orderBy(
+        "event_type", "hour_s"
+    )
