@@ -513,3 +513,67 @@ def maintain_compact_small_files(spark, sf_dir):
     if stats["files_after"] >= stats["files_before"]:
         raise AssertionError(f"compaction did not reduce file count: {stats}")
     return spark.read.parquet(path).orderBy("o_orderkey")
+
+
+@query(
+    "table_fingerprint_orders",
+    # Engine-canonical row serialization: doubles go through exact
+    # integer cents (double->VARCHAR formatting differs across
+    # engines), NULLs get an explicit sentinel (concat_ws silently
+    # skips them, which would collide ('a',NULL,'b') with ('a','b')),
+    # and the per-bucket combiner is XOR — order-independent and
+    # overflow-free, unlike SUM of hashes.
+    oracle="""
+    WITH fp AS (
+        SELECT o_orderkey % 16 AS bucket,
+               CAST(('0x' || substr(md5(
+                   COALESCE(CAST(o_orderkey AS VARCHAR), '~') || '|' ||
+                   COALESCE(CAST(o_custkey AS VARCHAR), '~') || '|' ||
+                   COALESCE(o_orderstatus, '~') || '|' ||
+                   COALESCE(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), '~') || '|' ||
+                   COALESCE(CAST(o_orderdate AS VARCHAR), '~') || '|' ||
+                   COALESCE(o_orderpriority, '~')
+               ), 1, 15)) AS BIGINT) AS h
+        FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n_rows, bit_xor(h) AS xor_fp
+    FROM fp GROUP BY bucket ORDER BY bucket
+    """,
+    doc="portable table fingerprint (the migration-parity primitive: "
+    "run the same 16-bucket relation on the source engine and the "
+    "target engine and diff — a mismatched bucket localizes WHERE "
+    "the migration diverged without shipping rows): canonical row "
+    "serialization (exact integer cents for doubles, explicit NULL "
+    "sentinels) -> md5 row hash -> per-bucket XOR, which is "
+    "order-independent and overflow-free so the fingerprint is "
+    "partitioning-invariant; one map-side-combined aggregate, 16 "
+    "result rows at any scale (extension: data-quality family; this "
+    "query IS its own cross-engine demonstration — the DuckDB oracle "
+    "is the 'other engine') ",
+)
+def table_fingerprint_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    sep = F.lit("|")
+    tilde = F.lit("~")
+    parts = [
+        F.coalesce(F.col("o_orderkey").cast("string"), tilde),
+        F.coalesce(F.col("o_custkey").cast("string"), tilde),
+        F.coalesce(F.col("o_orderstatus"), tilde),
+        F.coalesce(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            tilde,
+        ),
+        F.coalesce(F.col("o_orderdate").cast("string"), tilde),
+        F.coalesce(F.col("o_orderpriority"), tilde),
+    ]
+    row = parts[0]
+    for p in parts[1:]:
+        row = F.concat(row, sep, p)
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    return (
+        o.select((F.col("o_orderkey") % 16).alias("bucket"), h.alias("h"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"), F.bit_xor("h").alias("xor_fp"))
+        .orderBy("bucket")
+    )
