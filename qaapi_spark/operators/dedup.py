@@ -326,21 +326,20 @@ def ngram_jaccard_pairs(
         else sets.select(F.explode("sh").alias("shingle")).distinct()
     )
     try:
-        # Vocab-count ceiling BEFORE the collect (VERDICT r8 wrong #1):
-        # selector-routed calls are pre-priced, but a direct caller on
-        # an open-vocabulary corpus would otherwise materialize an
-        # unbounded distinct-shingle array on the driver.  One cheap
-        # count() on the (cached when selector-routed) relation bounds
-        # it, mirroring the r8 Hamming-query fix.
-        nv_count = vocab_src.count()
-        if nv_count > _DENSE_VOCAB_MAX:
+        # Vocab ceiling enforced AT the collect (VERDICT r8 wrong #1,
+        # ADVICE r9 #5): a single LIMIT(_DENSE_VOCAB_MAX+1) collect both
+        # materializes the dictionary and proves the bound — the driver
+        # array can never exceed the ceiling by more than one row, and
+        # direct (selector-less) callers pay one job instead of the
+        # previous count()-then-collect double aggregation.
+        rows = vocab_src.limit(_DENSE_VOCAB_MAX + 1).collect()
+        if len(rows) > _DENSE_VOCAB_MAX:
             raise ValueError(
-                f"dense pack vocabulary {nv_count} shingles > "
-                f"{_DENSE_VOCAB_MAX} driver bound; use the sparse "
-                "kernel (open-vocabulary route) or raise "
-                "_DENSE_VOCAB_MAX deliberately"
+                f"dense pack vocabulary exceeds the {_DENSE_VOCAB_MAX} "
+                "driver bound; use the sparse kernel (open-vocabulary "
+                "route) or raise _DENSE_VOCAB_MAX deliberately"
             )
-        vocab = np.sort(np.array([r[0] for r in vocab_src.collect()], dtype=np.int64))
+        vocab = np.sort(np.array([r[0] for r in rows], dtype=np.int64))
         nv = max(len(vocab), 1)
         dense = nv <= 4096
         nwords = (nv + 63) // 64

@@ -16,9 +16,16 @@ from qaapi_spark.operators.curation import (
     training_order,
 )
 from qaapi_spark.plans.catalog import query, t
-from qaapi_spark.plans.llm_text import _DD_TOKS_RAW
+from qaapi_spark.plans.llm_text import _DD_TOKS, _DD_TOKS_RAW
 
-_DD_WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
+# Guarded tokenizer (ADVICE r9 #1): DuckDB's string_split_regex('') is
+# [''] — one phantom token — while the Spark side's ws_tokens yields an
+# empty array for empty/whitespace-only docs.  Every oracle in this
+# module tokenizes through the same empty->[] CASE the Spark kernels
+# use, so parity holds even when a corpus contains empty documents
+# (the flagged site was the DSIR bucket model, where a phantom token
+# would shift bucket counts AND totals).
+_DD_WORDS = _DD_TOKS
 _NGRAM_N = 5
 _EVAL_MOD = 17
 _MIN_OVERLAP = 3

@@ -30,6 +30,71 @@ def _scratch(prefix: str) -> str:
     return scratch_dir(prefix)
 
 
+def _stage_monotonic_mtimes(stage_dir: str) -> None:
+    """Make FileStreamSource's delivery order EXPLICIT for ordered-ingest
+    streams (ADVICE r9 #3): the source sorts discovered files by
+    modification time, so a timestamp tie or a coarse-mtime filesystem
+    could reorder ``slice=0 .. slice=N`` micro-batches — silently
+    violating the ordered-ingest contract of stream_pack_chunks /
+    stream_scd2_history (wrong offsets / intervals, no error).  Stamp
+    every staged file with strictly increasing mtimes in slice-index
+    order so the sort key IS the intended order on any filesystem."""
+    import os
+
+    t = 946684800.0  # fixed past epoch (2000-01-01): only ORDER matters
+    for d in sorted(
+        (e for e in os.listdir(stage_dir) if e.startswith("slice=")),
+        key=lambda e: int(e.split("=", 1)[1]),
+    ):
+        p = os.path.join(stage_dir, d)
+        for f in sorted(os.listdir(p)):
+            t += 2.0
+            os.utime(os.path.join(p, f), (t, t))
+
+
+def _store_swap(store_dir: str) -> None:
+    """Crash-safe promote of ``store_dir + '.next'`` (fully written by
+    the caller) to ``store_dir``.
+
+    The old rmtree-then-move pattern had a window (ADVICE r9 #2): dying
+    between the two calls left NO store, and the next epoch's existence
+    check treated the replayed batch as first-epoch — silently
+    discarding all accumulated state.  Here the old store is renamed
+    (atomic) to a recoverable trash name before the new one is renamed
+    (atomic) into place, so every crash point leaves either the store
+    or its trash on disk for :func:`_store_recover` to restore —
+    mirroring compact_files' ``.__compact_old__`` self-heal
+    (operators/maintain.py)."""
+    import os
+    import shutil
+
+    trash = store_dir + ".__swap_old__"
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.isdir(store_dir):
+        os.rename(store_dir, trash)
+    os.rename(store_dir + ".next", store_dir)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def _store_recover(store_dir: str) -> bool:
+    """Entry-time self-heal + existence check for a ``_store_swap``
+    store: a crash between the two renames strands the accumulated
+    state at ``.__swap_old__`` with ``store_dir`` absent — restore it
+    (the streaming engine replays the uncommitted batch, and every
+    merge here is retry-idempotent).  A dangling ``.next`` needs no
+    handling: the replayed merge rewrites it in overwrite mode.
+
+    Returns whether the store exists after recovery — the ONLY
+    condition under which a merge may skip reading prior state
+    (first-epoch); any other read error must propagate (ADVICE r8 #2)."""
+    import os
+
+    trash = store_dir + ".__swap_old__"
+    if not os.path.isdir(store_dir) and os.path.isdir(trash):
+        os.rename(trash, store_dir)
+    return os.path.isdir(store_dir)
+
+
 def events_windowed_counts(
     spark: SparkSession,
     events_path: str,
@@ -584,10 +649,33 @@ def stream_interval_join_left(
 
     pf = pq.ParquetFile(events_path)
     ts_idx = pf.schema_arrow.get_field_index("ts")
-    max_raw = max(
-        pf.metadata.row_group(g).column(ts_idx).statistics.max
+    # Footer stats are an OPTIMIZATION, not a format guarantee (ADVICE
+    # r9 #4): a writer may disable column statistics, and a zero-row
+    # file has no row groups — either would surface as an obscure
+    # AttributeError / ValueError here.  Collect only present stats and
+    # fall back to the exact (one-job) Spark max(ts) aggregate when any
+    # are missing.
+    stat_maxes = [
+        st.max
         for g in range(pf.metadata.num_row_groups)
-    )
+        if (st := pf.metadata.row_group(g).column(ts_idx).statistics) is not None
+        and st.has_min_max
+    ]
+    if len(stat_maxes) == pf.metadata.num_row_groups and stat_maxes:
+        max_raw = max(stat_maxes)
+    else:
+        max_raw = (
+            spark.read.schema(raw_schema)
+            .parquet(events_path)
+            .agg(F.max("ts"))
+            .collect()[0][0]
+        )
+        if max_raw is None:
+            raise ValueError(
+                f"stream_interval_join_left: {events_path} has no rows "
+                "with a non-null ts — cannot derive a watermark-flush "
+                "sentinel for the bounded replay"
+            )
     ts_type = pf.schema_arrow.field(ts_idx).type
     if not isinstance(max_raw, datetime.datetime):
         # nanos-backed stats surface as integers; sentinel stays in
@@ -716,21 +804,20 @@ def stream_hll_running(
             .groupBy("event_type", "bucket")
             .agg(F.max("rho").alias("mj"))
         )
-        try:
+        # Self-heal + existence check, not try/except (ADVICE r8 #2 /
+        # r9 #2): only the first-epoch missing-store path may skip the
+        # read; any other error must propagate, and a crash-stranded
+        # store is restored before the decision.
+        if _store_recover(store_dir):
             prev = bdf.sparkSession.read.parquet(store_dir)
             regs = (
                 regs.unionByName(prev)
                 .groupBy("event_type", "bucket")
                 .agg(F.max("mj").alias("mj"))
             )
-        except Exception:
-            pass
         # tiny relation (groups x 2**p rows): rewrite wholesale per epoch
         regs.coalesce(1).write.mode("overwrite").parquet(store_dir + ".next")
-        import shutil
-
-        shutil.rmtree(store_dir, ignore_errors=True)
-        shutil.move(store_dir + ".next", store_dir)
+        _store_swap(store_dir)
 
     stream = spark.readStream.schema(raw_schema).option(
         "maxFilesPerTrigger", "1"
@@ -1007,9 +1094,6 @@ def _merge_weighted_sample_batch(bdf, store_dir: str, k: int, seed: str) -> None
     dedup, keep the k smallest A-ES keys per group, atomically swap
     the store.  Applying the SAME batch twice must leave the store
     bit-identical (foreachBatch retries replay batches)."""
-    import os
-    import shutil
-
     from pyspark.sql import Window
 
     from qaapi_spark.operators.sampling import weighted_sample_wor_per_group
@@ -1023,10 +1107,11 @@ def _merge_weighted_sample_batch(bdf, store_dir: str, k: int, seed: str) -> None
     batch_top = weighted_sample_wor_per_group(
         toks, "lang", k, "n_tokens", id_col="doc_id", seed=seed
     ).select("grp", "id", "weight", "es_key")
-    # Existence check, not try/except: a read error other than the
-    # expected first-epoch missing store must propagate, or it would
-    # silently discard all accumulated state (ADVICE r8 #2).
-    if os.path.isdir(store_dir):
+    # Self-heal + existence check, not try/except: a read error other
+    # than the expected first-epoch missing store must propagate, or it
+    # would silently discard all accumulated state (ADVICE r8 #2), and
+    # a swap-crash-stranded store is restored first (ADVICE r9 #2).
+    if _store_recover(store_dir):
         batch_top = batch_top.unionByName(bdf.sparkSession.read.parquet(store_dir))
     # Retry-idempotence: if foreachBatch replays a batch whose rows
     # already merged into the store, the union holds exact duplicate
@@ -1043,8 +1128,7 @@ def _merge_weighted_sample_batch(bdf, store_dir: str, k: int, seed: str) -> None
     )
     # groups x k rows: rewrite wholesale per epoch (idempotent)
     merged.coalesce(1).write.mode("overwrite").parquet(store_dir + ".next")
-    shutil.rmtree(store_dir, ignore_errors=True)
-    shutil.move(store_dir + ".next", store_dir)
+    _store_swap(store_dir)
 
 
 def stream_weighted_sample(
@@ -1178,20 +1262,17 @@ def stream_running_distinct(
             ts.groupBy("user_id")
             .agg(F.min(F.floor(F.unix_timestamp("ts") / 86400)).alias("day_s"))
         )
-        # Existence check, not try/except (ADVICE r8 #2): only the
+        # Self-heal + existence check (ADVICE r8 #2 / r9 #2): only the
         # first-epoch missing-store path may be skipped; any other read
         # error must propagate rather than silently dropping all state.
-        if os.path.isdir(store_dir):
+        if _store_recover(store_dir):
             seen = (
                 seen.unionByName(bdf.sparkSession.read.parquet(store_dir))
                 .groupBy("user_id")
                 .agg(F.min("day_s").alias("day_s"))
             )
         seen.coalesce(1).write.mode("overwrite").parquet(store_dir + ".next")
-        import shutil
-
-        shutil.rmtree(store_dir, ignore_errors=True)
-        shutil.move(store_dir + ".next", store_dir)
+        _store_swap(store_dir)
 
     stream = spark.readStream.schema(raw_schema).option(
         "maxFilesPerTrigger", "1"
@@ -1283,6 +1364,9 @@ def stream_pack_chunks(
             .write.mode("overwrite")
             .parquet(os.path.join(stage_dir, f"slice={i}"))
         )
+    # ordered ingest is the contract — make the source's mtime sort
+    # key explicit (ADVICE r9 #3)
+    _stage_monotonic_mtimes(stage_dir)
     store_root = _scratch(prefix="docs_pack_store_")
     out_root = _scratch(prefix="docs_pack_out_")
 
@@ -1419,6 +1503,9 @@ def stream_scd2_history(
             .write.mode("overwrite")
             .parquet(os.path.join(stage_dir, f"slice={i}"))
         )
+    # ordered ingest is the contract — make the source's mtime sort
+    # key explicit (ADVICE r9 #3)
+    _stage_monotonic_mtimes(stage_dir)
     store_root = _scratch(prefix="scd2_store_")
     out_root = _scratch(prefix="scd2_out_")
     state_schema = "user_id long, status string, event_id long, valid_from_us long"

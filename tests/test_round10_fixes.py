@@ -1,0 +1,169 @@
+"""Round-10 regression tests for the ADVICE r9 fixes: streaming
+store swaps must be crash-recoverable (no silent first-epoch reset),
+ordered-ingest staging must stamp strictly increasing mtimes, the
+footer-stats flush sentinel must fall back when statistics are
+absent, the dense-Jaccard vocab guard must bound the collect in ONE
+job, and the curation oracles must tokenize empty docs like the
+Spark kernels do."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _store(prefix: str) -> str:
+    return os.path.join(tempfile.mkdtemp(prefix=prefix), "topk")
+
+
+def test_store_swap_crash_window_recovers(spark):
+    """ADVICE r9 #2: a crash between retiring the old store and
+    promoting the new one must NOT look like first-epoch — the
+    recovery helper restores the stranded state before the merge's
+    existence check."""
+    from qaapi_spark.streaming.incremental import (
+        _merge_weighted_sample_batch,
+        _store_recover,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    store = _store("swapcrash_")
+
+    _merge_weighted_sample_batch(half, store, k=5, seed="t10")
+    state = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert state
+
+    # Simulate the crash window: old store renamed to trash, new one
+    # not yet promoted (the .next of the dying epoch is irrelevant —
+    # the engine replays that batch).
+    os.rename(store, store + ".__swap_old__")
+    assert not os.path.isdir(store)
+
+    # Entry-time self-heal restores the accumulated state...
+    assert _store_recover(store) is True
+    healed = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert healed == state
+    # ...and the replayed merge is idempotent on top of it.
+    _merge_weighted_sample_batch(half, store, k=5, seed="t10")
+    replayed = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+    assert replayed == state
+
+
+def test_store_recover_first_epoch_and_stale_trash(spark):
+    """First epoch (nothing on disk) must report no store; a stale
+    trash left by a crash AFTER promotion must not clobber the newer
+    store."""
+    from qaapi_spark.streaming.incremental import (
+        _merge_weighted_sample_batch,
+        _store_recover,
+        _store_swap,
+    )
+
+    store = _store("swapfresh_")
+    assert _store_recover(store) is False
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    _merge_weighted_sample_batch(docs, store, k=3, seed="t10b")
+    good = sorted(tuple(r) for r in spark.read.parquet(store).collect())
+
+    # stale trash from a crash after promote: recovery must keep the
+    # promoted store and the next swap must clear the trash
+    os.makedirs(store + ".__swap_old__", exist_ok=True)
+    assert _store_recover(store) is True
+    assert sorted(tuple(r) for r in spark.read.parquet(store).collect()) == good
+
+    shutil.copytree(store, store + ".next", dirs_exist_ok=True)
+    _store_swap(store)
+    assert not os.path.isdir(store + ".__swap_old__")
+    assert sorted(tuple(r) for r in spark.read.parquet(store).collect()) == good
+
+
+def test_stage_monotonic_mtimes_orders_slices(tmp_path):
+    """ADVICE r9 #3: after stamping, every file in slice=i has a
+    strictly smaller mtime than every file in slice=j for i<j, even
+    when the slices were written out of order / with tied mtimes."""
+    from qaapi_spark.streaming.incremental import _stage_monotonic_mtimes
+
+    stage = str(tmp_path)
+    # write slices in REVERSE order with deliberately tied mtimes
+    for i in (2, 0, 1):
+        d = os.path.join(stage, f"slice={i}")
+        os.makedirs(d)
+        for part in ("part-0.parquet", "_SUCCESS"):
+            p = os.path.join(d, part)
+            with open(p, "w") as f:
+                f.write("x")
+            os.utime(p, (1000000000, 1000000000))
+
+    _stage_monotonic_mtimes(stage)
+
+    def slice_mtimes(i):
+        d = os.path.join(stage, f"slice={i}")
+        return [os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)]
+
+    assert max(slice_mtimes(0)) < min(slice_mtimes(1))
+    assert max(slice_mtimes(1)) < min(slice_mtimes(2))
+
+
+def test_interval_join_sentinel_survives_missing_stats(spark, tmp_path):
+    """ADVICE r9 #4: a ts column chunk without statistics must route
+    the flush-sentinel derivation through the Spark max(ts) fallback
+    instead of raising AttributeError — end-to-end result unchanged."""
+    import pyarrow.parquet as pq
+
+    from qaapi_spark.streaming.incremental import stream_interval_join_left
+
+    src = f"{SF_SMOKE}/events.parquet"
+    nostats = str(tmp_path / "events_nostats.parquet")
+    pq.write_table(
+        pq.read_table(src), nostats, write_statistics=False, row_group_size=4096
+    )
+    # sanity: the rewrite really dropped the stats
+    pf = pq.ParquetFile(nostats)
+    ts_idx = pf.schema_arrow.get_field_index("ts")
+    st = pf.metadata.row_group(0).column(ts_idx).statistics
+    assert st is None or not st.has_min_max
+
+    got = stream_interval_join_left(spark, nostats)
+    want = stream_interval_join_left(spark, src)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_dense_vocab_guard_single_job(spark):
+    """ADVICE r9 #5: the vocab ceiling must be enforced BY the bounded
+    collect itself (LIMIT max+1) — no separate count() action.  Proxy
+    assertion: a ceiling of 10 still fails fast, and the error message
+    carries the bound (not a full count that would require the second
+    aggregation)."""
+    import qaapi_spark.operators.dedup as dd
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    orig = dd._DENSE_VOCAB_MAX
+    dd._DENSE_VOCAB_MAX = 10
+    try:
+        with pytest.raises(ValueError, match="driver bound"):
+            dd.ngram_jaccard_pairs(docs, 0.5)
+    finally:
+        dd._DENSE_VOCAB_MAX = orig
+
+
+def test_curation_oracle_tokenizer_guards_empty_docs():
+    """ADVICE r9 #1: every llm_curation oracle must tokenize through
+    the guarded empty->[] CASE (DuckDB string_split_regex('') is ['']),
+    and DuckDB must agree the phantom token is gone."""
+    import duckdb
+
+    from qaapi_spark.plans.llm_curation import _DD_WORDS
+
+    assert "CASE WHEN" in _DD_WORDS
+    n = duckdb.sql(
+        f"SELECT len({_DD_WORDS}) FROM (SELECT '   ' AS text)"
+    ).fetchone()[0]
+    assert n == 0
