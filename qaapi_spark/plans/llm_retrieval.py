@@ -158,13 +158,20 @@ _SRP_FLIPS = 1
 
 # The full SRP-LSH scored-candidates CTE chain (signature -> band keys
 # -> multi-probe -> candidate join -> exact cosine), shared by the
-# plain top-k oracle and the two-stage rerank pipeline's oracle: the
-# hyperplane signs come from md5 parity (engine-stable) and the
-# projection bits from fixed-point int64 dots (floor(x*1e6 + 0.5)
-# quantized vectors; every intermediate < 2^53 so DuckDB's double SUM
-# is exact too), so the WHOLE approximate pipeline is reproducible in
-# SQL.  Ends with scored(query_id, cand_id, cosine).
-_SRP_SCORED_CTES = f"""
+# plain top-k oracle, the two-stage rerank pipeline's oracle, and the
+# contrastive miner's oracle: the hyperplane signs come from md5
+# parity (engine-stable) and the projection bits from fixed-point
+# int64 dots (floor(x*1e6 + 0.5) quantized vectors; every intermediate
+# < 2^53 so DuckDB's double SUM is exact too), so the WHOLE
+# approximate pipeline is reproducible in SQL.  Ends with
+# scored(query_id, cand_id, cosine).
+#
+# ``qp`` is the query-set predicate as a format template over the
+# vec_id column reference (``{v}``): the default is the deterministic
+# mod sample; the contrastive miner anchors on an earlier CTE
+# (``{v} IN (SELECT id FROM anchors)``).
+def _srp_scored_ctes(qp: str = "{v} % " + f"{_QUERY_MOD} = 0") -> str:
+    return f"""
     u AS (
         SELECT vec_id,
                list_transform(embedding,
@@ -200,12 +207,12 @@ _SRP_SCORED_CTES = f"""
         FROM dots GROUP BY vec_id, p // {_SRP_RPB}
     ),
     qprobe AS (
-        SELECT vec_id, band, key FROM keys WHERE vec_id % {_QUERY_MOD} = 0
+        SELECT vec_id, band, key FROM keys WHERE {qp.format(v="vec_id")}
         UNION
         SELECT k.vec_id, k.band,
                xor(k.key, CAST(1 AS BIGINT) << CAST(f.range AS INT)) AS key
         FROM keys k CROSS JOIN range({_SRP_RPB}) f
-        WHERE k.vec_id % {_QUERY_MOD} = 0
+        WHERE {qp.format(v="k.vec_id")}
     ),
     cand AS (
         SELECT DISTINCT kq.vec_id AS query_id, kc.vec_id AS cand_id
@@ -220,6 +227,9 @@ _SRP_SCORED_CTES = f"""
         JOIN u cu ON cu.vec_id = c.cand_id
     )
 """
+
+
+_SRP_SCORED_CTES = _srp_scored_ctes()
 
 
 @query(
@@ -1010,5 +1020,251 @@ def ann_recall_eval_srp(spark, sf_dir):
         ),
         F.sum((F.col("n_hit") == F.col("n_true")).cast("long")).alias(
             "n_perfect_queries"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training-pair mining (indexed default, round 10)
+# ---------------------------------------------------------------------------
+
+_HARD_NEG_K = 3
+_MINE_POOL = 20  # stage-1 candidate budget per anchor (caps exact scoring)
+
+# Shared mining CTEs: the exact near-dup positives, the anchor set they
+# induce, and the partner-exclusion relation.  Chained in front of the
+# anchored SRP fragment by both mining oracles.
+def _mine_base_ctes() -> str:
+    return f"""{_DD_JACCARD_PAIRS},
+    jpairs AS (
+        SELECT i.id_a, i.id_b,
+               ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.id_a = sa.id
+        JOIN sizes sb ON i.id_b = sb.id
+        WHERE ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4)
+              >= {_JACCARD_THRESHOLD}
+    ),
+    anchors AS (
+        SELECT DISTINCT id FROM (
+            SELECT id_a AS id FROM jpairs UNION ALL SELECT id_b FROM jpairs
+        )
+    ),
+    partners AS (
+        SELECT id_a AS query_id, id_b AS cand_id FROM jpairs
+        UNION ALL
+        SELECT id_b, id_a FROM jpairs
+    )"""
+
+
+def _mine_pool_hard_ctes() -> str:
+    """Anchored SRP chain -> per-anchor candidate pool -> partner
+    anti-join -> top-k hard negatives.  Ends with hard(query_id,
+    cand_id, cosine)."""
+    return f"""{_srp_scored_ctes("{v} IN (SELECT id FROM anchors)")},
+    pool AS (
+        SELECT query_id, cand_id, cosine FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_MINE_POOL}
+    ),
+    inegs AS (
+        SELECT g.query_id, g.cand_id, g.cosine
+        FROM pool g
+        LEFT JOIN partners p
+            ON p.query_id = g.query_id AND p.cand_id = g.cand_id
+        WHERE p.query_id IS NULL
+    ),
+    hard AS (
+        SELECT query_id, cand_id, cosine FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rn
+            FROM inegs
+        ) WHERE rn <= {_HARD_NEG_K}
+    )"""
+
+
+def _mine_anchor_inputs(spark, sf_dir):
+    """(pos, embeddings, anchor-queries, partners) shared by the miner
+    and its recall eval."""
+    from qaapi_spark.plans.llm_dedup import jaccard_pairs_kernel
+
+    pos = jaccard_pairs_kernel(spark, sf_dir)
+    e = t(spark, sf_dir, "embeddings")
+    anchors = (
+        pos.select(F.col("id_a").alias("vec_id"))
+        .union(pos.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    qs = e.join(anchors, "vec_id", "left_semi")
+    partners = pos.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("cand_id")
+    ).union(
+        pos.select(F.col("id_b").alias("query_id"), F.col("id_a").alias("cand_id"))
+    )
+    return pos, e, qs, partners
+
+
+@query(
+    "pairs_mine_contrastive",
+    # The anchored SRP chain is engine-exact end to end (same fragment
+    # that backs ann_topk_srp_lsh's green hash); the pool cut, partner
+    # anti-join, and hard-neg top-k are all deterministic
+    # (ROW_NUMBER over (4-dp cosine DESC, cand_id)).
+    oracle=f"""
+    WITH {_mine_base_ctes()},
+    {_mine_pool_hard_ctes()}
+    SELECT id_a AS anchor_id, id_b AS other_id,
+           'pos' AS label, jaccard AS score
+    FROM jpairs
+    UNION ALL
+    SELECT query_id AS anchor_id, cand_id AS other_id,
+           'hard_neg' AS label, cosine AS score
+    FROM hard
+    ORDER BY anchor_id, label, score DESC, other_id
+    """,
+    doc="contrastive training-pair mining for embedding models, INDEXED "
+    "default (VERDICT r9 next #3): POSITIVES are the exact near-dup "
+    "relation (the memoized jaccard_pairs kernel — labels a dedup pass "
+    "already computed); HARD NEGATIVES pool top-20 candidates per "
+    "anchor through the retuned SRP-LSH index (multi-probe band join, "
+    "the retrieval_two_stage_ce stage-1 shape), anti-join the positive "
+    "partners, and keep the top-3 by exact cosine.  At 100 TB the "
+    "anchor set grows with the corpus, so mining cost must track "
+    "candidate volume (|anchors| x pool), never |anchors| x corpus — "
+    "the exact grid survives only inside pairs_mine_recall_eval, "
+    "which measures this miner's recall against it (extension: "
+    "training-data generation for retrieval/embedding fine-tuning)",
+)
+def pairs_mine_contrastive(spark, sf_dir):
+    pos, e, qs, partners = _mine_anchor_inputs(spark, sf_dir)
+    pool = srp_lsh_topk(
+        qs, e, _MINE_POOL, n_planes=_SRP_PLANES, n_bands=_SRP_BANDS,
+        n_probe_flips=_SRP_FLIPS,
+    )
+    negs = pool.join(partners, ["query_id", "cand_id"], "left_anti")
+    hard = topk_per_group(
+        negs, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], _HARD_NEG_K
+    )
+    out = pos.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("other_id"),
+        F.lit("pos").alias("label"),
+        F.col("jaccard").alias("score"),
+    ).unionByName(
+        hard.select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("cand_id").alias("other_id"),
+            F.lit("hard_neg").alias("label"),
+            F.col("cosine").alias("score"),
+        )
+    )
+    return out.orderBy("anchor_id", "label", F.desc("score"), "other_id")
+
+
+@query(
+    "pairs_mine_recall_eval",
+    # Integer-exact recall aggregates over two deterministic relations
+    # (the ann_recall_eval_srp pattern): hit counts are exact integers,
+    # the only floats are single divisions rounded to 4 dp.
+    oracle=f"""
+    WITH {_mine_base_ctes()},
+    {_mine_pool_hard_ctes()},
+    grid AS (
+        SELECT a.id AS query_id, c.vec_id AS cand_id,
+               ROUND(list_dot_product(qa.uv, c.uv), 4) AS cosine
+        FROM anchors a
+        JOIN u qa ON qa.vec_id = a.id
+        CROSS JOIN u c
+        WHERE c.vec_id <> a.id
+    ),
+    enegs AS (
+        SELECT g.query_id, g.cand_id, g.cosine
+        FROM grid g
+        LEFT JOIN partners p
+            ON p.query_id = g.query_id AND p.cand_id = g.cand_id
+        WHERE p.query_id IS NULL
+    ),
+    ehard AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rn
+            FROM enegs
+        ) WHERE rn <= {_HARD_NEG_K}
+    ),
+    per_a AS (
+        SELECT e.query_id,
+               COUNT(*) AS n_true,
+               SUM(CASE WHEN h.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM ehard e
+        LEFT JOIN hard h
+            ON h.query_id = e.query_id AND h.cand_id = e.cand_id
+        GROUP BY e.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           ROUND(SUM(n_hit) * 1.0 / SUM(n_true), 4) AS recall_at_k,
+           ROUND(MIN(n_hit * 1.0 / n_true), 4) AS min_anchor_recall,
+           CAST(SUM(CASE WHEN n_hit = n_true THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_perfect_anchors
+    FROM per_a
+    """,
+    doc="recall eval of the indexed contrastive miner: the exact "
+    "|anchors| x corpus grid (the miner's former brute-force route, "
+    "demoted to eval-only) produces the true per-anchor top-3 hard "
+    "negatives; the SRP-pooled miner's picks are scored against them "
+    "with integer-exact recall aggregates — the per-index-build eval "
+    "a production mining pipeline runs to certify the pool budget "
+    "(the ann_recall_eval_srp pattern applied to mining; VERDICT r9 "
+    "next #3 'done' condition) (extension)",
+)
+def pairs_mine_recall_eval(spark, sf_dir):
+    from qaapi_spark.operators.similarity import cosine_topk_bruteforce
+
+    _pos, e, qs, partners = _mine_anchor_inputs(spark, sf_dir)
+    n_corpus = e.count()
+    grid = cosine_topk_bruteforce(qs, e, int(n_corpus))
+    ehard = topk_per_group(
+        grid.join(partners, ["query_id", "cand_id"], "left_anti"),
+        ["query_id"],
+        [F.desc("cosine"), F.asc("cand_id")],
+        _HARD_NEG_K,
+    ).select("query_id", "cand_id")
+    pool = srp_lsh_topk(
+        qs, e, _MINE_POOL, n_planes=_SRP_PLANES, n_bands=_SRP_BANDS,
+        n_probe_flips=_SRP_FLIPS,
+    )
+    ihard = topk_per_group(
+        pool.join(partners, ["query_id", "cand_id"], "left_anti"),
+        ["query_id"],
+        [F.desc("cosine"), F.asc("cand_id")],
+        _HARD_NEG_K,
+    ).select(
+        F.col("query_id").alias("iq"), F.col("cand_id").alias("ic")
+    )
+    per_a = (
+        ehard.join(
+            ihard,
+            (ehard["query_id"] == ihard["iq"]) & (ehard["cand_id"] == ihard["ic"]),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.col("ic").isNotNull().cast("long")).alias("n_hit"),
+        )
+    )
+    return per_a.agg(
+        F.count("*").alias("n_anchors"),
+        F.round(F.sum("n_hit") / F.sum("n_true"), 4).alias("recall_at_k"),
+        F.round(F.min(F.col("n_hit") / F.col("n_true")), 4).alias(
+            "min_anchor_recall"
+        ),
+        F.sum((F.col("n_hit") == F.col("n_true")).cast("long")).alias(
+            "n_perfect_anchors"
         ),
     )

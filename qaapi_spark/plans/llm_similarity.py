@@ -609,127 +609,3 @@ def ann_topk_binary_hamming(spark, sf_dir):
     )
 
 
-_HARD_NEG_K = 3
-
-
-def _contrastive_oracle() -> str:
-    from qaapi_spark.plans.llm_dedup import _DD_JACCARD_PAIRS, _JACCARD_THRESHOLD
-
-    return f"""
-    WITH {_DD_JACCARD_PAIRS},
-    jpairs AS (
-        SELECT i.id_a, i.id_b,
-               ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4)
-                   AS jaccard
-        FROM inter i
-        JOIN sizes sa ON i.id_a = sa.id
-        JOIN sizes sb ON i.id_b = sb.id
-        WHERE ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4)
-              >= {_JACCARD_THRESHOLD}
-    ),
-    u AS (
-        SELECT vec_id,
-               list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
-                            list_transform(embedding, y -> CAST(y AS DOUBLE)),
-                            list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS uv
-        FROM embeddings
-    ),
-    anchors AS (
-        SELECT DISTINCT id FROM (
-            SELECT id_a AS id FROM jpairs UNION ALL SELECT id_b FROM jpairs
-        )
-    ),
-    partners AS (
-        SELECT id_a AS query_id, id_b AS cand_id FROM jpairs
-        UNION ALL
-        SELECT id_b, id_a FROM jpairs
-    ),
-    grid AS (
-        SELECT a.id AS query_id, c.vec_id AS cand_id,
-               ROUND(list_dot_product(qa.uv, c.uv), 4) AS cosine
-        FROM anchors a
-        JOIN u qa ON qa.vec_id = a.id
-        CROSS JOIN u c
-        WHERE c.vec_id <> a.id
-    ),
-    negs AS (
-        SELECT g.query_id, g.cand_id, g.cosine
-        FROM grid g
-        LEFT JOIN partners p
-            ON p.query_id = g.query_id AND p.cand_id = g.cand_id
-        WHERE p.query_id IS NULL
-    ),
-    hard AS (
-        SELECT query_id, cand_id, cosine FROM (
-            SELECT query_id, cand_id, cosine,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY cosine DESC, cand_id) AS rn
-            FROM negs
-        ) WHERE rn <= {_HARD_NEG_K}
-    )
-    SELECT id_a AS anchor_id, id_b AS other_id,
-           'pos' AS label, jaccard AS score
-    FROM jpairs
-    UNION ALL
-    SELECT query_id AS anchor_id, cand_id AS other_id,
-           'hard_neg' AS label, cosine AS score
-    FROM hard
-    ORDER BY anchor_id, label, score DESC, other_id
-    """
-
-
-@query(
-    "pairs_mine_contrastive",
-    oracle=_contrastive_oracle(),
-    doc="contrastive training-pair mining for embedding models: "
-    "POSITIVES are the exact near-dup relation (the memoized "
-    "jaccard_pairs kernel — the labels a dedup pass already computed), "
-    "HARD NEGATIVES are each anchor's top-3 cosine neighbors that are "
-    "NOT near-dup partners (high-similarity non-duplicates — the "
-    "pairs a contrastive loss learns the most from, per the hard "
-    "negative mining literature).  The anchor set is bounded by the "
-    "positive relation, so the scoring grid is |anchors| x corpus — "
-    "the brute-force eval leg (same posture as ann_recall_eval_srp); "
-    "partner exclusion is an anti-join AFTER scoring so the ranking "
-    "is exact, and the full pipeline (dedup relation -> grid -> "
-    "anti-join -> top-k) hash-checks end to end (extension: "
-    "training-data generation for retrieval/embedding fine-tuning)",
-)
-def pairs_mine_contrastive(spark, sf_dir):
-    from qaapi_spark.operators.windows import topk_per_group
-    from qaapi_spark.plans.llm_dedup import jaccard_pairs_kernel
-
-    pos = jaccard_pairs_kernel(spark, sf_dir)
-    e = t(spark, sf_dir, "embeddings")
-    anchors = (
-        pos.select(F.col("id_a").alias("vec_id"))
-        .union(pos.select(F.col("id_b").alias("vec_id")))
-        .distinct()
-    )
-    qs = e.join(anchors, "vec_id", "left_semi")
-    n_corpus = e.count()
-    grid = cosine_topk_bruteforce(qs, e, int(n_corpus))
-    partners = pos.select(
-        F.col("id_a").alias("query_id"), F.col("id_b").alias("cand_id")
-    ).union(
-        pos.select(F.col("id_b").alias("query_id"), F.col("id_a").alias("cand_id"))
-    )
-    negs = grid.join(partners, ["query_id", "cand_id"], "left_anti")
-    hard = topk_per_group(
-        negs, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], _HARD_NEG_K
-    )
-    out = pos.select(
-        F.col("id_a").alias("anchor_id"),
-        F.col("id_b").alias("other_id"),
-        F.lit("pos").alias("label"),
-        F.col("jaccard").alias("score"),
-    ).unionByName(
-        hard.select(
-            F.col("query_id").alias("anchor_id"),
-            F.col("cand_id").alias("other_id"),
-            F.lit("hard_neg").alias("label"),
-            F.col("cosine").alias("score"),
-        )
-    )
-    return out.orderBy("anchor_id", "label", F.desc("score"), "other_id")

@@ -167,3 +167,15 @@ def test_curation_oracle_tokenizer_guards_empty_docs():
         f"SELECT len({_DD_WORDS}) FROM (SELECT '   ' AS text)"
     ).fetchone()[0]
     assert n == 0
+
+
+def test_indexed_miner_recall_bar(spark):
+    """VERDICT r9 next #3: the indexed (SRP-pooled) hard-negative miner
+    must clear the 0.8 recall bar against the exact grid — the same
+    serving bar the retuned SRP index itself meets (measured 0.9333 at
+    sf0.001, 0.8794 at sf0.01)."""
+    from qaapi_spark.plans.catalog import CATALOG
+
+    r = CATALOG["pairs_mine_recall_eval"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_anchors"] > 0
+    assert r["recall_at_k"] >= 0.8, r.asDict()
