@@ -76,23 +76,32 @@ def _driver_state() -> tuple[set[str], set[str], int, dict[str, int]]:
 # passthrough), and the Hamming screen's query collect (limit + bound),
 # so their r7 rows certify retired code.  All four re-verified locally
 # (check_oracle sf0.001 + sf0.01); the force makes the driver confirm.
-_FORCE_RECHECK_ROUND = 8
+_FORCE_RECHECK_ROUND = 9
 _FORCE_RECHECK = frozenset(
     {
-        # Round 9: SRP-LSH retune (128 planes / 16 bands / 1-flip
-        # multi-probe — results CHANGE) and the ADVICE-r8 fixes that
-        # changed executed paths (stream merge dedup + existence-check
-        # state reads, compaction crash-recovery pre-check, dense
-        # vocab-count guard).
-        "ann_topk_srp_lsh",
-        "ann_recall_eval_srp",
+        # Round 10: the contrastive miner switched to the indexed
+        # SRP-pooled hard-negative route (results CHANGE), the ADVICE
+        # r9 fixes changed executed paths (crash-safe store swaps +
+        # self-heal entry checks in three streaming merges, monotonic
+        # staged mtimes in the two ordered-ingest streams, footer-stats
+        # sentinel fallback, single-collect dense vocab guard), the
+        # neardup stream gained the strictly-earlier-epoch store filter
+        # + signature-from-sets reuse, and the llm_curation oracles now
+        # tokenize through the guarded empty->[] CASE (oracle text
+        # changed; results identical on this data).
+        "pairs_mine_contrastive",
+        "stream_neardup_dedup_docs",
         "stream_weighted_sample",
         "stream_running_distinct_users",
-        "maintain_compact_small_files",
-        "dedup_ngram_jaccard_dense",
-        # pyarrow footer-stats sentinel replaced the max(ts)-scan +
-        # Spark sentinel write in the outer attribution replay
+        "stream_hll_running_users",
+        "stream_pack_chunks",
+        "stream_scd2_history",
         "stream_attribution_left_outer",
+        "dedup_ngram_jaccard_dense",
+        "curation_dsir_importance",
+        "curation_bigram_lm_quality",
+        "curation_source_kl_drift",
+        "curation_benchmark_contamination",
     }
 )
 

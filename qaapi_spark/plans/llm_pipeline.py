@@ -371,3 +371,129 @@ def pipeline_corpus_to_shards(spark, sf_dir):
         .drop("rn")
     )
     return pack_sequences(capped, _SHARD_BUDGET).orderBy("source", "doc_id")
+
+
+@query(
+    "stream_pipeline_corpus_to_shards",
+    # The greedy dedup relation is deterministic under ordered ingest
+    # (the stream_neardup_dedup_docs oracle construction, re-expressed
+    # over id-RANGE batches), and the gate/pack stages are integer-
+    # exact — so the whole composed stream hash-checks against one
+    # batch SQL statement.  Batch split point mirrors the staging
+    # arithmetic: step = greatest(1, (hi - lo + 2) // 2).
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sets AS (
+        SELECT id,
+               list_distinct(CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS sh
+        FROM words
+    ),
+    sizes AS (SELECT id, len(sh) AS set_size FROM sets),
+    posting AS (SELECT id, unnest(sh) AS shingle FROM sets),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    npairs AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes sa ON i.id_a = sa.id
+        JOIN sizes sb ON i.id_b = sb.id
+        WHERE ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4) >= 0.8
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM npairs
+        UNION ALL SELECT id_b, id_a FROM npairs
+    ),
+    bounds AS (
+        SELECT MIN(doc_id) AS lo,
+               MIN(doc_id) + GREATEST(1, (MAX(doc_id) - MIN(doc_id) + 2) // 2)
+                   AS mid
+        FROM documents
+    ),
+    eligible AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d JOIN sizes s ON d.doc_id = s.id
+        WHERE s.set_size >= 1
+    ),
+    b0 AS (SELECT e.* FROM eligible e CROSS JOIN bounds WHERE e.doc_id < mid),
+    b1 AS (SELECT e.* FROM eligible e CROSS JOIN bounds WHERE e.doc_id >= mid),
+    kept0 AS (
+        SELECT * FROM b0 d WHERE NOT EXISTS (
+            SELECT 1 FROM sym p JOIN b0 e ON p.a = e.doc_id
+            WHERE p.b = d.doc_id AND e.doc_id < d.doc_id)
+    ),
+    surv1 AS (
+        SELECT * FROM b1 d WHERE NOT EXISTS (
+            SELECT 1 FROM sym p JOIN kept0 k ON p.a = k.doc_id
+            WHERE p.b = d.doc_id)
+    ),
+    kept1 AS (
+        SELECT * FROM surv1 d WHERE NOT EXISTS (
+            SELECT 1 FROM sym p JOIN surv1 e ON p.a = e.doc_id
+            WHERE p.b = d.doc_id AND e.doc_id < d.doc_id)
+    ),
+    keptall AS (
+        SELECT doc_id, source, text FROM kept0
+        UNION ALL SELECT doc_id, source, text FROM kept1
+    ),
+    gated AS (
+        SELECT source, doc_id,
+               len(string_split_regex(trim(lower(text)), '\\s+')) AS n_toks
+        FROM keptall
+        WHERE len(string_split_regex(trim(lower(text)), '\\s+'))
+              >= {_SHARD_MIN_TOKS}
+    ),
+    p AS (
+        SELECT source, doc_id, n_toks,
+               COALESCE(SUM(n_toks) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_tok
+        FROM gated
+    )
+    SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(FLOOR(start_tok / {_SHARD_BUDGET}.0) AS BIGINT) AS first_chunk,
+           CAST(FLOOR((start_tok + n_toks - 1) / {_SHARD_BUDGET}.0) AS BIGINT)
+               AS last_chunk,
+           CAST(FLOOR((start_tok + n_toks - 1) / {_SHARD_BUDGET}.0) AS BIGINT)
+               - CAST(FLOOR(start_tok / {_SHARD_BUDGET}.0) AS BIGINT) + 1
+               AS n_chunks
+    FROM p ORDER BY source, doc_id
+    """,
+    doc="the STREAMING twin of pipeline_corpus_to_shards (VERDICT r9 "
+    "next #5): new documents arrive in doc_id-ordered micro-batches "
+    "and one foreachBatch pipeline screens each batch against the "
+    "standing kept corpus (minhash-LSH band store + exact Jaccard "
+    "verify), gates the survivors (>= 16 ws tokens), and appends them "
+    "to training shards from an O(|sources|) running-totals snapshot "
+    "— the production ingest wave: no stage rescans history, dedup "
+    "state is the kept corpus's band keys + shingle sets, pack state "
+    "is |sources| rows.  Epoch-keyed overwrite writes + "
+    "strictly-earlier-epoch store reads make every epoch "
+    "retry-idempotent (replayed epochs reproduce identical bytes — "
+    "unit-tested).  Differences from the batch pipeline are the "
+    "designed ones: greedy ordered-arrival dedup instead of global "
+    "CC min-id (the only dedup a stream can decide without future "
+    "knowledge), and no per-source quota cap (a global rank needs "
+    "the full corpus) (extension, SURVEY §2.9)",
+)
+def stream_pipeline_corpus_to_shards_q(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import stream_pipeline_corpus_to_shards
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return stream_pipeline_corpus_to_shards(
+            spark, f"{sf_dir}/documents.parquet",
+            min_toks=_SHARD_MIN_TOKS, budget=_SHARD_BUDGET,
+        ).orderBy("source", "doc_id")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -16,6 +16,7 @@ an unbounded source (Kafka, autoloader directory) would use.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -393,9 +394,17 @@ def stream_neardup_dedup(
         # existence check, not try/except (the ADVICE r8 #2 / r9 #2
         # class): only the genuinely-missing first-epoch store may be
         # skipped; any other read error must propagate instead of
-        # silently treating a populated store as empty
+        # silently treating a populated store as empty.  The epoch
+        # partition filter makes the screen RETRY-SAFE: a foreachBatch
+        # retry of epoch N would otherwise read epoch N's own prior
+        # output and drop every batch doc against itself (j(d,d) = 1
+        # passes any threshold) — only strictly-earlier epochs are the
+        # legitimate cross-batch state (round-10 fix; partition pruning
+        # skips the excluded directory entirely).
         if os.path.isdir(store_dir + "/data"):
-            rec = spark.read.parquet(store_dir + "/data")
+            rec = spark.read.parquet(store_dir + "/data").filter(
+                F.col("epoch") < int(epoch_id)
+            )
             store = rec.select(
                 F.col("id").alias("other"), F.explode("bands").alias("bk")
             ).select("bk.band", "bk.bsig", "other")
@@ -1601,4 +1610,257 @@ def stream_scd2_history(
     )
     return hist.unionByName(final_open).withColumn(
         "is_current", F.col("valid_to_us").isNull()
+    )
+
+
+def _pipeline_shards_epoch(
+    bdf,
+    epoch_id: int,
+    store_dir: str,
+    totals_root: str,
+    out_root: str,
+    threshold: float,
+    num_hashes: int,
+    n_bands: int,
+    min_toks: int,
+    budget: int,
+) -> None:
+    """One foreachBatch step of the composed corpus-refresh pipeline
+    (module-level so retry-idempotence is unit-testable): near-dup
+    screen of the batch against the kept store -> quality gate ->
+    packed-offset assignment from the per-epoch totals snapshot.
+
+    Retry-idempotent by construction: the dedup store and shard output
+    are epoch-keyed overwrite directories, the dedup screen reads only
+    STRICTLY EARLIER epochs (a replayed epoch must not meet its own
+    prior output — every doc is its own near-dup), and pack offsets
+    derive from the epoch-(N-1) totals snapshot plus batch content, so
+    a replayed epoch reproduces identical bytes."""
+    from pyspark.sql import Window
+
+    from qaapi_spark.operators.dedup import (
+        _hashed_shingle_sets,
+        minhash_band_arrays,
+    )
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    spark = bdf.sparkSession
+    if bdf.rdd.getNumPartitions() < 8:
+        bdf = bdf.repartition(8)
+    sets = (
+        _hashed_shingle_sets(bdf, 2, "text", "doc_id")
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    signed = sets.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("sh"), lambda v: F.xxhash64(F.lit(i), v))
+                )
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    bands_arr = minhash_band_arrays(signed, num_hashes, n_bands).persist()
+    keys = bands_arr.select("id", F.explode("bands").alias("bk")).select(
+        "id", "bk.band", "bk.bsig"
+    )
+
+    def jaccard_ge(pairs, sa, sb):
+        j = (
+            pairs.join(sa.select(F.col("id"), F.col("sh").alias("sh_a")), "id")
+            .join(
+                sb.select(F.col("id").alias("other"), F.col("sh").alias("sh_b")),
+                "other",
+            )
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "j",
+                F.round(
+                    F.col("inter")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                    4,
+                ),
+            )
+        )
+        return j.filter(F.col("j") >= threshold)
+
+    if os.path.isdir(store_dir + "/data"):
+        rec = spark.read.parquet(store_dir + "/data").filter(
+            F.col("epoch") < int(epoch_id)
+        )
+        store = rec.select(
+            F.col("id").alias("other"), F.explode("bands").alias("bk")
+        ).select("bk.band", "bk.bsig", "other")
+        kept_sets = rec.select("id", "sh")
+        cand = keys.join(store, ["band", "bsig"]).select("id", "other").distinct()
+        dup = jaccard_ge(cand, sets, kept_sets).select("id").distinct()
+        keys = keys.join(dup, "id", "left_anti")
+    a, b = keys.alias("a"), keys.alias("b")
+    wpairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") > F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("other"))
+        .distinct()
+    )
+    smaller = jaccard_ge(wpairs, sets, sets).select("id").distinct()
+    kept_ids = (
+        keys.select("id").distinct().join(smaller, "id", "left_anti").persist()
+    )
+
+    # quality gate + pack-offset assignment over this epoch's survivors
+    gated = (
+        bdf.join(kept_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi")
+        .select(
+            "source",
+            "doc_id",
+            F.size(ws_tokens(F.lower(F.col("text")))).alias("n_toks"),
+        )
+        .filter(F.col("n_toks") >= min_toks)
+    )
+    prev_dir = os.path.join(totals_root, f"epoch={int(epoch_id) - 1}")
+    if int(epoch_id) > 0 and os.path.isdir(prev_dir):
+        prev = spark.read.parquet(prev_dir)
+    else:
+        prev = spark.createDataFrame([], "source string, total_toks long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    placed = (
+        gated.withColumn("cum_before", cum)
+        .join(F.broadcast(prev), "source", "left")
+        .withColumn(
+            "start_tok",
+            (F.coalesce(F.col("total_toks"), F.lit(0)) + F.col("cum_before"))
+            .cast("long"),
+        )
+    )
+    out = placed.select(
+        "source",
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        "start_tok",
+        F.floor(F.col("start_tok") / F.lit(budget)).cast("long").alias("first_chunk"),
+        F.floor((F.col("start_tok") + F.col("n_toks") - 1) / F.lit(budget))
+        .cast("long")
+        .alias("last_chunk"),
+    ).withColumn("n_chunks", F.col("last_chunk") - F.col("first_chunk") + 1)
+    try:
+        out.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_root, f"epoch={int(epoch_id)}")
+        )
+        bsum = gated.groupBy("source").agg(F.sum("n_toks").alias("b_toks"))
+        totals = prev.join(bsum, "source", "full_outer").select(
+            "source",
+            (
+                F.coalesce(F.col("total_toks"), F.lit(0))
+                + F.coalesce(F.col("b_toks"), F.lit(0))
+            ).cast("long").alias("total_toks"),
+        )
+        totals.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(totals_root, f"epoch={int(epoch_id)}")
+        )
+        bands_arr.join(kept_ids, "id", "left_semi").join(
+            sets, "id"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{store_dir}/data/epoch={int(epoch_id)}"
+        )
+    finally:
+        kept_ids.unpersist()
+        bands_arr.unpersist()
+        sets.unpersist()
+
+
+def stream_pipeline_corpus_to_shards(
+    spark: SparkSession,
+    docs_path: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    n_bands: int = 16,
+    min_toks: int = 16,
+    budget: int = 128,
+    n_splits: int = 2,
+) -> DataFrame:
+    """The incremental corpus-refresh wave: near-dup dedup -> quality
+    gate -> concat-and-chunk shard formation composed in ONE
+    foreachBatch pipeline (VERDICT r9 next #5) — what a production
+    ingest wave runs when new documents land: screen them against the
+    standing kept corpus, gate the survivors, append them to training
+    shards without recomputing earlier offsets.
+
+    Ordered ingest is the CONTRACT (shard offsets accumulate in doc_id
+    order): slices are doc_id ranges staged as one sorted file each
+    with explicit monotonic mtimes.  Under it the dedup decisions are
+    the stream_neardup_dedup greedy relation and the offsets equal the
+    batch pack over the gated survivors — so the composition is
+    hash-checkable against one batch SQL oracle.
+
+    State per epoch: the kept store (bands + shingle sets, epoch-keyed
+    append) and the |sources|-row totals snapshot; per-epoch work is
+    the batch screen (band equi-join + exact verify of candidates
+    only) plus one per-source window over the batch — no stage
+    rescans history."""
+    raw = spark.read.parquet(docs_path)
+    lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
+    stage_dir = _scratch(prefix="docs_c2s_stream_")
+    for i in range(n_splits):
+        hi_pad = (1 << 60) if i == n_splits - 1 else 0
+        (
+            raw.filter(
+                (F.col("doc_id") >= int(lo) + i * step)
+                & (F.col("doc_id") < int(lo) + (i + 1) * step + hi_pad)
+            )
+            .coalesce(1)
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage_dir, f"slice={i}"))
+        )
+    _stage_monotonic_mtimes(stage_dir)
+    store_dir = _scratch(prefix="c2s_store_")
+    totals_root = _scratch(prefix="c2s_totals_")
+    out_root = _scratch(prefix="c2s_out_")
+
+    def merge_batch(bdf, epoch_id: int) -> None:
+        _pipeline_shards_epoch(
+            bdf, epoch_id, store_dir, totals_root, out_root,
+            threshold, num_hashes, n_bands, min_toks, budget,
+        )
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir + "/slice=*")
+    )
+    # same scoping rationale as stream_neardup_dedup: an epoch chains
+    # ~10 small jobs over a micro-batch; AQE's materialize-then-replan
+    # adds serial latency with nothing to re-plan at this size
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _scratch(prefix="c2s_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.enabled")
+        else:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    return spark.read.parquet(out_root + "/epoch=*").select(
+        "source", "doc_id", "n_toks", "start_tok",
+        "first_chunk", "last_chunk", "n_chunks",
     )
