@@ -1213,3 +1213,135 @@ def containment_pairs_auto(
             measure="containment", _dfreq=dstats.select("shingle"),
         )
     return containment_pairs_sparse(df, threshold, n, text_col, id_col, _sets=sets)
+
+
+def _dup_window_positions(
+    df: DataFrame, min_len: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, pos) of every token position starting a ``min_len``-token
+    window whose exact token sequence occurs >= 2 times in the corpus
+    (any document, any offset — the ExactSubstr duplication criterion
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22).
+
+    Spark-first substitute for their single-node suffix array: every
+    overlapping window keys by the md5 of its joined tokens (16-byte
+    digest — the only thing shuffled), one corpus-sized hash aggregate
+    finds repeated keys, one equi-join maps them back to positions.
+    O(total_tokens) rows, two shuffles, no driver state — the honest
+    distributed cost of exact-substring dedup (a suffix array saves the
+    constant factor, not the asymptotics, and cannot shard)."""
+    arr = ws_tokens(F.lower(F.col(text_col)))
+    # sequence(1, n) DESCENDS when n < 1 — guard short docs to an
+    # explicitly empty position list
+    starts = F.when(
+        F.size(arr) >= min_len,
+        F.sequence(F.lit(1), F.size(arr) - min_len + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    from qaapi_spark.session import register_kernel_cache
+
+    wins = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.array_join(F.slice(arr, i, min_len), " ")).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    # persisted (scratch cache): the repeated-key aggregate AND the
+    # position probe both consume the window relation — without the
+    # cache the corpus tokenizes + hashes twice per call.  At 100 TB
+    # this MEMORY_AND_DISK cache is ~(16B + 2 ids) x total_tokens and
+    # spills; if storage is tighter than compute, drop the persist and
+    # pay the second tokenize pass instead — both plans stay two
+    # shuffles
+    wins = register_kernel_cache(wins.persist())
+    dup_keys = (
+        wins.groupBy("h").agg(F.count("*").alias("n_occ")).filter(F.col("n_occ") >= 2)
+    )
+    return wins.join(dup_keys, "h", "left_semi").select("doc_id", "pos")
+
+
+def exact_substring_dup_ranges(
+    df: DataFrame,
+    min_len: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    _dpos: DataFrame | None = None,
+) -> DataFrame:
+    """Maximal duplicated token ranges per document: merge consecutive
+    duplicated window positions (gaps-and-islands: pos - row_number is
+    constant within a run) into (doc_id, start_pos, end_pos,
+    n_dup_windows, range_len) — the spans ExactSubstr dedup would cut.
+
+    Unlike the stride-aligned 10-token span dedup (plans/llm_dedup
+    spans family), windows here slide over EVERY offset, so a
+    duplicated passage is found wherever it starts.  All columns are
+    exact integers; per-doc windows are the only non-hash-agg shuffle."""
+    from pyspark.sql import Window
+
+    dpos = (
+        _dpos
+        if _dpos is not None
+        else _dup_window_positions(df, min_len, text_col, id_col)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dpos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            (F.max("pos") + min_len - 1).cast("long").alias("end_pos"),
+            F.count("*").alias("n_dup_windows"),
+            (F.max("pos") - F.min("pos") + min_len).cast("long").alias("range_len"),
+        )
+        .drop("grp")
+    )
+
+
+def exact_substring_doc_stats(
+    df: DataFrame,
+    min_len: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    _dpos: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document duplicated-text fraction: the curation signal
+    ExactSubstr dedup acts on (trim or drop documents whose text is
+    mostly duplicated elsewhere).  (doc_id, n_toks, n_dup_toks,
+    dup_frac).
+
+    Token-level union, not a sum of range lengths: adjacent maximal
+    ranges can overlap in token space (two duplicated windows < min_len
+    apart share tokens), so each duplicated window explodes into its
+    min_len covered positions and distinct positions are counted —
+    exact, at a bounded min_len-x blowup of the DUPLICATED subset only
+    (never the whole corpus)."""
+    dpos = (
+        _dpos
+        if _dpos is not None
+        else _dup_window_positions(df, min_len, text_col, id_col)
+    )
+    covered = dpos.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + min_len - 1)
+        ).alias("tok_pos"),
+    )
+    per_doc = covered.groupBy("doc_id").agg(
+        F.countDistinct("tok_pos").alias("n_dup_toks")
+    )
+    sizes = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws_tokens(F.lower(F.col(text_col)))).alias("n_toks"),
+    )
+    return per_doc.join(sizes, "doc_id").select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.col("n_dup_toks").cast("long").alias("n_dup_toks"),
+        F.round(F.col("n_dup_toks") / F.col("n_toks"), 4).alias("dup_frac"),
+    )

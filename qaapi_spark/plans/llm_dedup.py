@@ -979,3 +979,123 @@ def dedup_minhash_spans(spark, sf_dir):
     return minhash_lsh_verified_pairs_from_sets(
         sets, _SPAN_MH_THRESHOLD, num_hashes=64, n_bands=32, id_col="doc_id"
     ).orderBy("id_a", "id_b")
+
+
+_SUBSTR_L = 10
+
+# Shared DuckDB fragment for the ExactSubstr family: every overlapping
+# 10-token window keyed by md5, repeated keys mapped back to positions.
+_DD_SUBSTR_DPOS = f"""
+    stoks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+        FROM documents
+    ),
+    spos AS (
+        SELECT doc_id, w,
+               CAST(unnest(range(1, len(w) - {_SUBSTR_L} + 2)) AS BIGINT) AS pos
+        FROM stoks WHERE len(w) >= {_SUBSTR_L}
+    ),
+    swins AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(
+                   list_slice(w, pos, pos + {_SUBSTR_L - 1}), ' ')) AS h
+        FROM spos
+    ),
+    sdup AS (SELECT h FROM swins GROUP BY h HAVING COUNT(*) >= 2),
+    sdpos AS (
+        SELECT w.doc_id, w.pos FROM swins w JOIN sdup USING (h)
+    )"""
+
+
+def _shared_substr_dpos(spark, sf_dir):
+    """Memoized duplicated-window-position relation per (app, sf_dir):
+    both ExactSubstr queries consume it (same sharing contract as
+    _shared_spans / cc_jaccard_labels); the build cost bills to the
+    alphabetically-first suite consumer (doc_stats)."""
+    from qaapi_spark.operators.dedup import _dup_window_positions
+    from qaapi_spark.session import shared_kernel
+
+    return shared_kernel(
+        spark,
+        ("substr_dpos", sf_dir, _SUBSTR_L),
+        lambda: _dup_window_positions(
+            t(spark, sf_dir, "documents"), _SUBSTR_L, "text", "doc_id"
+        ).persist(),
+    )
+
+
+@query(
+    "dedup_exact_substring_ranges",
+    # All-integer output (positions, counts, lengths), deterministic
+    # gaps-and-islands grouping — hash-exact across engines.
+    oracle=f"""
+    WITH {_DD_SUBSTR_DPOS},
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM sdpos
+    )
+    SELECT doc_id,
+           MIN(pos) AS start_pos,
+           MAX(pos) + {_SUBSTR_L - 1} AS end_pos,
+           COUNT(*) AS n_dup_windows,
+           MAX(pos) - MIN(pos) + {_SUBSTR_L} AS range_len
+    FROM isl GROUP BY doc_id, grp
+    ORDER BY doc_id, start_pos
+    """,
+    doc="EXACT-SUBSTRING dedup ranges (Lee et al. ACL'22 ExactSubstr, "
+    "reference criterion: a >=10-token passage occurring anywhere "
+    "else in the corpus): every OVERLAPPING 10-token window — not "
+    "just stride-aligned spans — keys by the md5 of its tokens; one "
+    "corpus-sized hash aggregate finds repeated keys; consecutive "
+    "duplicated positions merge per doc (gaps-and-islands) into the "
+    "maximal ranges a dedup pass would cut.  Spark-first substitute "
+    "for the paper's single-node suffix array: O(total_tokens) "
+    "16-byte rows, two shuffles, no driver state, shards freely "
+    "(extension: completes the dedup surface below span granularity)",
+)
+def dedup_exact_substring_ranges(spark, sf_dir):
+    from qaapi_spark.operators.dedup import exact_substring_dup_ranges
+
+    d = t(spark, sf_dir, "documents")
+    return exact_substring_dup_ranges(
+        d, _SUBSTR_L, _dpos=_shared_substr_dpos(spark, sf_dir)
+    ).orderBy("doc_id", "start_pos")
+
+
+@query(
+    "dedup_exact_substring_doc_stats",
+    oracle=f"""
+    WITH {_DD_SUBSTR_DPOS},
+    covered AS (
+        SELECT DISTINCT d.doc_id, d.pos + f.range AS tok_pos
+        FROM sdpos d, range(0, {_SUBSTR_L}) f
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_dup_toks FROM covered GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_toks,
+           CAST(p.n_dup_toks AS BIGINT) AS n_dup_toks,
+           ROUND(p.n_dup_toks * 1.0 / len(t.w), 4) AS dup_frac
+    FROM per_doc p JOIN stoks t ON p.doc_id = t.doc_id
+    ORDER BY p.doc_id
+    """,
+    doc="per-document duplicated-text fraction under the ExactSubstr "
+    "criterion — the curation signal the ranges feed (trim or drop "
+    "documents that are mostly duplicated text): duplicated windows "
+    "explode into the token positions they cover and DISTINCT "
+    "positions count, so overlapping ranges never double-count; the "
+    "blowup is bounded to 10x the duplicated subset, never the "
+    "corpus.  Integer counts + one rounded division (extension)",
+)
+def dedup_exact_substring_doc_stats(spark, sf_dir):
+    from qaapi_spark.operators.dedup import exact_substring_doc_stats
+
+    d = t(spark, sf_dir, "documents")
+    return exact_substring_doc_stats(
+        d, _SUBSTR_L, _dpos=_shared_substr_dpos(spark, sf_dir)
+    ).orderBy("doc_id")

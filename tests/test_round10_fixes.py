@@ -260,3 +260,38 @@ def test_stream_pipeline_matches_gated_pack_invariants(spark):
     # (non-empty intersection sanity, not equality)
     packed = {r["doc_id"] for r in rows}
     assert packed & kept
+
+
+def test_exact_substring_invariants(spark):
+    """ExactSubstr family invariants beyond the oracle: ranges are
+    maximal (>= L tokens, within doc bounds, non-overlapping window
+    STARTS between islands), and doc stats never exceed the doc."""
+    from qaapi_spark.plans.catalog import CATALOG
+
+    L = 10
+    ranges = (
+        CATALOG["dedup_exact_substring_ranges"].fn(spark, SF_SMOKE).collect()
+    )
+    stats = {
+        r["doc_id"]: r
+        for r in CATALOG["dedup_exact_substring_doc_stats"].fn(spark, SF_SMOKE).collect()
+    }
+    assert ranges, "test corpus should contain duplicated passages"
+    by_doc: dict[int, list] = {}
+    for r in ranges:
+        assert r["range_len"] >= L
+        assert r["end_pos"] - r["start_pos"] + 1 == r["range_len"]
+        assert r["n_dup_windows"] == r["range_len"] - L + 1
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["start_pos"])
+        # islands are maximal: next island's first window start is at
+        # least 2 positions past this island's last window start
+        for a, b in zip(rs, rs[1:]):
+            assert b["start_pos"] > a["end_pos"] - L + 2
+        s = stats[doc]
+        assert 0 < s["n_dup_toks"] <= s["n_toks"]
+        # token union is bounded by the interval union of the ranges
+        assert s["n_dup_toks"] <= sum(r["range_len"] for r in rs)
+    # every doc with a range has stats and vice versa
+    assert set(by_doc) == set(stats)
