@@ -314,7 +314,6 @@ def stream_neardup_dedup(
     # id parity), so the store genuinely accumulates across epochs
     stage_dir = _scratch(prefix="docs_neardup_stream_")
     store_dir = _scratch(prefix="neardup_store_")
-    out_dir = _scratch(prefix="neardup_kept_")
     batch_df = spark.read.parquet(docs_path)
     batch_df.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(stage_dir, "b0.parquet")
@@ -433,33 +432,24 @@ def stream_neardup_dedup(
             .distinct()
         )
         smaller = _jaccard_ge(wpairs, sets, sets).select("id").distinct()
-        # two consumers (kept-doc write + store write): persist, not
-        # checkpoint — the lineage is one epoch deep, and persist keeps
-        # AQE coalescing active for the tiny batch-side joins
-        kept_ids = (
-            keys.select("id").distinct().join(smaller, "id", "left_anti").persist()
-        )
+        # single consumer now (the store write) — no persist needed
+        kept_ids = keys.select("id").distinct().join(smaller, "id", "left_anti")
         try:
-            # epoch-keyed dirs + overwrite = idempotent on foreachBatch
-            # retry (a re-run of epoch N replaces its own prior output)
-            # per-epoch frames are micro-batch-sized: one file each
-            # (coalesce(1)) instead of shuffle-partition-many — the
-            # store re-read every later epoch pays per-file open cost
-            bdf.join(
-                kept_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
-            ).select("doc_id", "lang", "source").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{out_dir}/data/epoch={epoch_id}")
-            # single nested store write: (id, bands[], sh) straight from
-            # the map-only band-array relation — no regrouping of the
-            # exploded keys, and one write job instead of two
+            # SINGLE epoch write (round 10: was two): the nested store
+            # row (id, bands[], sh) already identifies the kept docs,
+            # so the kept-docs relation derives from the store with one
+            # final semi-join against the corpus AFTER the stream ends
+            # instead of a per-epoch bdf join + second write job.
+            # Epoch-keyed dirs + overwrite = idempotent on foreachBatch
+            # retry (a re-run of epoch N replaces its own prior
+            # output); one file each (coalesce(1)) so the store re-read
+            # every later epoch pays minimal per-file open cost.
             bands_arr.join(kept_ids, "id", "left_semi").join(
                 sets, "id"
             ).coalesce(1).write.mode("overwrite").parquet(
                 f"{store_dir}/data/epoch={epoch_id}"
             )
         finally:
-            kept_ids.unpersist()
             bands_arr.unpersist()
             sets.unpersist()
 
@@ -492,9 +482,17 @@ def stream_neardup_dedup(
             spark.conf.unset("spark.sql.adaptive.enabled")
         else:
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-    # drop the epoch=N partition-discovery column the idempotent
-    # epoch-keyed layout introduces
-    return spark.read.parquet(out_dir + "/data").select("doc_id", "lang", "source")
+    # kept docs = the store's ids (exactly the survivors, every epoch)
+    # re-attached to the corpus once — the epoch=N partition-discovery
+    # column drops in the select
+    kept = spark.read.parquet(store_dir + "/data").select(
+        F.col("id").alias("doc_id")
+    )
+    return (
+        spark.read.parquet(docs_path)
+        .join(kept, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source")
+    )
 
 
 def stream_interval_join(
