@@ -450,13 +450,21 @@ def pipeline_corpus_to_shards(spark, sf_dir):
         WHERE len(string_split_regex(trim(lower(text)), '\\s+'))
               >= {_SHARD_MIN_TOKS}
     ),
+    capped AS (
+        SELECT source, doc_id, n_toks FROM (
+            SELECT source, doc_id, n_toks,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn <= {_SHARD_CAP}
+    ),
     p AS (
         SELECT source, doc_id, n_toks,
                COALESCE(SUM(n_toks) OVER (
                    PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS start_tok
-        FROM gated
+        FROM capped
     )
     SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
            CAST(start_tok AS BIGINT) AS start_tok,
@@ -473,17 +481,18 @@ def pipeline_corpus_to_shards(spark, sf_dir):
     "and one foreachBatch pipeline screens each batch against the "
     "standing kept corpus (minhash-LSH band store + exact Jaccard "
     "verify), gates the survivors (>= 16 ws tokens), and appends them "
-    "to training shards from an O(|sources|) running-totals snapshot "
-    "— the production ingest wave: no stage rescans history, dedup "
-    "state is the kept corpus's band keys + shingle sets, pack state "
-    "is |sources| rows.  Epoch-keyed overwrite writes + "
-    "strictly-earlier-epoch store reads make every epoch "
-    "retry-idempotent (replayed epochs reproduce identical bytes — "
-    "unit-tested).  Differences from the batch pipeline are the "
-    "designed ones: greedy ordered-arrival dedup instead of global "
-    "CC min-id (the only dedup a stream can decide without future "
-    "knowledge), and no per-source quota cap (a global rank needs "
-    "the full corpus) (extension, SURVEY §2.9)",
+    "caps over-quota sources (first 15 per source — EXACT under "
+    "ordered ingest: prev-epoch kept count + within-batch rank IS the "
+    "global row_number), and appends the rest to training shards from "
+    "an O(|sources|) totals+counts snapshot — the production ingest "
+    "wave: no stage rescans history, dedup state is the kept corpus's "
+    "band keys + shingle sets, cap/pack state is |sources| rows.  "
+    "Epoch-keyed overwrite writes + strictly-earlier-epoch store "
+    "reads make every epoch retry-idempotent (replayed epochs "
+    "reproduce identical bytes — unit-tested).  The one designed "
+    "difference from the batch pipeline: greedy ordered-arrival dedup "
+    "instead of global CC min-id — the only dedup a stream can decide "
+    "without future knowledge (extension, SURVEY §2.9)",
 )
 def stream_pipeline_corpus_to_shards_q(spark, sf_dir):
     from qaapi_spark.streaming.incremental import stream_pipeline_corpus_to_shards
@@ -494,6 +503,7 @@ def stream_pipeline_corpus_to_shards_q(spark, sf_dir):
         return stream_pipeline_corpus_to_shards(
             spark, f"{sf_dir}/documents.parquet",
             min_toks=_SHARD_MIN_TOKS, budget=_SHARD_BUDGET,
+            source_cap=_SHARD_CAP,
         ).orderBy("source", "doc_id")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)

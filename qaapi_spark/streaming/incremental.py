@@ -1622,18 +1622,26 @@ def _pipeline_shards_epoch(
     n_bands: int,
     min_toks: int,
     budget: int,
+    source_cap: int | None = None,
 ) -> None:
     """One foreachBatch step of the composed corpus-refresh pipeline
     (module-level so retry-idempotence is unit-testable): near-dup
     screen of the batch against the kept store -> quality gate ->
-    packed-offset assignment from the per-epoch totals snapshot.
+    per-source quota cap -> packed-offset assignment from the
+    per-epoch totals snapshot.
+
+    The cap is EXACT under ordered ingest: batches arrive in doc_id
+    order, so prev-epoch kept count + within-batch rank IS the global
+    per-source row_number — the running-count state (one long per
+    source, carried in the totals snapshot) reproduces the batch
+    pipeline's windowed cap without ever seeing the full corpus.
 
     Retry-idempotent by construction: the dedup store and shard output
     are epoch-keyed overwrite directories, the dedup screen reads only
     STRICTLY EARLIER epochs (a replayed epoch must not meet its own
-    prior output — every doc is its own near-dup), and pack offsets
-    derive from the epoch-(N-1) totals snapshot plus batch content, so
-    a replayed epoch reproduces identical bytes."""
+    prior output — every doc is its own near-dup), and pack offsets /
+    cap counts derive from the epoch-(N-1) totals snapshot plus batch
+    content, so a replayed epoch reproduces identical bytes."""
     from pyspark.sql import Window
 
     from qaapi_spark.operators.dedup import (
@@ -1726,21 +1734,33 @@ def _pipeline_shards_epoch(
     if int(epoch_id) > 0 and os.path.isdir(prev_dir):
         prev = spark.read.parquet(prev_dir)
     else:
-        prev = spark.createDataFrame([], "source string, total_toks long")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = F.coalesce(F.sum("n_toks").over(w), F.lit(0))
-    placed = (
-        gated.withColumn("cum_before", cum)
-        .join(F.broadcast(prev), "source", "left")
-        .withColumn(
-            "start_tok",
-            (F.coalesce(F.col("total_toks"), F.lit(0)) + F.col("cum_before"))
-            .cast("long"),
+        prev = spark.createDataFrame(
+            [], "source string, total_toks long, n_kept long"
         )
+    # ONE window pass computes both the cap rank and the running token
+    # prefix (same partitioning+ordering -> one sort, no extra
+    # exchange), and ONE broadcast join attaches both state columns.
+    # The cap filter is safe to apply AFTER the prefix sum because the
+    # kept rows are a per-source PREFIX in doc_id order: for every
+    # surviving row, cum_before over the gated relation equals
+    # cum_before over the capped relation.
+    rk_w = Window.partitionBy("source").orderBy("doc_id")
+    cum_w = rk_w.rowsBetween(Window.unboundedPreceding, -1)
+    placed = (
+        gated.withColumn("rk", F.row_number().over(rk_w))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_toks").over(cum_w), F.lit(0))
+        )
+        .join(F.broadcast(prev), "source", "left")
+    )
+    if source_cap is not None:
+        placed = placed.filter(
+            F.coalesce(F.col("n_kept"), F.lit(0)) + F.col("rk") <= source_cap
+        )
+    placed = placed.withColumn(
+        "start_tok",
+        (F.coalesce(F.col("total_toks"), F.lit(0)) + F.col("cum_before"))
+        .cast("long"),
     )
     out = placed.select(
         "source",
@@ -1756,13 +1776,19 @@ def _pipeline_shards_epoch(
         out.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_root, f"epoch={int(epoch_id)}")
         )
-        bsum = gated.groupBy("source").agg(F.sum("n_toks").alias("b_toks"))
+        bsum = placed.groupBy("source").agg(
+            F.sum("n_toks").alias("b_toks"), F.count("*").alias("b_kept")
+        )
         totals = prev.join(bsum, "source", "full_outer").select(
             "source",
             (
                 F.coalesce(F.col("total_toks"), F.lit(0))
                 + F.coalesce(F.col("b_toks"), F.lit(0))
             ).cast("long").alias("total_toks"),
+            (
+                F.coalesce(F.col("n_kept"), F.lit(0))
+                + F.coalesce(F.col("b_kept"), F.lit(0))
+            ).cast("long").alias("n_kept"),
         )
         totals.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(totals_root, f"epoch={int(epoch_id)}")
@@ -1787,26 +1813,30 @@ def stream_pipeline_corpus_to_shards(
     min_toks: int = 16,
     budget: int = 128,
     n_splits: int = 2,
+    source_cap: int | None = None,
 ) -> DataFrame:
     """The incremental corpus-refresh wave: near-dup dedup -> quality
-    gate -> concat-and-chunk shard formation composed in ONE
-    foreachBatch pipeline (VERDICT r9 next #5) — what a production
-    ingest wave runs when new documents land: screen them against the
-    standing kept corpus, gate the survivors, append them to training
-    shards without recomputing earlier offsets.
+    gate -> per-source quota cap -> concat-and-chunk shard formation
+    composed in ONE foreachBatch pipeline (VERDICT r9 next #5) — what
+    a production ingest wave runs when new documents land: screen them
+    against the standing kept corpus, gate the survivors, stop
+    over-quota sources, append the rest to training shards without
+    recomputing earlier offsets.
 
-    Ordered ingest is the CONTRACT (shard offsets accumulate in doc_id
-    order): slices are doc_id ranges staged as one sorted file each
-    with explicit monotonic mtimes.  Under it the dedup decisions are
-    the stream_neardup_dedup greedy relation and the offsets equal the
-    batch pack over the gated survivors — so the composition is
-    hash-checkable against one batch SQL oracle.
+    Ordered ingest is the CONTRACT (shard offsets and cap ranks
+    accumulate in doc_id order): slices are doc_id ranges staged as
+    one sorted file each with explicit monotonic mtimes.  Under it the
+    dedup decisions are the stream_neardup_dedup greedy relation, the
+    running-count cap equals the batch pipeline's global per-source
+    row_number cap, and the offsets equal the batch pack over the
+    capped survivors — so the composition is hash-checkable against
+    one batch SQL oracle.
 
     State per epoch: the kept store (bands + shingle sets, epoch-keyed
-    append) and the |sources|-row totals snapshot; per-epoch work is
-    the batch screen (band equi-join + exact verify of candidates
-    only) plus one per-source window over the batch — no stage
-    rescans history."""
+    append) and the |sources|-row totals+counts snapshot; per-epoch
+    work is the batch screen (band equi-join + exact verify of
+    candidates only) plus two per-source windows over the batch — no
+    stage rescans history."""
     raw = spark.read.parquet(docs_path)
     lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
@@ -1832,6 +1862,7 @@ def stream_pipeline_corpus_to_shards(
         _pipeline_shards_epoch(
             bdf, epoch_id, store_dir, totals_root, out_root,
             threshold, num_hashes, n_bands, min_toks, budget,
+            source_cap=source_cap,
         )
 
     stream = (

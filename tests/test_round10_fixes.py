@@ -211,6 +211,7 @@ def test_pipeline_shards_epoch_retry_idempotent(spark, tmp_path):
         _pipeline_shards_epoch(
             bdf, epoch, store, totals, out,
             threshold=0.8, num_hashes=64, n_bands=16, min_toks=16, budget=128,
+            source_cap=15,
         )
 
     run(b0, 0)
@@ -248,6 +249,7 @@ def test_stream_pipeline_matches_gated_pack_invariants(spark):
         assert r["n_toks"] >= 16
         by_source.setdefault(r["source"], []).append(r)
     for src, rs in by_source.items():
+        assert len(rs) <= 15  # per-source quota cap
         rs.sort(key=lambda r: r["doc_id"])
         run = 0
         for r in rs:
