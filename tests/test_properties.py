@@ -323,3 +323,59 @@ def test_banded_range_join_equals_naive_property(spark, lsecs, rsecs, gap):
         .collect()
     )
     assert got == naive
+
+
+# ExactSubstr needs longer texts than the Jaccard corpora: windows are
+# 10 tokens wide, so documents draw 12-30 tokens from a tiny shared
+# vocabulary (guaranteeing both duplicated and unique windows).
+_sub_texts = st.lists(
+    st.sampled_from(_WORDS), min_size=0, max_size=30
+).map(" ".join)
+_sub_corpora = st.lists(_sub_texts, min_size=1, max_size=8)
+
+
+def _py_exact_substring(texts, L=10):
+    """Pure-python ExactSubstr reference: duplicated window positions
+    (1-based) -> islands -> (doc, start, end, n_windows, range_len)."""
+    from collections import Counter
+
+    toks = {i: t.strip().lower().split() for i, t in enumerate(texts)}
+    wins = {
+        i: [tuple(w[p : p + L]) for p in range(len(w) - L + 1)]
+        for i, w in toks.items()
+    }
+    counts = Counter(w for ws in wins.values() for w in ws)
+    out = []
+    for i, ws in wins.items():
+        dup = [p + 1 for p, w in enumerate(ws) if counts[w] >= 2]
+        if not dup:
+            continue
+        run = [dup[0]]
+        for p in dup[1:]:
+            if p == run[-1] + 1:
+                run.append(p)
+            else:
+                out.append((i, run[0], run[-1] + L - 1, len(run), run[-1] - run[0] + L))
+                run = [p]
+        out.append((i, run[0], run[-1] + L - 1, len(run), run[-1] - run[0] + L))
+    return sorted(out)
+
+
+@given(texts=_sub_corpora)
+@_SETTINGS
+def test_exact_substring_ranges_match_python_reference(spark, texts):
+    """The distributed sliding-window ExactSubstr kernel must agree
+    with a direct python reference on arbitrary small corpora —
+    including all-empty docs, all-duplicate corpora, and texts
+    shorter than the window."""
+    from qaapi_spark.operators.dedup import exact_substring_dup_ranges
+    from qaapi_spark.session import release_kernel_caches
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    try:
+        got = sorted(map(tuple, exact_substring_dup_ranges(df, 10).collect()))
+    finally:
+        release_kernel_caches()
+    assert got == _py_exact_substring(texts, 10)
