@@ -1268,3 +1268,132 @@ def pairs_mine_recall_eval(spark, sf_dir):
             "n_perfect_anchors"
         ),
     )
+
+
+def _ivf_mine_oracle() -> str:
+    """IVF-pooled miner oracle: the engine-exact unrolled Lloyd chain
+    (plans/llm_clustering._kmeans_ctes) feeds assign/probe CTEs whose
+    query set is the anchor relation, then the shared miner tail
+    (pool cut -> partner anti-join -> hard-neg top-k)."""
+    from qaapi_spark.plans.llm_clustering import _DP, _ITERS, _kmeans_ctes
+    from qaapi_spark.plans.llm_clustering import _K as _KM_K
+    from qaapi_spark.plans.llm_similarity import _NPROBE
+
+    body, prev = _kmeans_ctes(_KM_K, _ITERS, _DP)
+    return f"""
+    WITH {_mine_base_ctes()},
+    {body},
+    u AS MATERIALIZED (
+        SELECT vec_id, list_transform(x, v -> v / sqrt(list_dot_product(x, x))) AS uv
+        FROM e
+    ),
+    cu AS MATERIALIZED (
+        SELECT cid AS centroid_id,
+               list_transform(c, v -> v / sqrt(list_dot_product(c, c))) AS cuv
+        FROM {prev}
+    ),
+    assigned AS (
+        SELECT cand_id, centroid_id FROM (
+            SELECT v.vec_id AS cand_id, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ROUND(list_dot_product(v.uv, ct.cuv), 4) DESC,
+                                ct.centroid_id) AS rn
+            FROM u v CROSS JOIN cu ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(q.uv, ct.cuv), 4) DESC,
+                                ct.centroid_id) AS rn
+            FROM u q CROSS JOIN cu ct
+            WHERE q.vec_id IN (SELECT id FROM anchors)
+        ) WHERE rn <= {_NPROBE}
+    ),
+    iscored AS (
+        SELECT p.query_id, a.cand_id,
+               ROUND(list_dot_product(qu.uv, cu2.uv), 4) AS cosine
+        FROM probes p JOIN assigned a USING (centroid_id)
+        JOIN u qu ON qu.vec_id = p.query_id
+        JOIN u cu2 ON cu2.vec_id = a.cand_id
+        WHERE p.query_id <> a.cand_id
+    ),
+    pool AS (
+        SELECT query_id, cand_id, cosine FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rn
+            FROM iscored
+        ) WHERE rn <= {_MINE_POOL}
+    ),
+    inegs AS (
+        SELECT g.query_id, g.cand_id, g.cosine
+        FROM pool g
+        LEFT JOIN partners p
+            ON p.query_id = g.query_id AND p.cand_id = g.cand_id
+        WHERE p.query_id IS NULL
+    ),
+    hard AS (
+        SELECT query_id, cand_id, cosine FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rn
+            FROM inegs
+        ) WHERE rn <= {_HARD_NEG_K}
+    )
+    SELECT id_a AS anchor_id, id_b AS other_id,
+           'pos' AS label, jaccard AS score
+    FROM jpairs
+    UNION ALL
+    SELECT query_id AS anchor_id, cand_id AS other_id,
+           'hard_neg' AS label, cosine AS score
+    FROM hard
+    ORDER BY anchor_id, label, score DESC, other_id
+    """
+
+
+@query(
+    "pairs_mine_contrastive_ivf",
+    oracle=_ivf_mine_oracle(),
+    doc="the contrastive miner's 100 TB pooling swap-in for embedding "
+    "distributions where NO hash family separates (round-10 scale "
+    "probe, SCALE.md: the retuned SRP config's 8-bit band keys give "
+    "occupancy that grows linearly with corpus size — ~45% corpus "
+    "touch per anchor on the synthetic near-random vectors): stage 1 "
+    "pools per-anchor candidates from the trained-IVF nprobe cells "
+    "instead of SRP buckets — bucket count scales with k_cells (grown "
+    "with the corpus), occupancy n/k_cells is TUNABLE — then the "
+    "identical anti-join -> exact top-3 tail.  The Lloyd codebook is "
+    "the engine-exact distributed fit, so the whole trained miner "
+    "hash-checks end to end; recall vs the exact grid is pinned by "
+    "test (extension)",
+)
+def pairs_mine_contrastive_ivf(spark, sf_dir):
+    from qaapi_spark.operators.similarity import cosine_topk_ivf
+    from qaapi_spark.plans.llm_clustering import lloyd_centroids_kernel
+    from qaapi_spark.plans.llm_similarity import _NPROBE
+
+    pos, e, qs, partners = _mine_anchor_inputs(spark, sf_dir)
+    cents = lloyd_centroids_kernel(spark, sf_dir).select(
+        F.col("cid").cast("long").alias("centroid_id"), F.col("c").alias("cvec")
+    )
+    pool = cosine_topk_ivf(qs, e, _MINE_POOL, nprobe=_NPROBE, cents=cents)
+    negs = pool.join(partners, ["query_id", "cand_id"], "left_anti")
+    hard = topk_per_group(
+        negs, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], _HARD_NEG_K
+    )
+    out = pos.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("other_id"),
+        F.lit("pos").alias("label"),
+        F.col("jaccard").alias("score"),
+    ).unionByName(
+        hard.select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("cand_id").alias("other_id"),
+            F.lit("hard_neg").alias("label"),
+            F.col("cosine").alias("score"),
+        )
+    )
+    return out.orderBy("anchor_id", "label", F.desc("score"), "other_id")

@@ -297,3 +297,35 @@ def test_exact_substring_invariants(spark):
         assert s["n_dup_toks"] <= sum(r["range_len"] for r in rs)
     # every doc with a range has stats and vice versa
     assert set(by_doc) == set(stats)
+
+
+def test_ivf_miner_recall_floor(spark):
+    """The IVF-pooled miner (the 100TB pooling swap-in for
+    non-separating embedding distributions) must stay above a 0.6
+    recall floor at its nprobe=3-of-8 config (37.5% corpus touch —
+    measured 0.659 at sf0.001 / 0.695 at sf0.01; recall scales with
+    nprobe/k, the explicit tunable, vs SRP's 0.88 at 45% touch)."""
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.operators.similarity import cosine_topk_bruteforce
+    from qaapi_spark.operators.windows import topk_per_group
+    from qaapi_spark.plans.catalog import CATALOG
+    from qaapi_spark.plans.llm_retrieval import _HARD_NEG_K, _mine_anchor_inputs
+
+    ivf = (
+        CATALOG["pairs_mine_contrastive_ivf"]
+        .fn(spark, SF_SMOKE)
+        .filter(F.col("label") == "hard_neg")
+    )
+    got = {(r[0], r[1]) for r in ivf.select("anchor_id", "other_id").collect()}
+    _, e, qs, partners = _mine_anchor_inputs(spark, SF_SMOKE)
+    grid = cosine_topk_bruteforce(qs, e, int(e.count()))
+    ehard = topk_per_group(
+        grid.join(partners, ["query_id", "cand_id"], "left_anti"),
+        ["query_id"],
+        [F.desc("cosine"), F.asc("cand_id")],
+        _HARD_NEG_K,
+    )
+    exact = {(r[0], r[1]) for r in ehard.select("query_id", "cand_id").collect()}
+    assert exact
+    assert len(got & exact) / len(exact) >= 0.6
