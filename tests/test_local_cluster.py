@@ -48,6 +48,12 @@ QUERIES = [
     # query bits) and the pinned-exchange sparse posting join
     "ann_topk_binary_hamming",
     "dedup_containment_sparse",
+    # r10 additions: the sliding-window ExactSubstr kernel (persisted
+    # corpus-token-sized window relation + semi-join across executor
+    # boundaries) and the indexed miner (driver-built SRP probe keys
+    # broadcast into executor-side band joins + Arrow rerank)
+    "dedup_exact_substring_ranges",
+    "pairs_mine_contrastive",
 ]
 
 _RUNNER = r"""
