@@ -76,32 +76,19 @@ def _driver_state() -> tuple[set[str], set[str], int, dict[str, int]]:
 # passthrough), and the Hamming screen's query collect (limit + bound),
 # so their r7 rows certify retired code.  All four re-verified locally
 # (check_oracle sf0.001 + sf0.01); the force makes the driver confirm.
-_FORCE_RECHECK_ROUND = 9
+_FORCE_RECHECK_ROUND = 10
 _FORCE_RECHECK = frozenset(
     {
-        # Round 10: the contrastive miner switched to the indexed
-        # SRP-pooled hard-negative route (results CHANGE), the ADVICE
-        # r9 fixes changed executed paths (crash-safe store swaps +
-        # self-heal entry checks in three streaming merges, monotonic
-        # staged mtimes in the two ordered-ingest streams, footer-stats
-        # sentinel fallback, single-collect dense vocab guard), the
-        # neardup stream gained the strictly-earlier-epoch store filter
-        # + signature-from-sets reuse, and the llm_curation oracles now
-        # tokenize through the guarded empty->[] CASE (oracle text
-        # changed; results identical on this data).
-        "pairs_mine_contrastive",
-        "stream_neardup_dedup_docs",
-        "stream_weighted_sample",
-        "stream_running_distinct_users",
-        "stream_hll_running_users",
-        "stream_pack_chunks",
-        "stream_scd2_history",
-        "stream_attribution_left_outer",
-        "dedup_ngram_jaccard_dense",
-        "curation_dsir_importance",
-        "curation_bigram_lm_quality",
-        "curation_source_kl_drift",
-        "curation_benchmark_contamination",
+        # Round 11: the ExactSubstr window kernel switched from md5
+        # hex strings to 16-byte BINARY digests and now carries the
+        # digest through the position relation (ADVICE r10 #2 — new
+        # executed path for ranges), and doc_stats RESULTS changed
+        # (ADVICE r10 #3: left-join emits clean/short docs with
+        # n_dup_toks=0; oracle updated to match).  Both re-verified
+        # locally (check_oracle sf0.001 + sf0.01); the force makes the
+        # driver confirm.
+        "dedup_exact_substring_ranges",
+        "dedup_exact_substring_doc_stats",
     }
 )
 

@@ -1218,15 +1218,18 @@ def containment_pairs_auto(
 def _dup_window_positions(
     df: DataFrame, min_len: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """(doc_id, pos) of every token position starting a ``min_len``-token
-    window whose exact token sequence occurs >= 2 times in the corpus
-    (any document, any offset — the ExactSubstr duplication criterion
-    of Lee et al., "Deduplicating Training Data Makes Language Models
-    Better", ACL'22).
+    """(doc_id, pos, h) of every token position starting a
+    ``min_len``-token window whose exact token sequence occurs >= 2
+    times in the corpus (any document, any offset — the ExactSubstr
+    duplication criterion of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL'22).  ``h`` is the window's
+    16-byte digest, kept so ``exact_substring_apply`` can rank
+    occurrences of the same window corpus-wide.
 
     Spark-first substitute for their single-node suffix array: every
-    overlapping window keys by the md5 of its joined tokens (16-byte
-    digest — the only thing shuffled), one corpus-sized hash aggregate
+    overlapping window keys by unhex(md5(joined tokens)) — a true
+    16-byte BINARY digest (not md5's 32-char hex rendering; ADVICE r10
+    #2), the only thing shuffled — one corpus-sized hash aggregate
     finds repeated keys, one equi-join maps them back to positions.
     O(total_tokens) rows, two shuffles, no driver state — the honest
     distributed cost of exact-substring dedup (a suffix array saves the
@@ -1247,7 +1250,9 @@ def _dup_window_positions(
                 starts,
                 lambda i: F.struct(
                     i.alias("pos"),
-                    F.md5(F.array_join(F.slice(arr, i, min_len), " ")).alias("h"),
+                    F.unhex(
+                        F.md5(F.array_join(F.slice(arr, i, min_len), " "))
+                    ).alias("h"),
                 ),
             )
         ).alias("w"),
@@ -1263,7 +1268,7 @@ def _dup_window_positions(
     dup_keys = (
         wins.groupBy("h").agg(F.count("*").alias("n_occ")).filter(F.col("n_occ") >= 2)
     )
-    return wins.join(dup_keys, "h", "left_semi").select("doc_id", "pos")
+    return wins.join(dup_keys.select("h"), "h").select("doc_id", "pos", "h")
 
 
 def exact_substring_dup_ranges(
@@ -1313,7 +1318,11 @@ def exact_substring_doc_stats(
     """Per-document duplicated-text fraction: the curation signal
     ExactSubstr dedup acts on (trim or drop documents whose text is
     mostly duplicated elsewhere).  (doc_id, n_toks, n_dup_toks,
-    dup_frac).
+    dup_frac) for EVERY document — docs with no duplicated window
+    (including docs shorter than ``min_len`` tokens) appear with
+    n_dup_toks = 0 and dup_frac = 0.0, so corpus-wide fractions
+    aggregate directly without a consumer-side left join (ADVICE r10
+    #3: the inner join silently dropped clean documents).
 
     Token-level union, not a sum of range lengths: adjacent maximal
     ranges can overlap in token space (two duplicated windows < min_len
@@ -1339,9 +1348,174 @@ def exact_substring_doc_stats(
         F.col(id_col).alias("doc_id"),
         F.size(ws_tokens(F.lower(F.col(text_col)))).alias("n_toks"),
     )
-    return per_doc.join(sizes, "doc_id").select(
+    joined = sizes.join(per_doc, "doc_id", "left").withColumn(
+        "n_dup", F.coalesce(F.col("n_dup_toks"), F.lit(0))
+    )
+    return joined.select(
         "doc_id",
         F.col("n_toks").cast("long").alias("n_toks"),
-        F.col("n_dup_toks").cast("long").alias("n_dup_toks"),
-        F.round(F.col("n_dup_toks") / F.col("n_toks"), 4).alias("dup_frac"),
+        F.col("n_dup").cast("long").alias("n_dup_toks"),
+        F.when(F.col("n_toks") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_dup") / F.col("n_toks"), 4))
+        .alias("dup_frac"),
+    )
+
+
+def _noncanonical_positions(dpos: DataFrame, min_len: int) -> DataFrame:
+    """(doc_id, pos) of every NON-canonical duplicated window occurrence.
+
+    Canonical occurrence per window digest ``h``: the corpus-wide first
+    by (doc_id, pos) — the deterministic stand-in for Lee et al.'s
+    "keep one occurrence of each duplicated substring" (ACL'22 §3; the
+    paper leaves WHICH occurrence unspecified, min-(doc_id, pos) makes
+    the relation engine-independent).  One rank window partitioned by
+    ``h`` — the same key the duplicate-key aggregate already shuffled
+    on, so at 100 TB this adds one shuffle over the DUPLICATED subset
+    only, never the corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    return (
+        dpos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "pos")
+    )
+
+
+def exact_substring_apply(
+    df: DataFrame,
+    min_len: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    _dpos: DataFrame | None = None,
+) -> DataFrame:
+    """MATERIALIZE ExactSubstr dedup: the trimmed corpus after cutting
+    every duplicated >=``min_len``-token span, keeping exactly one
+    canonical occurrence corpus-wide (Lee et al. ACL'22 §3 — the apply
+    step the ranges/doc_stats relations feed; VERDICT r10 next #4).
+
+    Returns (doc_id, n_toks, n_kept, text_dedup) for EVERY document:
+    a token position is removed iff some non-canonical duplicated
+    window covers it (the canonical — corpus-wide first by (doc_id,
+    pos) per window digest — survives, so one copy of each duplicated
+    passage remains).  ``text_dedup`` is the kept tokens of the
+    NORMALIZED text (lowercased, whitespace-split, space-rejoined) —
+    the engine-independent form both sides of the oracle compute.
+
+    Scale shape: only documents that actually lose tokens pay the
+    posexplode + anti-join + rebuild (bounded by the duplicated
+    subset); clean documents pass through map-only with
+    ``array_join(tokens)``.  At 100 TB the rebuild shuffle is
+    proportional to duplicated text, not corpus size."""
+    dpos = (
+        _dpos
+        if _dpos is not None
+        else _dup_window_positions(df, min_len, text_col, id_col)
+    )
+    cut = (
+        _noncanonical_positions(dpos, min_len)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + min_len - 1)
+            ).alias("tok_pos"),
+        )
+        .distinct()
+    )
+    dirty_ids = cut.select("doc_id").distinct()
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        ws_tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    clean = base.join(dirty_ids, "doc_id", "left_anti").select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.size("toks").cast("long").alias("n_kept"),
+        F.array_join("toks", " ").alias("text_dedup"),
+    )
+    dirty_base = base.join(dirty_ids, "doc_id", "left_semi")
+    dirty_toks = dirty_base.select(
+        "doc_id", F.posexplode("toks").alias("i", "tok")
+    ).withColumn("tok_pos", F.col("i") + 1)
+    kept = dirty_toks.join(cut, ["doc_id", "tok_pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept_r"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok_pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_dedup_r"),
+    )
+    # left join: a dirty doc whose EVERY token is cut (fully duplicated
+    # non-canonically) still appears, with n_kept=0 and empty text
+    dirty = (
+        dirty_base.select("doc_id", F.size("toks").cast("long").alias("n_toks"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce(F.col("n_kept_r"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("text_dedup_r"), F.lit("")).alias("text_dedup"),
+        )
+    )
+    return clean.unionByName(dirty)
+
+
+def exact_substring_attribution(
+    df: DataFrame,
+    min_len: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    _dpos: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-source duplicate ATTRIBUTION: for every duplicated window
+    occurrence that ExactSubstr dedup would cut (non-canonical), credit
+    the source that owns the surviving canonical occurrence — the
+    takedown/licensing question ("whose text is duplicated into my
+    corpus, and from where?"; VERDICT r10 next #7).
+
+    Returns one row per (borrower_source, owner_source):
+      n_windows          — cut window occurrences borrowed from owner
+      n_distinct_windows — distinct window contents among them
+      n_borrower_docs    — borrower documents losing >=1 window
+      n_owner_docs       — owner documents contributing the canonicals
+    (borrower_source == owner_source rows measure INTRA-source
+    duplication, including self-repetition within one document.)
+
+    Scale shape: the rank window rides the kernel's existing ``h``
+    shuffle; the two dimension joins key on doc_id over the duplicated
+    subset only; the final aggregate is |sources|^2 rows."""
+    from pyspark.sql import Window
+
+    dpos = (
+        _dpos
+        if _dpos is not None
+        else _dup_window_positions(df, min_len, text_col, id_col)
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    ranked = dpos.select(
+        "doc_id",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.first("doc_id").over(w).alias("owner_doc"),
+    )
+    edges = ranked.filter(F.col("rn") >= 2).select("doc_id", "owner_doc", "h")
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
+    lab = edges.join(
+        src.withColumnRenamed("source", "borrower_source"), "doc_id"
+    ).join(
+        src.select(
+            F.col("doc_id").alias("owner_doc"),
+            F.col("source").alias("owner_source"),
+        ),
+        "owner_doc",
+    )
+    return lab.groupBy("borrower_source", "owner_source").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.countDistinct("h").cast("long").alias("n_distinct_windows"),
+        F.countDistinct("doc_id").cast("long").alias("n_borrower_docs"),
+        F.countDistinct("owner_doc").cast("long").alias("n_owner_docs"),
     )

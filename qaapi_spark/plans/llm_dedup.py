@@ -1005,7 +1005,7 @@ _DD_SUBSTR_DPOS = f"""
     ),
     sdup AS (SELECT h FROM swins GROUP BY h HAVING COUNT(*) >= 2),
     sdpos AS (
-        SELECT w.doc_id, w.pos FROM swins w JOIN sdup USING (h)
+        SELECT w.doc_id, w.pos, w.h FROM swins w JOIN sdup USING (h)
     )"""
 
 
@@ -1077,12 +1077,14 @@ def dedup_exact_substring_ranges(spark, sf_dir):
     per_doc AS (
         SELECT doc_id, COUNT(*) AS n_dup_toks FROM covered GROUP BY doc_id
     )
-    SELECT p.doc_id,
+    SELECT t.doc_id,
            CAST(len(t.w) AS BIGINT) AS n_toks,
-           CAST(p.n_dup_toks AS BIGINT) AS n_dup_toks,
-           ROUND(p.n_dup_toks * 1.0 / len(t.w), 4) AS dup_frac
-    FROM per_doc p JOIN stoks t ON p.doc_id = t.doc_id
-    ORDER BY p.doc_id
+           CAST(COALESCE(p.n_dup_toks, 0) AS BIGINT) AS n_dup_toks,
+           CASE WHEN len(t.w) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(COALESCE(p.n_dup_toks, 0) * 1.0 / len(t.w), 4)
+           END AS dup_frac
+    FROM stoks t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY t.doc_id
     """,
     doc="per-document duplicated-text fraction under the ExactSubstr "
     "criterion — the curation signal the ranges feed (trim or drop "
@@ -1090,7 +1092,10 @@ def dedup_exact_substring_ranges(spark, sf_dir):
     "explode into the token positions they cover and DISTINCT "
     "positions count, so overlapping ranges never double-count; the "
     "blowup is bounded to 10x the duplicated subset, never the "
-    "corpus.  Integer counts + one rounded division (extension)",
+    "corpus.  Every document appears — clean and sub-window docs "
+    "carry n_dup_toks=0 / dup_frac=0.0, so corpus-wide fractions "
+    "aggregate without a consumer-side left join (ADVICE r10 #3).  "
+    "Integer counts + one rounded division (extension)",
 )
 def dedup_exact_substring_doc_stats(spark, sf_dir):
     from qaapi_spark.operators.dedup import exact_substring_doc_stats
@@ -1099,3 +1104,112 @@ def dedup_exact_substring_doc_stats(spark, sf_dir):
     return exact_substring_doc_stats(
         d, _SUBSTR_L, _dpos=_shared_substr_dpos(spark, sf_dir)
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_exact_substring_apply",
+    # Canonical pick = corpus-wide first (doc_id, pos) per window
+    # digest — the same partition whether the digest renders as md5
+    # hex (DuckDB) or 16-byte binary (Spark), so the trimmed text is
+    # engine-exact string equality.
+    oracle=f"""
+    WITH {_DD_SUBSTR_DPOS},
+    nc AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY h
+                                      ORDER BY doc_id, pos) AS rn
+            FROM sdpos
+        ) WHERE rn >= 2
+    ),
+    cut AS (
+        SELECT DISTINCT n.doc_id, n.pos + r.range AS tok_pos
+        FROM nc n, range(0, {_SUBSTR_L}) r
+    ),
+    toks AS (
+        SELECT doc_id, CAST(ti AS BIGINT) AS tok_pos, w[ti] AS tok
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS ti
+              FROM stoks)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.tok_pos, t.tok FROM toks t
+        WHERE NOT EXISTS (SELECT 1 FROM cut c
+                          WHERE c.doc_id = t.doc_id
+                            AND c.tok_pos = t.tok_pos)
+    ),
+    reb AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY tok_pos) AS text_dedup
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.w) AS BIGINT) AS n_toks,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.text_dedup, '') AS text_dedup
+    FROM stoks s LEFT JOIN reb r USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+    doc="MATERIALIZED ExactSubstr dedup (Lee et al. ACL'22 §3 apply "
+    "step, VERDICT r10 next #4): the trimmed corpus after cutting "
+    "every duplicated >=10-token span, keeping exactly one canonical "
+    "occurrence corpus-wide (first by (doc_id, pos) per window — "
+    "deterministic, engine-independent).  A token is removed iff a "
+    "NON-canonical duplicated window covers it; text_dedup is the "
+    "kept tokens of the normalized text.  Only docs that lose tokens "
+    "pay the posexplode+rebuild — clean docs pass through map-only, "
+    "so at 100 TB the rebuild shuffle scales with duplicated text, "
+    "not corpus size (extension: completes the ExactSubstr family "
+    "ranges -> doc_stats -> apply)",
+)
+def dedup_exact_substring_apply(spark, sf_dir):
+    from qaapi_spark.operators.dedup import exact_substring_apply
+
+    d = t(spark, sf_dir, "documents")
+    return exact_substring_apply(
+        d, _SUBSTR_L, _dpos=_shared_substr_dpos(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_exact_substring_attribution",
+    oracle=f"""
+    WITH {_DD_SUBSTR_DPOS},
+    ranked AS (
+        SELECT doc_id, h,
+               ROW_NUMBER() OVER (PARTITION BY h
+                                  ORDER BY doc_id, pos) AS rn,
+               FIRST_VALUE(doc_id) OVER (PARTITION BY h
+                                         ORDER BY doc_id, pos) AS owner_doc
+        FROM sdpos
+    ),
+    edges AS (SELECT doc_id, owner_doc, h FROM ranked WHERE rn >= 2)
+    SELECT b.source AS borrower_source,
+           o.source AS owner_source,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(DISTINCT e.h) AS BIGINT) AS n_distinct_windows,
+           CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_borrower_docs,
+           CAST(COUNT(DISTINCT e.owner_doc) AS BIGINT) AS n_owner_docs
+    FROM edges e
+    JOIN documents b ON e.doc_id = b.doc_id
+    JOIN documents o ON e.owner_doc = o.doc_id
+    GROUP BY b.source, o.source
+    ORDER BY borrower_source, owner_source
+    """,
+    doc="cross-source duplicate ATTRIBUTION report (VERDICT r10 next "
+    "#7 — the takedown/licensing question): every duplicated window "
+    "occurrence ExactSubstr would cut is credited to the source "
+    "owning the surviving canonical occurrence; one row per "
+    "(borrower_source, owner_source) with window occurrences, "
+    "distinct window contents, and doc counts on both sides "
+    "(diagonal rows = intra-source duplication).  The rank window "
+    "rides the kernel's existing digest shuffle; dimension joins "
+    "touch the duplicated subset only; output is |sources|^2 rows "
+    "(extension)",
+)
+def dedup_exact_substring_attribution(spark, sf_dir):
+    from qaapi_spark.operators.dedup import exact_substring_attribution
+
+    d = t(spark, sf_dir, "documents")
+    return exact_substring_attribution(
+        d, _SUBSTR_L, _dpos=_shared_substr_dpos(spark, sf_dir)
+    ).orderBy("borrower_source", "owner_source")

@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 
 from qaapi_spark.operators.sampling import frac_to_hex
 from qaapi_spark.plans.catalog import query, t
-from qaapi_spark.plans.llm_dedup import _DD_JACCARD_PAIRS, cc_jaccard_labels
+from qaapi_spark.plans.llm_dedup import (
+    _DD_JACCARD_PAIRS,
+    _DD_SUBSTR_DPOS,
+    _SUBSTR_L,
+    cc_jaccard_labels,
+)
 
 _DEBOUNCE_US = 6 * 3600 * 1_000_000  # 6 hours, in exact integer microseconds
 _QUOTA_K = 10
@@ -374,6 +379,100 @@ def pipeline_corpus_to_shards(spark, sf_dir):
 
 
 @query(
+    "pipeline_corpus_to_shards_exactsubstr",
+    # The oracle computes n_kept arithmetically (len(w) minus distinct
+    # cut positions) — no text rebuild needed when only counts feed
+    # the gate/cap/pack stages; the Spark side reuses the apply
+    # operator because a real pipeline carries the trimmed TEXT into
+    # the shards, not just its length.
+    oracle=f"""
+    WITH {_DD_SUBSTR_DPOS},
+    nc AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY h
+                                      ORDER BY doc_id, pos) AS rn
+            FROM sdpos
+        ) WHERE rn >= 2
+    ),
+    cut AS (
+        SELECT DISTINCT n.doc_id, n.pos + r.range AS tok_pos
+        FROM nc n, range(0, {_SUBSTR_L}) r
+    ),
+    nk AS (
+        SELECT s.doc_id, len(s.w) - COALESCE(c.n_cut, 0) AS n_toks
+        FROM stoks s LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n_cut FROM cut GROUP BY doc_id
+        ) c USING (doc_id)
+    ),
+    kept AS (
+        SELECT d.source, n.doc_id, n.n_toks
+        FROM nk n JOIN documents d USING (doc_id)
+        WHERE n.n_toks >= {_SHARD_MIN_TOKS}
+    ),
+    capped AS (
+        SELECT source, doc_id, n_toks FROM (
+            SELECT source, doc_id, n_toks,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM kept
+        ) WHERE rn <= {_SHARD_CAP}
+    ),
+    p AS (
+        SELECT source, doc_id, n_toks,
+               COALESCE(SUM(n_toks) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_tok
+        FROM capped
+    )
+    SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(FLOOR(start_tok / {_SHARD_BUDGET}.0) AS BIGINT) AS first_chunk,
+           CAST(FLOOR((start_tok + n_toks - 1) / {_SHARD_BUDGET}.0) AS BIGINT)
+               AS last_chunk,
+           CAST(FLOOR((start_tok + n_toks - 1) / {_SHARD_BUDGET}.0) AS BIGINT)
+               - CAST(FLOOR(start_tok / {_SHARD_BUDGET}.0) AS BIGINT) + 1
+               AS n_chunks
+    FROM p ORDER BY source, doc_id
+    """,
+    doc="the corpus-to-shards pipeline with ExactSubstr TRIMMING as "
+    "the dedup stage (VERDICT r10 next #4: compose the apply step): "
+    "(1) exact_substring_apply cuts every duplicated >=10-token span "
+    "keeping one canonical occurrence corpus-wide — documents are "
+    "TRIMMED, not dropped, so unique prose in a partially-duplicated "
+    "doc survives to training (the Lee et al. ACL'22 argument for "
+    "ExactSubstr over doc-level dedup), (2) the >=16-token quality "
+    "gate applies to the KEPT tokens, (3) per-source quota cap, "
+    "(4) concat-and-chunk packing of the trimmed lengths.  Alternative "
+    "dedup stage to pipeline_corpus_to_shards' CC-keeper — same gate/"
+    "cap/pack tail, so the two relations diff cleanly to show what "
+    "span-level trimming saves vs whole-doc dropping (extension)",
+)
+def pipeline_corpus_to_shards_exactsubstr(spark, sf_dir):
+    from qaapi_spark.operators.curation import pack_sequences
+    from qaapi_spark.operators.dedup import exact_substring_apply
+    from qaapi_spark.plans.llm_dedup import _SUBSTR_L, _shared_substr_dpos
+
+    d = t(spark, sf_dir, "documents")
+    trimmed = exact_substring_apply(
+        d, _SUBSTR_L, _dpos=_shared_substr_dpos(spark, sf_dir)
+    )
+    kept = (
+        trimmed.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "doc_id", F.col("n_kept").alias("n_toks"))
+        .filter(F.col("n_toks") >= _SHARD_MIN_TOKS)
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    capped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SHARD_CAP)
+        .drop("rn")
+    )
+    return pack_sequences(capped, _SHARD_BUDGET).orderBy("source", "doc_id")
+
+
+@query(
     "stream_pipeline_corpus_to_shards",
     # The greedy dedup relation is deterministic under ordered ingest
     # (the stream_neardup_dedup_docs oracle construction, re-expressed
@@ -381,6 +480,15 @@ def pipeline_corpus_to_shards(spark, sf_dir):
     # exact — so the whole composed stream hash-checks against one
     # batch SQL statement.  Batch split point mirrors the staging
     # arithmetic: step = greatest(1, (hi - lo + 2) // 2).
+    # Probabilistic-superset assumption (inherited from
+    # stream_neardup_dedup_docs, ADVICE r10 #1): the oracle screens
+    # with EXACT all-pairs Jaccard while the stream screens via
+    # minhash-LSH band collisions (64 hashes / 16 bands), so the
+    # hash-check equivalence is data-dependent — a true >=0.8 pair
+    # whose bands never collide (~2e-4 per pair) would survive the
+    # stream but not the oracle.  test_lsh_candidates_cover_exact_pairs
+    # (tests/test_round11_fixes.py) asserts the LSH candidate set
+    # covers every exact pair on the check corpora.
     oracle=f"""
     WITH words AS (
         SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS w
@@ -480,7 +588,7 @@ def pipeline_corpus_to_shards(spark, sf_dir):
     "next #5): new documents arrive in doc_id-ordered micro-batches "
     "and one foreachBatch pipeline screens each batch against the "
     "standing kept corpus (minhash-LSH band store + exact Jaccard "
-    "verify), gates the survivors (>= 16 ws tokens), and appends them "
+    "verify), gates the survivors (>= 16 ws tokens), "
     "caps over-quota sources (first 15 per source — EXACT under "
     "ordered ingest: prev-epoch kept count + within-batch rank IS the "
     "global row_number), and appends the rest to training shards from "
