@@ -89,6 +89,20 @@ _FORCE_RECHECK = frozenset(
         # driver confirm.
         "dedup_exact_substring_ranges",
         "dedup_exact_substring_doc_stats",
+        # Round 11 (VERDICT r10 next #2): the contrastive miner's pool
+        # is now COST-ROUTED (SRP within the per-anchor touch budget,
+        # adaptive stripe-trained IVF beyond it) and the IVF leg was
+        # retuned from k=8/nprobe=3 to k=ceil(n/16)/nprobe=ceil(3k/8)
+        # (recall@3 0.66-0.70 -> 0.80-0.86, tools/sweep_miner_pool.py),
+        # so all three miner relations execute new code (the ivf
+        # query's RESULTS changed; the other two are value-identical
+        # at sf<=0.01 but run through the router).  All three
+        # re-verified locally at sf0.001 + sf0.01, and the routed
+        # miner + eval additionally at sf0.1 where the route flips to
+        # IVF (check_oracle: 811 rows + 1 row hash-match).
+        "pairs_mine_contrastive",
+        "pairs_mine_contrastive_ivf",
+        "pairs_mine_recall_eval",
     }
 )
 

@@ -178,6 +178,7 @@ def lloyd_centroids_distributed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    rank_init: bool = False,
 ) -> DataFrame:
     """The fitted codebook of :func:`lloyd_kmeans_distributed` as a
     relation (cid int, c array<double>) — k rows after ``iters``
@@ -188,9 +189,17 @@ def lloyd_centroids_distributed(
     centroid relation the clustering query hashes against — the
     composition stays SQL-reproducible end to end.  Empty clusters
     drop deterministically on both engines (the per-cluster mean
-    aggregate simply has no rows)."""
+    aggregate simply has no rows).
+
+    ``rank_init=True`` initializes from the first k rows BY ID RANK
+    instead of ``id < k`` — required when ``df`` is a mod-stripe
+    training subset (ids are non-contiguous, so ``id < k`` would find
+    only ~k/stride rows).  cid stays the row's own id (a label; ties
+    still break to the lowest), and the SQL mirror is
+    ``... ORDER BY vec_id LIMIT k``."""
     x = _as_points(df, id_col, vec_col)
-    cents = x.filter(F.col("id") < k).select(
+    init_rows = x.orderBy("id").limit(k) if rank_init else x.filter(F.col("id") < k)
+    cents = init_rows.select(
         F.col("id").cast("int").alias("cid"),
         F.transform("x", lambda v: F.round(v, round_dp)).alias("c"),
     )
@@ -214,6 +223,13 @@ def lloyd_centroids_distributed(
                     lambda s: F.round(s["m"], round_dp),
                 ).alias("c")
             )
+            # k-row relation: truncate the lineage so iteration i+1's
+            # assignment scan doesn't RECOMPUTE iterations 1..i (the
+            # unpersisted chain made the fit superlinear in iters —
+            # measured 3.4 s / 12.7 s / 23 s for 1/2/3 iterations at
+            # k=125, n=2000; checkpointed, each iteration pays once).
+            # Lazy: materializes inside the first job that reads it.
+            .localCheckpoint(eager=False)
         )
     return cents
 

@@ -1109,43 +1109,339 @@ def _mine_anchor_inputs(spark, sf_dir):
     return pos, e, qs, partners
 
 
-@query(
-    "pairs_mine_contrastive",
-    # The anchored SRP chain is engine-exact end to end (same fragment
-    # that backs ann_topk_srp_lsh's green hash); the pool cut, partner
-    # anti-join, and hard-neg top-k are all deterministic
-    # (ROW_NUMBER over (4-dp cosine DESC, cand_id)).
-    oracle=f"""
+# --- candidate-pool cost routing (VERDICT r10 next #2) ---------------
+#
+# The miner's stage-1 pool has two implementations with opposite cost
+# curves, and neither dominates (measured round 10/11, SCALE.md):
+#
+#   SRP-LSH   recall@3 0.93 but its 8-bit band keys give 256 buckets
+#             per band FOREVER — scored rows per anchor are a FIXED
+#             ~45-56 % of the corpus, i.e. grow linearly with n.
+#   IVF       tunable: k_cells grows with the corpus (occupancy
+#             n/k_cells pinned), so touch is a dial.  Swept round 11
+#             over (k_cells, nprobe, train stripe): occupancy 16 with
+#             nprobe = ceil(3k/8) measures recall@3 0.80 (sf0.01,
+#             n=500) / 0.84 (sf0.1, n=2000) at 37.5 % touch — over the
+#             0.8 bar at <= 40 % touch (tools/sweep_miner_pool.py; the
+#             old k=8/nprobe=3 config measured 0.66-0.70).
+#
+# Routing mirrors dedup._containment_regime: a pure decision from
+# measured inputs, priced in the unit that actually hurts at 100 TB —
+# scored candidate rows PER ANCHOR.  SRP's expected scored rows are
+# n_bands * (1 + rows_per_band) probe buckets x n/2^rpb occupancy =
+# 0.5625 n for the retuned 128/16/1-flip config; while that is within
+# budget SRP wins on recall, beyond it the pool switches to IVF whose
+# per-anchor touch the k_cells dial controls.  The decision input is
+# ONE number (corpus count), so the DuckDB oracle reproduces the
+# branch with a scalar-subquery CASE and the whole routed miner stays
+# hash-checkable.
+_MINE_TOUCH_BUDGET = 1024  # scored rows per anchor SRP may cost
+_IVF_OCC = 16  # target corpus rows per IVF cell (k_cells = ceil(n/occ))
+_IVF_TRAIN_CAP = 1024  # Lloyd training-stripe row cap (FAISS-style)
+_MINE_IVF_ITERS = 3
+_MINE_IVF_DP = 6
+
+# SQL scalar twins of _mine_ivf_params / _mine_pool_regime — every
+# adaptive knob derives from COUNT(*) so the static oracle string
+# stays valid at any SF.
+_K_CELLS_EXPR = (
+    f"(SELECT CAST(CEIL(COUNT(*) / {_IVF_OCC}.0) AS BIGINT) FROM embeddings)"
+)
+_NPROBE_EXPR = (
+    f"(SELECT CAST(CEIL(3 * CEIL(COUNT(*) / {_IVF_OCC}.0) / 8.0) AS BIGINT)"
+    " FROM embeddings)"
+)
+_STRIDE_EXPR = (
+    f"(SELECT CAST(CEIL(COUNT(*) / {_IVF_TRAIN_CAP}.0) AS BIGINT) FROM embeddings)"
+)
+_ROUTE_CTE = f"""route AS (
+        SELECT CASE WHEN (SELECT COUNT(*) FROM embeddings)
+                         * {_SRP_BANDS * (1 + _SRP_RPB)}.0 / {2 ** _SRP_RPB}
+                    <= {_MINE_TOUCH_BUDGET}
+               THEN 'srp' ELSE 'ivf' END AS r
+    )"""
+
+
+def _mine_pool_regime(
+    n_corpus: int,
+    n_bands: int = _SRP_BANDS,
+    rows_per_band: int = _SRP_RPB,
+    budget: int = _MINE_TOUCH_BUDGET,
+) -> str:
+    """Pure pool-route decision (unit-tested crossover): 'srp' while
+    its expected scored rows per anchor — (1 + rows_per_band) probe
+    keys x n_bands buckets x n/2^rpb expected occupancy — fit the
+    budget, else 'ivf'.  Python mirror of _ROUTE_CTE."""
+    srp_rows = n_corpus * n_bands * (1 + rows_per_band) / float(2**rows_per_band)
+    return "srp" if srp_rows <= budget else "ivf"
+
+
+def _mine_ivf_params(n_corpus: int) -> tuple[int, int, int]:
+    """(k_cells, nprobe, train_stride) for the swept IVF pool config:
+    occupancy-16 cells, nprobe = ceil(3k/8) (37.5 % touch), Lloyd
+    trained on a <= _IVF_TRAIN_CAP-row mod-stripe.  Python mirror of
+    _K_CELLS_EXPR / _NPROBE_EXPR / _STRIDE_EXPR."""
+    k = -(-n_corpus // _IVF_OCC)
+    nprobe = -(-3 * k // 8)
+    stride = -(-n_corpus // _IVF_TRAIN_CAP)
+    return int(k), int(nprobe), int(stride)
+
+
+def _mine_ivf_codebook_kernel(spark, sf_dir):
+    """The miner's adaptive IVF codebook (cid, c), memoized per
+    (application, sf_dir): engine-exact distributed Lloyd
+    (prefix-rank init, decimal sums, 6dp snapping — the
+    emb_kmeans_lloyd3 arithmetic) fitted on the deterministic
+    vec_id % stride == 0 training stripe, so the fit cost is bounded
+    by _IVF_TRAIN_CAP rows however large the corpus while k_cells
+    keeps growing with it.  Shared by pairs_mine_contrastive (ivf
+    route), pairs_mine_contrastive_ivf, and pairs_mine_recall_eval."""
+    from qaapi_spark.operators.kmeans import lloyd_centroids_distributed
+    from qaapi_spark.session import shared_kernel
+
+    def build():
+        e = t(spark, sf_dir, "embeddings")
+        n = e.count()
+        k, _nprobe, stride = _mine_ivf_params(n)
+        stripe = e.filter(F.col("vec_id") % stride == 0) if stride > 1 else e
+        return lloyd_centroids_distributed(
+            stripe, k=k, iters=_MINE_IVF_ITERS, id_col="vec_id",
+            vec_col="embedding", round_dp=_MINE_IVF_DP, rank_init=True,
+        ).localCheckpoint(eager=False)
+
+    return shared_kernel(
+        spark, ("mine_ivf_cents", sf_dir, _IVF_OCC, _MINE_IVF_ITERS), build
+    )
+
+
+def _mine_pool_routed(spark, sf_dir, e, qs) -> tuple["DataFrame", str]:
+    """(per-anchor candidate pool, route) — the cost-routed stage 1 of
+    the contrastive miner.  One metadata-cheap corpus count feeds the
+    pure regime decision; both branches produce (query_id, cand_id,
+    cosine) cut to _MINE_POOL per anchor."""
+    from qaapi_spark.operators.similarity import cosine_topk_ivf
+
+    n = e.count()
+    route = _mine_pool_regime(n)
+    if route == "srp":
+        pool = srp_lsh_topk(
+            qs, e, _MINE_POOL, n_planes=_SRP_PLANES, n_bands=_SRP_BANDS,
+            n_probe_flips=_SRP_FLIPS,
+        )
+    else:
+        _k, nprobe, _stride = _mine_ivf_params(n)
+        cents = _mine_ivf_codebook_kernel(spark, sf_dir).select(
+            F.col("cid").cast("long").alias("centroid_id"),
+            F.col("c").alias("cvec"),
+        )
+        pool = cosine_topk_ivf(qs, e, _MINE_POOL, nprobe=nprobe, cents=cents)
+    return pool, route
+
+
+# unit-normalized corpus CTE — byte-identical to the `u` fragment
+# inside _srp_scored_ctes, for oracles that need the exact rerank
+# without the SRP chain
+_U_CTE = """u AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_dot_product(
+                            list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                            list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS uv
+        FROM embeddings
+    )"""
+
+
+def _stripe_kmeans_ctes(iters: int, dp: int) -> tuple[str, str]:
+    """(WITH-clause body, final centroid relation) for the miner's
+    adaptive stripe-trained Lloyd fit — the llm_clustering._kmeans_ctes
+    arithmetic (decimal sums, dp snapping, ties -> lowest cid) with
+    k_cells / training stride as COUNT(*)-derived scalar subqueries
+    (_K_CELLS_EXPR / _STRIDE_EXPR) and first-k-BY-RANK init so the
+    mod-stripe's non-contiguous ids still seed k centroids."""
+    from qaapi_spark.plans.llm_clustering import _dist
+
+    sql = f"""te AS (
+        SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        FROM embeddings
+        WHERE vec_id % {_STRIDE_EXPR} = 0
+    ),
+    tc0 AS (
+        SELECT cid, c FROM (
+            SELECT CAST(vec_id AS INT) AS cid,
+                   list_transform(x, v -> ROUND(v, {dp})) AS c,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+            FROM te
+        ) WHERE rn <= {_K_CELLS_EXPR}
+    )"""
+    prev = "tc0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    ta{i} AS (
+        SELECT vec_id, x, cid FROM (
+            SELECT te.vec_id, te.x, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY te.vec_id
+                       ORDER BY {_dist('te.x', 'c.c')}, c.cid
+                   ) AS rn
+            FROM te CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ),
+    tm{i} AS (
+        SELECT cid, s.dim AS dim,
+               ROUND(CAST(SUM(CAST(s.v AS DECIMAL(28,14))) AS DOUBLE)
+                     / COUNT(*), {dp}) AS m
+        FROM ta{i}, UNNEST(list_transform(range(1, len(x) + 1),
+                        j -> {{'dim': j, 'v': x[j]}})) AS t(s)
+        GROUP BY cid, s.dim
+    ),
+    tc{i} AS (SELECT cid, list(m ORDER BY dim) AS c FROM tm{i} GROUP BY cid)"""
+        prev = f"tc{i}"
+    return sql, prev
+
+
+def _ivf_pool_tail_ctes(cent_rel: str) -> str:
+    """assign -> probe -> score -> pool cut -> partner anti-join ->
+    hard-neg top-k over the adaptive codebook ``cent_rel``; needs `u`,
+    `anchors`, `partners` in scope.  Ends with ihard(query_id,
+    cand_id, cosine).  i-prefixed names so the chain composes with the
+    SRP chain's pool/inegs/hard inside the routed oracle."""
+    return f"""icu AS (
+        SELECT cid AS centroid_id,
+               list_transform(c, v -> v / sqrt(list_dot_product(c, c))) AS cuv
+        FROM {cent_rel}
+    ),
+    iassigned AS (
+        SELECT cand_id, centroid_id FROM (
+            SELECT v.vec_id AS cand_id, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY ROUND(list_dot_product(v.uv, ct.cuv), 4) DESC,
+                                ct.centroid_id) AS rn
+            FROM u v CROSS JOIN icu ct
+        ) WHERE rn = 1
+    ),
+    iprobes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(q.uv, ct.cuv), 4) DESC,
+                                ct.centroid_id) AS rn
+            FROM u q CROSS JOIN icu ct
+            WHERE q.vec_id IN (SELECT id FROM anchors)
+        ) WHERE rn <= {_NPROBE_EXPR}
+    ),
+    iscored AS (
+        SELECT p.query_id, a.cand_id,
+               ROUND(list_dot_product(qu.uv, cu2.uv), 4) AS cosine
+        FROM iprobes p JOIN iassigned a USING (centroid_id)
+        JOIN u qu ON qu.vec_id = p.query_id
+        JOIN u cu2 ON cu2.vec_id = a.cand_id
+        WHERE p.query_id <> a.cand_id
+    ),
+    ipool AS (
+        SELECT query_id, cand_id, cosine FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rn
+            FROM iscored
+        ) WHERE rn <= {_MINE_POOL}
+    ),
+    iinegs AS (
+        SELECT g.query_id, g.cand_id, g.cosine
+        FROM ipool g
+        LEFT JOIN partners p
+            ON p.query_id = g.query_id AND p.cand_id = g.cand_id
+        WHERE p.query_id IS NULL
+    ),
+    ihard AS (
+        SELECT query_id, cand_id, cosine FROM (
+            SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rn
+            FROM iinegs
+        ) WHERE rn <= {_HARD_NEG_K}
+    )"""
+
+
+def _ivf_mine_oracle() -> str:
+    """IVF-pooled miner oracle: the adaptive stripe-trained Lloyd chain
+    feeds assign/probe CTEs whose query set is the anchor relation,
+    then the shared miner tail (pool cut -> partner anti-join ->
+    hard-neg top-k)."""
+    body, prev = _stripe_kmeans_ctes(_MINE_IVF_ITERS, _MINE_IVF_DP)
+    return f"""
     WITH {_mine_base_ctes()},
-    {_mine_pool_hard_ctes()}
+    {_U_CTE},
+    {body},
+    {_ivf_pool_tail_ctes(prev)}
     SELECT id_a AS anchor_id, id_b AS other_id,
            'pos' AS label, jaccard AS score
     FROM jpairs
     UNION ALL
     SELECT query_id AS anchor_id, cand_id AS other_id,
            'hard_neg' AS label, cosine AS score
-    FROM hard
+    FROM ihard
     ORDER BY anchor_id, label, score DESC, other_id
-    """,
-    doc="contrastive training-pair mining for embedding models, INDEXED "
-    "default (VERDICT r9 next #3): POSITIVES are the exact near-dup "
-    "relation (the memoized jaccard_pairs kernel — labels a dedup pass "
-    "already computed); HARD NEGATIVES pool top-20 candidates per "
-    "anchor through the retuned SRP-LSH index (multi-probe band join, "
-    "the retrieval_two_stage_ce stage-1 shape), anti-join the positive "
-    "partners, and keep the top-3 by exact cosine.  At 100 TB the "
-    "anchor set grows with the corpus, so mining cost must track "
-    "candidate volume (|anchors| x pool), never |anchors| x corpus — "
-    "the exact grid survives only inside pairs_mine_recall_eval, "
-    "which measures this miner's recall against it (extension: "
+    """
+
+
+def _routed_mine_oracle() -> str:
+    """Routed-miner oracle: BOTH pool chains (the anchored SRP chain
+    ending in `hard`, the adaptive stripe-Lloyd IVF chain ending in
+    `ihard`) plus the scalar route decision; the final UNION gates
+    each branch on the route so DuckDB emits exactly the branch the
+    Spark side executed at this corpus size."""
+    body, prev = _stripe_kmeans_ctes(_MINE_IVF_ITERS, _MINE_IVF_DP)
+    return f"""
+    WITH {_mine_base_ctes()},
+    {_mine_pool_hard_ctes()},
+    {body},
+    {_ivf_pool_tail_ctes(prev)},
+    {_ROUTE_CTE}
+    SELECT id_a AS anchor_id, id_b AS other_id,
+           'pos' AS label, jaccard AS score
+    FROM jpairs
+    UNION ALL
+    SELECT query_id AS anchor_id, cand_id AS other_id,
+           'hard_neg' AS label, cosine AS score
+    FROM hard WHERE (SELECT r FROM route) = 'srp'
+    UNION ALL
+    SELECT query_id AS anchor_id, cand_id AS other_id,
+           'hard_neg' AS label, cosine AS score
+    FROM ihard WHERE (SELECT r FROM route) = 'ivf'
+    ORDER BY anchor_id, label, score DESC, other_id
+    """
+
+
+@query(
+    "pairs_mine_contrastive",
+    # Both branch chains are engine-exact end to end (the SRP fragment
+    # backs ann_topk_srp_lsh's green hash; the stripe-Lloyd chain is
+    # the emb_kmeans_lloyd3 arithmetic), the route decision is one
+    # COUNT(*)-derived CASE mirrored by _mine_pool_regime, and the
+    # pool cut / partner anti-join / hard-neg top-k are deterministic
+    # (ROW_NUMBER over (4-dp cosine DESC, cand_id)).
+    oracle=_routed_mine_oracle(),
+    doc="contrastive training-pair mining for embedding models, with a "
+    "COST-ROUTED candidate pool (VERDICT r10 next #2): POSITIVES are "
+    "the exact near-dup relation (the memoized jaccard_pairs kernel — "
+    "labels a dedup pass already computed); HARD NEGATIVES pool "
+    "top-20 candidates per anchor through SRP-LSH while its fixed "
+    "bucket structure keeps scored rows per anchor (0.5625 n for "
+    "128/16/1-flip) inside the touch budget, and through the "
+    "adaptive stripe-trained IVF index (k_cells = ceil(n/16), nprobe "
+    "= ceil(3k/8) — swept round 11 to recall@3 0.80-0.84 at 37.5 % "
+    "touch) beyond it; then anti-join the positive partners and keep "
+    "the top-3 by exact cosine.  The route is a pure function of the "
+    "corpus count (_mine_pool_regime, the dedup._containment_regime "
+    "pattern), so the oracle reproduces the branch with a scalar "
+    "CASE.  At 100 TB SRP's 256-buckets-per-band occupancy grows "
+    "linearly with the corpus — the router is what keeps per-anchor "
+    "mining cost a dial instead of a casualty (extension: "
     "training-data generation for retrieval/embedding fine-tuning)",
 )
 def pairs_mine_contrastive(spark, sf_dir):
     pos, e, qs, partners = _mine_anchor_inputs(spark, sf_dir)
-    pool = srp_lsh_topk(
-        qs, e, _MINE_POOL, n_planes=_SRP_PLANES, n_bands=_SRP_BANDS,
-        n_probe_flips=_SRP_FLIPS,
-    )
+    pool, _route = _mine_pool_routed(spark, sf_dir, e, qs)
     negs = pool.join(partners, ["query_id", "cand_id"], "left_anti")
     hard = topk_per_group(
         negs, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], _HARD_NEG_K
@@ -1166,14 +1462,21 @@ def pairs_mine_contrastive(spark, sf_dir):
     return out.orderBy("anchor_id", "label", F.desc("score"), "other_id")
 
 
-@query(
-    "pairs_mine_recall_eval",
-    # Integer-exact recall aggregates over two deterministic relations
-    # (the ann_recall_eval_srp pattern): hit counts are exact integers,
-    # the only floats are single divisions rounded to 4 dp.
-    oracle=f"""
+def _recall_eval_oracle() -> str:
+    body, prev = _stripe_kmeans_ctes(_MINE_IVF_ITERS, _MINE_IVF_DP)
+    return f"""
     WITH {_mine_base_ctes()},
     {_mine_pool_hard_ctes()},
+    {body},
+    {_ivf_pool_tail_ctes(prev)},
+    {_ROUTE_CTE},
+    rhard AS (
+        SELECT query_id, cand_id FROM hard
+        WHERE (SELECT r FROM route) = 'srp'
+        UNION ALL
+        SELECT query_id, cand_id FROM ihard
+        WHERE (SELECT r FROM route) = 'ivf'
+    ),
     grid AS (
         SELECT a.id AS query_id, c.vec_id AS cand_id,
                ROUND(list_dot_product(qa.uv, c.uv), 4) AS cosine
@@ -1202,7 +1505,7 @@ def pairs_mine_contrastive(spark, sf_dir):
                COUNT(*) AS n_true,
                SUM(CASE WHEN h.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
         FROM ehard e
-        LEFT JOIN hard h
+        LEFT JOIN rhard h
             ON h.query_id = e.query_id AND h.cand_id = e.cand_id
         GROUP BY e.query_id
     )
@@ -1212,15 +1515,26 @@ def pairs_mine_contrastive(spark, sf_dir):
            CAST(SUM(CASE WHEN n_hit = n_true THEN 1 ELSE 0 END) AS BIGINT)
                AS n_perfect_anchors
     FROM per_a
-    """,
-    doc="recall eval of the indexed contrastive miner: the exact "
+    """
+
+
+@query(
+    "pairs_mine_recall_eval",
+    # Integer-exact recall aggregates over two deterministic relations
+    # (the ann_recall_eval_srp pattern): hit counts are exact integers,
+    # the only floats are single divisions rounded to 4 dp.
+    oracle=_recall_eval_oracle(),
+    doc="recall eval of the ROUTED contrastive miner: the exact "
     "|anchors| x corpus grid (the miner's former brute-force route, "
     "demoted to eval-only) produces the true per-anchor top-3 hard "
-    "negatives; the SRP-pooled miner's picks are scored against them "
-    "with integer-exact recall aggregates — the per-index-build eval "
-    "a production mining pipeline runs to certify the pool budget "
-    "(the ann_recall_eval_srp pattern applied to mining; VERDICT r9 "
-    "next #3 'done' condition) (extension)",
+    "negatives; the routed default's picks (same _mine_pool_routed "
+    "the miner runs — SRP within the touch budget, adaptive IVF "
+    "beyond it) are scored against them with integer-exact recall "
+    "aggregates — the per-index-build eval a production mining "
+    "pipeline runs to certify the pool budget (the "
+    "ann_recall_eval_srp pattern applied to mining; the >= 0.8 bar "
+    "on this query's recall_at_k is pinned by test for BOTH routes; "
+    "VERDICT r10 next #2 'done' condition) (extension)",
 )
 def pairs_mine_recall_eval(spark, sf_dir):
     from qaapi_spark.operators.similarity import cosine_topk_bruteforce
@@ -1234,10 +1548,7 @@ def pairs_mine_recall_eval(spark, sf_dir):
         [F.desc("cosine"), F.asc("cand_id")],
         _HARD_NEG_K,
     ).select("query_id", "cand_id")
-    pool = srp_lsh_topk(
-        qs, e, _MINE_POOL, n_planes=_SRP_PLANES, n_bands=_SRP_BANDS,
-        n_probe_flips=_SRP_FLIPS,
-    )
+    pool, _route = _mine_pool_routed(spark, sf_dir, e, qs)
     ihard = topk_per_group(
         pool.join(partners, ["query_id", "cand_id"], "left_anti"),
         ["query_id"],
@@ -1270,115 +1581,34 @@ def pairs_mine_recall_eval(spark, sf_dir):
     )
 
 
-def _ivf_mine_oracle() -> str:
-    """IVF-pooled miner oracle: the engine-exact unrolled Lloyd chain
-    (plans/llm_clustering._kmeans_ctes) feeds assign/probe CTEs whose
-    query set is the anchor relation, then the shared miner tail
-    (pool cut -> partner anti-join -> hard-neg top-k)."""
-    from qaapi_spark.plans.llm_clustering import _DP, _ITERS, _kmeans_ctes
-    from qaapi_spark.plans.llm_clustering import _K as _KM_K
-    from qaapi_spark.plans.llm_similarity import _NPROBE
-
-    body, prev = _kmeans_ctes(_KM_K, _ITERS, _DP)
-    return f"""
-    WITH {_mine_base_ctes()},
-    {body},
-    u AS MATERIALIZED (
-        SELECT vec_id, list_transform(x, v -> v / sqrt(list_dot_product(x, x))) AS uv
-        FROM e
-    ),
-    cu AS MATERIALIZED (
-        SELECT cid AS centroid_id,
-               list_transform(c, v -> v / sqrt(list_dot_product(c, c))) AS cuv
-        FROM {prev}
-    ),
-    assigned AS (
-        SELECT cand_id, centroid_id FROM (
-            SELECT v.vec_id AS cand_id, ct.centroid_id,
-                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                       ORDER BY ROUND(list_dot_product(v.uv, ct.cuv), 4) DESC,
-                                ct.centroid_id) AS rn
-            FROM u v CROSS JOIN cu ct
-        ) WHERE rn = 1
-    ),
-    probes AS (
-        SELECT query_id, centroid_id FROM (
-            SELECT q.vec_id AS query_id, ct.centroid_id,
-                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                       ORDER BY ROUND(list_dot_product(q.uv, ct.cuv), 4) DESC,
-                                ct.centroid_id) AS rn
-            FROM u q CROSS JOIN cu ct
-            WHERE q.vec_id IN (SELECT id FROM anchors)
-        ) WHERE rn <= {_NPROBE}
-    ),
-    iscored AS (
-        SELECT p.query_id, a.cand_id,
-               ROUND(list_dot_product(qu.uv, cu2.uv), 4) AS cosine
-        FROM probes p JOIN assigned a USING (centroid_id)
-        JOIN u qu ON qu.vec_id = p.query_id
-        JOIN u cu2 ON cu2.vec_id = a.cand_id
-        WHERE p.query_id <> a.cand_id
-    ),
-    pool AS (
-        SELECT query_id, cand_id, cosine FROM (
-            SELECT query_id, cand_id, cosine,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY cosine DESC, cand_id) AS rn
-            FROM iscored
-        ) WHERE rn <= {_MINE_POOL}
-    ),
-    inegs AS (
-        SELECT g.query_id, g.cand_id, g.cosine
-        FROM pool g
-        LEFT JOIN partners p
-            ON p.query_id = g.query_id AND p.cand_id = g.cand_id
-        WHERE p.query_id IS NULL
-    ),
-    hard AS (
-        SELECT query_id, cand_id, cosine FROM (
-            SELECT query_id, cand_id, cosine,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY cosine DESC, cand_id) AS rn
-            FROM inegs
-        ) WHERE rn <= {_HARD_NEG_K}
-    )
-    SELECT id_a AS anchor_id, id_b AS other_id,
-           'pos' AS label, jaccard AS score
-    FROM jpairs
-    UNION ALL
-    SELECT query_id AS anchor_id, cand_id AS other_id,
-           'hard_neg' AS label, cosine AS score
-    FROM hard
-    ORDER BY anchor_id, label, score DESC, other_id
-    """
 
 
 @query(
     "pairs_mine_contrastive_ivf",
     oracle=_ivf_mine_oracle(),
-    doc="the contrastive miner's 100 TB pooling swap-in for embedding "
-    "distributions where NO hash family separates (round-10 scale "
-    "probe, SCALE.md: the retuned SRP config's 8-bit band keys give "
-    "occupancy that grows linearly with corpus size — ~45% corpus "
-    "touch per anchor on the synthetic near-random vectors): stage 1 "
-    "pools per-anchor candidates from the trained-IVF nprobe cells "
-    "instead of SRP buckets — bucket count scales with k_cells (grown "
-    "with the corpus), occupancy n/k_cells is TUNABLE — then the "
-    "identical anti-join -> exact top-3 tail.  The Lloyd codebook is "
-    "the engine-exact distributed fit, so the whole trained miner "
-    "hash-checks end to end; recall vs the exact grid is pinned by "
-    "test (extension)",
+    doc="the contrastive miner's IVF pool leg, pinned to always-IVF "
+    "(the routed default's beyond-budget branch, exposed standalone "
+    "so the branch hash-checks at every SF): stage 1 pools per-anchor "
+    "candidates from the adaptive trained-IVF nprobe cells — k_cells "
+    "= ceil(n/16) grows with the corpus (occupancy pinned at ~16), "
+    "nprobe = ceil(3k/8) holds touch at 37.5 %, and the engine-exact "
+    "Lloyd codebook is fitted on a <= 1024-row deterministic "
+    "mod-stripe (rank init), so fit cost is bounded however large "
+    "the corpus — the round-11 sweep measured recall@3 0.80 (n=500) "
+    "/ 0.84 (n=2000) vs the exact grid, up from 0.66-0.70 for the "
+    "r10 k=8/nprobe=3 config (tools/sweep_miner_pool.py; bar 0.8 "
+    "pinned by test); then the identical anti-join -> exact top-3 "
+    "tail (extension)",
 )
 def pairs_mine_contrastive_ivf(spark, sf_dir):
     from qaapi_spark.operators.similarity import cosine_topk_ivf
-    from qaapi_spark.plans.llm_clustering import lloyd_centroids_kernel
-    from qaapi_spark.plans.llm_similarity import _NPROBE
 
     pos, e, qs, partners = _mine_anchor_inputs(spark, sf_dir)
-    cents = lloyd_centroids_kernel(spark, sf_dir).select(
+    _k, nprobe, _stride = _mine_ivf_params(e.count())
+    cents = _mine_ivf_codebook_kernel(spark, sf_dir).select(
         F.col("cid").cast("long").alias("centroid_id"), F.col("c").alias("cvec")
     )
-    pool = cosine_topk_ivf(qs, e, _MINE_POOL, nprobe=_NPROBE, cents=cents)
+    pool = cosine_topk_ivf(qs, e, _MINE_POOL, nprobe=nprobe, cents=cents)
     negs = pool.join(partners, ["query_id", "cand_id"], "left_anti")
     hard = topk_per_group(
         negs, ["query_id"], [F.desc("cosine"), F.asc("cand_id")], _HARD_NEG_K
