@@ -1651,22 +1651,28 @@ def _pipeline_shards_epoch(
     from qaapi_spark.operators.textstats import ws_tokens
 
     spark = bdf.sparkSession
-    if bdf.rdd.getNumPartitions() < 8:
-        bdf = bdf.repartition(8)
+    # staged slices arrive as ONE file -> one partition; repartition
+    # unconditionally (the old getNumPartitions probe paid a Py4J
+    # RDD-conversion round trip per epoch just to learn that)
+    bdf = bdf.repartition(8)
     sets = (
         _hashed_shingle_sets(bdf, 2, "text", "doc_id")
         .filter(F.size("sh") > 0)
         .persist()
     )
+    # one NESTED higher-order expression instead of num_hashes separate
+    # array_min columns: identical values (xxhash64(int i, shingle) for
+    # i in 0..n-1 — sequence elements are INT like the old F.lit(i)),
+    # but the logical tree is O(1) wide instead of O(num_hashes), and
+    # every downstream action re-analyzes this lineage (~1 s/epoch of
+    # pure driver-side analysis at 64 hashes, measured round 11)
     signed = sets.select(
         "id",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("sh"), lambda v: F.xxhash64(F.lit(i), v))
-                )
-                for i in range(num_hashes)
-            ]
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(F.col("sh"), lambda v: F.xxhash64(i, v))
+            ),
         ).alias("sig"),
     )
     bands_arr = minhash_band_arrays(signed, num_hashes, n_bands).persist()
@@ -1773,11 +1779,17 @@ def _pipeline_shards_epoch(
         .alias("last_chunk"),
     ).withColumn("n_chunks", F.col("last_chunk") - F.col("first_chunk") + 1)
     try:
-        out.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_root, f"epoch={int(epoch_id)}")
-        )
-        bsum = placed.groupBy("source").agg(
-            F.sum("n_toks").alias("b_toks"), F.count("*").alias("b_kept")
+        epoch_out = os.path.join(out_root, f"epoch={int(epoch_id)}")
+        out.coalesce(1).write.mode("overwrite").parquet(epoch_out)
+        # totals derive from the epoch output JUST WRITTEN (one small
+        # single-file scan) instead of re-deriving `placed` — the
+        # unpersisted screen->gate->cap->pack chain used to run twice
+        # per epoch, once for the shard write and once for this
+        # snapshot (~1.5 s/epoch of pure recompute at sf0.1).
+        bsum = (
+            spark.read.parquet(epoch_out)
+            .groupBy("source")
+            .agg(F.sum("n_toks").alias("b_toks"), F.count("*").alias("b_kept"))
         )
         totals = prev.join(bsum, "source", "full_outer").select(
             "source",
@@ -1872,9 +1884,16 @@ def stream_pipeline_corpus_to_shards(
     )
     # same scoping rationale as stream_neardup_dedup: an epoch chains
     # ~10 small jobs over a micro-batch; AQE's materialize-then-replan
-    # adds serial latency with nothing to re-plan at this size
+    # adds serial latency with nothing to re-plan at this size.  The
+    # shuffle width drops to 8 for the stream's duration (the
+    # stream_scd2 state_partitions pattern): every shuffle here moves
+    # a few hundred rows, so 32-partition exchanges are pure
+    # task-scheduling overhead — results are partitioning-invariant
+    # (deterministic windows/joins; epoch files stay 1-file coalesced).
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
             stream.writeStream.foreachBatch(merge_batch)
@@ -1888,6 +1907,7 @@ def stream_pipeline_corpus_to_shards(
             spark.conf.unset("spark.sql.adaptive.enabled")
         else:
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
     return spark.read.parquet(out_root + "/epoch=*").select(
         "source", "doc_id", "n_toks", "start_tok",
