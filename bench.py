@@ -178,9 +178,28 @@ def main() -> None:
     )
     wq2.awaitTermination()
 
+    # Calibration quartets at START, MIDPOINT, and END of the catalog
+    # (VERDICT r10 next #5): the container's stall windows recur
+    # several times per hour, so a single end-of-run quartet can't say
+    # whether a slow stretch crossed the run — three samples make a
+    # stall crossing detectable from the artifact alone.
+    def _calib_quartet() -> dict[str, float]:
+        return {
+            "cpu": _calib_cpu(),
+            "spark": _calib_spark(spark),
+            "io": _calib_io(),
+            "mt": _calib_mt(),
+        }
+
+    calib_start = _calib_quartet()
+    calib_mid: dict[str, float] = {}
+    midpoint = len(BENCH_QUERIES) // 2
+
     timings: dict[str, float] = {}
     jvm_gc = spark.sparkContext._jvm.System.gc
-    for name in BENCH_QUERIES:
+    for i, name in enumerate(BENCH_QUERIES):
+        if i == midpoint:
+            calib_mid = _calib_quartet()  # untimed, between queries
         t0 = time.time()
         n = len(CATALOG[name].fn(spark, sf_dir).collect())
         timings[name] = round(time.time() - t0, 3)
@@ -209,6 +228,8 @@ def main() -> None:
         "calib_spark_s": _calib_spark(spark),
         "calib_io_s": _calib_io(),
         "calib_mt_s": _calib_mt(),
+        "calib_start": calib_start,
+        "calib_mid": calib_mid,
     }
     prev_round, prev_source, prev = _latest_prev_bench(sf_val)
     if prev:
@@ -262,6 +283,10 @@ def main() -> None:
         # must not have to re-derive them from SCALE.md prose
         "calib_io_s": out["calib_io_s"],
         "calib_mt_s": out["calib_mt_s"],
+        # start/mid quartets (VERDICT r10 next #5): three samples per
+        # run make a stall-window crossing visible in the artifact
+        "calib_start": calib_start,
+        "calib_mid": calib_mid,
     }
     if prev:
         compact["prev_round"] = prev_round
