@@ -54,6 +54,12 @@ QUERIES = [
     # broadcast into executor-side band joins + Arrow rerank)
     "dedup_exact_substring_ranges",
     "pairs_mine_contrastive",
+    # r11 additions: the ExactSubstr APPLY step (canonical-occurrence
+    # window ranking + trimmed-text rebuild across executor
+    # boundaries) and the adaptive stripe-trained IVF miner leg
+    # (rank-init Lloyd fit + broadcast codebook assignment)
+    "dedup_exact_substring_apply",
+    "pairs_mine_contrastive_ivf",
 ]
 
 _RUNNER = r"""

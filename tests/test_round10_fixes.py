@@ -296,8 +296,13 @@ def test_exact_substring_invariants(spark):
         assert 0 < s["n_dup_toks"] <= s["n_toks"]
         # token union is bounded by the interval union of the ranges
         assert s["n_dup_toks"] <= sum(r["range_len"] for r in rs)
-    # every doc with a range has stats and vice versa
-    assert set(by_doc) == set(stats)
+    # ADVICE r10 #3 (applied r11): doc_stats now emits EVERY document —
+    # docs with a range carry positive counts (asserted above), all
+    # others appear explicitly with n_dup_toks = 0
+    assert set(by_doc) <= set(stats)
+    for doc, s in stats.items():
+        if doc not in by_doc:
+            assert s["n_dup_toks"] == 0, (doc, s)
 
 
 def test_ivf_miner_recall_floor(spark):
