@@ -307,7 +307,35 @@ def main() -> None:
     print(line, flush=True)
 
 
-def _per_query_timings(data: dict) -> dict[str, float] | None:
+def _catalog_names_at_round(rnd: int) -> list[str] | None:
+    """The sorted catalog-name list as of driver round ``rnd``,
+    reconstructed from the CORRECTNESS_r*.json union (every catalog
+    query lands an execution row within a few rounds of appearing, so
+    by the time a BENCH artifact is used as a baseline the union IS
+    that round's catalog).  Lets q_cs arrays from OLDER rounds map to
+    names after the live catalog has grown — without this, adding any
+    query silently dropped the round-over-round delta (observed r11:
+    r10's 226-long q_cs vs the 230-query catalog)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    names: set[str] = set()
+    seen_any = False
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) > rnd:
+            continue
+        try:
+            with open(path) as f:
+                names.update(json.load(f).keys())
+            seen_any = True
+        except (OSError, ValueError):
+            continue
+    return sorted(names) if seen_any else None
+
+
+def _per_query_timings(data: dict, rnd: int | None = None) -> dict[str, float] | None:
     """Per-query timings from one recorded bench artifact.  Handles the
     raw bench-line form ({"queries": ...}), the driver wrapper
     ({"parsed": {...}, "tail": "..."}), and — when the stored tail
@@ -320,10 +348,15 @@ def _per_query_timings(data: dict) -> dict[str, float] | None:
         if isinstance(q, dict) and q:
             return q
         # compact-line array form: q_cs[i] = centiseconds of the i-th
-        # sorted catalog name (names recovered from the live CATALOG)
+        # sorted catalog name (names from the live CATALOG when the
+        # length still matches, else that round's reconstructed list)
         q_cs = d.get("q_cs")
         if isinstance(q_cs, list) and len(q_cs) == len(CATALOG):
             return {n: cs / 100.0 for n, cs in zip(sorted(CATALOG), q_cs)}
+        if isinstance(q_cs, list) and rnd is not None:
+            names = _catalog_names_at_round(rnd)
+            if names and len(names) == len(q_cs):
+                return {n: cs / 100.0 for n, cs in zip(names, q_cs)}
     tail = data.get("tail")
     if isinstance(tail, str):
         # Anchor recovery to the "queries" object: an unanchored scan
@@ -368,7 +401,7 @@ def _latest_prev_bench(
         rec_sf = data.get("sf", (data.get("parsed") or {}).get("sf"))
         if rec_sf is not None and str(rec_sf) != str(sf):
             continue
-        q = _per_query_timings(data)
+        q = _per_query_timings(data, rnd=int(m.group(1)))
         if q and (best is None or int(m.group(1)) > best[0]):
             best = (int(m.group(1)), q)
     if best:
