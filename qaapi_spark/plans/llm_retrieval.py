@@ -1216,7 +1216,8 @@ def _mine_ivf_codebook_kernel(spark, sf_dir):
 
 def _mine_pool_routed(spark, sf_dir, e, qs) -> tuple["DataFrame", str]:
     """(per-anchor candidate pool, route) — the cost-routed stage 1 of
-    the contrastive miner.  One metadata-cheap corpus count feeds the
+    the contrastive miner.  One corpus count (parquet-footer cheap,
+    and already paid by the IVF leg's parameter derivation) feeds the
     pure regime decision; both branches produce (query_id, cand_id,
     cosine) cut to _MINE_POOL per anchor."""
     from qaapi_spark.operators.similarity import cosine_topk_ivf
