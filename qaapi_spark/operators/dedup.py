@@ -1234,29 +1234,9 @@ def _dup_window_positions(
     O(total_tokens) rows, two shuffles, no driver state — the honest
     distributed cost of exact-substring dedup (a suffix array saves the
     constant factor, not the asymptotics, and cannot shard)."""
-    arr = ws_tokens(F.lower(F.col(text_col)))
-    # sequence(1, n) DESCENDS when n < 1 — guard short docs to an
-    # explicitly empty position list
-    starts = F.when(
-        F.size(arr) >= min_len,
-        F.sequence(F.lit(1), F.size(arr) - min_len + 1),
-    ).otherwise(F.array().cast("array<int>"))
     from qaapi_spark.session import register_kernel_cache
 
-    wins = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.transform(
-                starts,
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.unhex(
-                        F.md5(F.array_join(F.slice(arr, i, min_len), " "))
-                    ).alias("h"),
-                ),
-            )
-        ).alias("w"),
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    wins = _all_window_positions(df, min_len, text_col, id_col)
     # persisted (scratch cache): the repeated-key aggregate AND the
     # position probe both consume the window relation — without the
     # cache the corpus tokenizes + hashes twice per call.  At 100 TB
@@ -1422,11 +1402,21 @@ def exact_substring_apply(
         )
         .distinct()
     )
-    dirty_ids = cut.select("doc_id").distinct()
     base = df.select(
         F.col(id_col).alias("doc_id"),
         ws_tokens(F.lower(F.col(text_col))).alias("toks"),
     )
+    return _apply_trim(base, cut)
+
+
+def _apply_trim(base: DataFrame, cut: DataFrame) -> DataFrame:
+    """(doc_id, n_toks, n_kept, text_dedup) for every row of ``base``
+    (doc_id, toks) after removing the 1-based token positions in
+    ``cut`` (doc_id, tok_pos).  Shared by the batch apply and the
+    streaming epoch step, so their trim semantics are structurally
+    identical.  Only docs that lose tokens pay the posexplode +
+    anti-join + rebuild; clean docs pass through map-only."""
+    dirty_ids = cut.select("doc_id").distinct()
     clean = base.join(dirty_ids, "doc_id", "left_anti").select(
         "doc_id",
         F.size("toks").cast("long").alias("n_toks"),
@@ -1461,6 +1451,37 @@ def exact_substring_apply(
         )
     )
     return clean.unionByName(dirty)
+
+
+def _all_window_positions(
+    df: DataFrame, min_len: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, pos, h) of EVERY ``min_len``-token window (duplicated
+    or not) — the per-batch relation the streaming ExactSubstr apply
+    checks against its standing digest store.  Same digest scheme as
+    :func:`_dup_window_positions` (16-byte unhex(md5) of the joined
+    lowercased tokens), without the corpus-wide repeated-key cut."""
+    arr = ws_tokens(F.lower(F.col(text_col)))
+    # sequence(1, n) DESCENDS when n < 1 — guard short docs to an
+    # explicitly empty position list
+    starts = F.when(
+        F.size(arr) >= min_len,
+        F.sequence(F.lit(1), F.size(arr) - min_len + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.unhex(
+                        F.md5(F.array_join(F.slice(arr, i, min_len), " "))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
 
 
 def exact_substring_attribution(

@@ -1150,13 +1150,13 @@ def dedup_exact_substring_doc_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query(
-    "dedup_exact_substring_apply",
-    # Canonical pick = corpus-wide first (doc_id, pos) per window
-    # digest — the same partition whether the digest renders as md5
-    # hex (DuckDB) or 16-byte binary (Spark), so the trimmed text is
-    # engine-exact string equality.
-    oracle=f"""
+# Canonical pick = corpus-wide first (doc_id, pos) per window digest —
+# the same partition whether the digest renders as md5 hex (DuckDB) or
+# 16-byte binary (Spark), so the trimmed text is engine-exact string
+# equality.  Shared by the batch apply AND its streaming twin (ordered
+# ingest makes the stream exactly equal — see
+# streaming/incremental._exsub_epoch).
+_EXSUB_APPLY_ORACLE = f"""
     WITH {_DD_SUBSTR_DPOS},
     nc AS (
         SELECT doc_id, pos FROM (
@@ -1192,7 +1192,12 @@ def dedup_exact_substring_doc_stats(spark, sf_dir):
            COALESCE(r.text_dedup, '') AS text_dedup
     FROM stoks s LEFT JOIN reb r USING (doc_id)
     ORDER BY s.doc_id
-    """,
+    """
+
+
+@query(
+    "dedup_exact_substring_apply",
+    oracle=_EXSUB_APPLY_ORACLE,
     doc="MATERIALIZED ExactSubstr dedup (Lee et al. ACL'22 §3 apply "
     "step, VERDICT r10 next #4): the trimmed corpus after cutting "
     "every duplicated >=10-token span, keeping exactly one canonical "
@@ -1211,6 +1216,34 @@ def dedup_exact_substring_apply(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return exact_substring_apply(
         d, _SUBSTR_L, _dpos=_shared_substr_dpos(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
+@query(
+    "stream_exact_substring_apply",
+    # EXACT equality with the batch apply relation under ordered
+    # ingest — canonical = earliest occurrence, so the stream's
+    # per-epoch digest-store screen reproduces the corpus-wide first
+    # pick with no probabilistic caveat; the oracle is shared.
+    oracle=_EXSUB_APPLY_ORACLE,
+    doc="STREAMING ExactSubstr dedup (extension, SURVEY §2.9): the "
+    "trimmed corpus maintained incrementally as documents land — each "
+    "micro-batch trims against the standing window-digest store "
+    "(16-byte digests, epoch-keyed append; one semi-join per epoch) "
+    "and its emitted rows are IMMUTABLE, because the canonical "
+    "occurrence of any window is the earliest and can never be "
+    "revoked by later arrivals.  The batch kernel re-aggregates the "
+    "whole corpus per run; here a new epoch costs only its own "
+    "windows + the digest lookup.  Exactly equals "
+    "dedup_exact_substring_apply under ordered ingest (no LSH "
+    "anywhere), so it shares the batch oracle; retry-idempotence "
+    "unit-tested",
+)
+def stream_exact_substring_apply_q(spark, sf_dir):
+    from qaapi_spark.streaming.incremental import stream_exact_substring_apply
+
+    return stream_exact_substring_apply(
+        spark, f"{sf_dir}/documents.parquet", min_len=_SUBSTR_L
     ).orderBy("doc_id")
 
 

@@ -2217,3 +2217,150 @@ def stream_cc_labels_incremental(
         .filter(F.col("rn") == 1)
         .select("doc_id", "comp")
     )
+
+
+def _exsub_epoch(
+    bdf,
+    epoch_id: int,
+    digest_root: str,
+    out_root: str,
+    min_len: int,
+) -> None:
+    """One foreachBatch step of streaming ExactSubstr dedup (Lee et
+    al. ACL'22 §3 under ordered ingest; module-level so
+    retry-idempotence is unit-testable): trim the BATCH's documents
+    against the standing window-digest store, then append the batch's
+    digests to the store.
+
+    Why the stream EQUALS the batch apply relation: the batch picks
+    the corpus-wide FIRST (doc_id, pos) occurrence per window digest
+    as canonical and cuts every other occurrence.  Under doc_id-
+    ordered ingest, every earlier occurrence lives in an earlier (or
+    the same) epoch, so a batch occurrence is non-canonical iff its
+    digest exists in the store OR an earlier in-batch occurrence
+    exists — and an OLD document's canonicity can never be revoked by
+    later arrivals (its occurrence stays first), so emitted rows are
+    immutable.  No probabilistic screen anywhere: the equality is
+    EXACT, and the stream shares dedup_exact_substring_apply's oracle.
+
+    State: the digest store — 16-byte window digests, epoch-keyed
+    append (at 100 TB, bucket it by digest so the per-epoch semi-join
+    co-locates; volume is O(distinct windows) x 16 bytes).  Per-epoch
+    work: batch windows + one digest semi-join + the shared trim tail
+    — nothing rescans earlier documents.
+
+    Retry-idempotent: reads filter epoch < N, writes are epoch-keyed
+    overwrite (a replayed epoch never meets its own digests).
+    """
+    from pyspark.sql import Window
+
+    from qaapi_spark.operators.dedup import _all_window_positions, _apply_trim
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    spark = bdf.sparkSession
+    bdf = bdf.repartition(8)
+    wins = _all_window_positions(bdf, min_len, "text", "doc_id").persist()
+
+    # non-canonical batch occurrences: digest already in the store
+    # (any earlier occurrence beats the whole batch) ...
+    if os.path.isdir(digest_root) and int(epoch_id) > 0:
+        store = spark.read.parquet(digest_root).filter(
+            F.col("epoch") < int(epoch_id)
+        ).select("h")
+        seen = wins.join(store, "h", "left_semi").select("doc_id", "pos")
+    else:
+        seen = None
+    # ... or a strictly earlier in-batch occurrence of the same digest
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    later = (
+        wins.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "pos")
+    )
+    nc = later if seen is None else later.unionByName(seen).distinct()
+    cut = nc.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + min_len - 1)).alias(
+            "tok_pos"
+        ),
+    ).distinct()
+    base = bdf.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    try:
+        _apply_trim(base, cut).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_root, f"epoch={int(epoch_id)}")
+        )
+        wins.select("h").distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(digest_root, f"epoch={int(epoch_id)}"))
+    finally:
+        wins.unpersist()
+
+
+def stream_exact_substring_apply(
+    spark: SparkSession,
+    docs_path: str,
+    min_len: int = 10,
+    n_splits: int = 2,
+) -> DataFrame:
+    """Streaming ExactSubstr dedup: the trimmed corpus maintained
+    incrementally as documents land — each micro-batch trims against
+    the standing window-digest store and its rows never change again
+    (the canonical occurrence is always the earliest, so history is
+    immutable).  The batch kernel re-aggregates the WHOLE corpus per
+    run; here the corpus-sized work happened once, spread over the
+    epochs, and a new epoch costs only its own windows + one digest
+    semi-join.  EXACTLY equals dedup_exact_substring_apply under
+    ordered ingest — no LSH, no probabilistic caveat — and shares its
+    oracle."""
+    raw = spark.read.parquet(docs_path)
+    lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
+    stage_dir = _scratch(prefix="docs_exsub_stream_")
+    for i in range(n_splits):
+        hi_pad = (1 << 60) if i == n_splits - 1 else 0
+        (
+            raw.filter(
+                (F.col("doc_id") >= int(lo) + i * step)
+                & (F.col("doc_id") < int(lo) + (i + 1) * step + hi_pad)
+            )
+            .coalesce(1)
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage_dir, f"slice={i}"))
+        )
+    _stage_monotonic_mtimes(stage_dir)
+    digest_root = _scratch(prefix="exsub_digests_")
+    out_root = _scratch(prefix="exsub_out_")
+
+    def merge_batch(bdf, epoch_id: int) -> None:
+        _exsub_epoch(bdf, epoch_id, digest_root, out_root, min_len)
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir + "/slice=*")
+    )
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _scratch(prefix="exsub_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.enabled")
+        else:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    return spark.read.parquet(out_root + "/epoch=*").select(
+        "doc_id", "n_toks", "n_kept", "text_dedup"
+    )
