@@ -2263,6 +2263,7 @@ def _exsub_epoch(
 
     # non-canonical batch occurrences: digest already in the store
     # (any earlier occurrence beats the whole batch) ...
+    store = None
     if os.path.isdir(digest_root) and int(epoch_id) > 0:
         store = spark.read.parquet(digest_root).filter(
             F.col("epoch") < int(epoch_id)
@@ -2291,9 +2292,15 @@ def _exsub_epoch(
         _apply_trim(base, cut).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_root, f"epoch={int(epoch_id)}")
         )
-        wins.select("h").distinct().coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(digest_root, f"epoch={int(epoch_id)}"))
+        # append only digests the store has NEVER seen, so the store is
+        # truly O(distinct windows) x 16 bytes — a digest recurring in
+        # every epoch would otherwise be stored once per epoch
+        new_h = wins.select("h").distinct()
+        if store is not None:
+            new_h = new_h.join(store, "h", "left_anti")
+        new_h.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(digest_root, f"epoch={int(epoch_id)}")
+        )
     finally:
         wins.unpersist()
 
