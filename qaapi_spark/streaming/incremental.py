@@ -2371,3 +2371,71 @@ def stream_exact_substring_apply(
     return spark.read.parquet(out_root + "/epoch=*").select(
         "doc_id", "n_toks", "n_kept", "text_dedup"
     )
+
+
+def compact_epoch_store(
+    spark: SparkSession,
+    root: str,
+    mode: str,
+    upto: int,
+    key_cols: tuple[str, ...] = ("doc_id",),
+) -> int:
+    """Fold the epoch deltas <= ``upto`` of an epoch-keyed store into
+    ONE delta directory at epoch=``upto`` — the periodic maintenance
+    the delta-writing streams (stream_cc_labels_incremental's label
+    store, stream_exact_substring_apply's digest store) are designed
+    around: without it every later epoch's store read opens every
+    historical delta file.
+
+    ``mode='latest'``: keep each ``key_cols`` group's row from its
+    highest epoch (the label store's latest-wins contract).
+    ``mode='distinct'``: set semantics — distinct rows (the digest
+    store).
+
+    CONTRACT PRESERVATION: readers filter ``epoch < N``.  Folding
+    epochs [0..upto] to a single epoch=``upto`` delta keeps every such
+    read identical — for 'latest' the folded row carries the group's
+    max-epoch value, and any delta in (upto, N) still outranks it; for
+    'distinct' the union is unchanged.  Only compact epochs the stream
+    has finished (upto < the next epoch to run).
+
+    Crash-safe: the folded store is fully written to ``root + '.next'``
+    (later epochs hard-linked/copied over), then promoted with the
+    rename-trash-rename _store_swap; _store_recover self-heals a crash
+    between the renames.  Returns the number of delta dirs folded."""
+    import glob as _glob
+    import shutil
+
+    epochs = sorted(
+        _glob.glob(os.path.join(root, "epoch=*")),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    old = [p for p in epochs if int(p.rsplit("=", 1)[1]) <= int(upto)]
+    later = [p for p in epochs if int(p.rsplit("=", 1)[1]) > int(upto)]
+    if len(old) <= 1:
+        return 0
+    # basePath keeps the epoch partition-discovery column when reading
+    # the delta dirs directly (a bare multi-path read drops it)
+    df = spark.read.option("basePath", root).parquet(*old)
+    if mode == "latest":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(F.desc("epoch"))
+        folded = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "epoch")
+        )
+    elif mode == "distinct":
+        folded = df.drop("epoch").distinct()
+    else:
+        raise ValueError(f"unknown compaction mode: {mode}")
+    nxt = root + ".next"
+    shutil.rmtree(nxt, ignore_errors=True)
+    folded.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(nxt, f"epoch={int(upto)}")
+    )
+    for p in later:
+        shutil.copytree(p, os.path.join(nxt, os.path.basename(p)))
+    _store_swap(root)
+    return len(old)

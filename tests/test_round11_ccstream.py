@@ -105,3 +105,41 @@ def test_cc_epoch_retry_idempotent(spark, tmp_path):
         .collect()
     }
     assert final == {0: 0, 1: 0, 2: 0, 3: 0, 20: 0}
+
+
+def test_compact_label_store_preserves_resolution(spark, tmp_path):
+    """Folding epochs [0..1] of the label store into one delta must
+    leave epoch-2 processing AND the final latest-wins resolution
+    byte-identical to the uncompacted run."""
+    from qaapi_spark.streaming.incremental import (
+        _cc_labels_epoch,
+        compact_epoch_store,
+    )
+
+    rows0 = [(0, _TA), (1, _TA)]
+    rows1 = [(2, _TB), (3, _TB)]
+    rows2 = [(20, _TX)]
+
+    def run(compact: bool, sub: str):
+        store = str(tmp_path / sub / "store")
+        labels = str(tmp_path / sub / "labels")
+        for i, rows in enumerate([rows0, rows1, rows2]):
+            if compact and i == 2:
+                n = compact_epoch_store(spark, labels, "latest", upto=1)
+                assert n == 2
+            b = spark.createDataFrame(rows, "doc_id long, text string")
+            _cc_labels_epoch(b, i, store, labels, 0.8, 64, 16)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(F.desc("epoch"))
+        return sorted(
+            (r["doc_id"], r["comp"])
+            for r in spark.read.parquet(labels)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        )
+
+    plain = run(False, "plain")
+    compacted = run(True, "compacted")
+    assert plain == compacted == [(0, 0), (1, 0), (2, 0), (3, 0), (20, 0)]

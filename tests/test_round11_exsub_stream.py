@@ -95,3 +95,37 @@ def test_exsub_epoch_retry_idempotent(spark, tmp_path):
     # the canonical epoch-0 row is untouched
     e0 = spark.read.parquet(os.path.join(out, "epoch=0")).collect()
     assert [tuple(r) for r in e0] == [(0, 12, 12, _PASSAGE.lower())]
+
+
+def test_compact_digest_store_preserves_trim(spark, tmp_path):
+    """Folding the digest store's epochs into one distinct delta must
+    leave the next epoch's trim identical."""
+    from qaapi_spark.streaming.incremental import (
+        _exsub_epoch,
+        compact_epoch_store,
+    )
+
+    def run(compact: bool, sub: str):
+        digests = str(tmp_path / sub / "digests")
+        out = str(tmp_path / sub / "out")
+        batches = [
+            [(0, _PASSAGE)],
+            [(5, _FILLER)],
+            [(20, "x " + _PASSAGE + " y " + _FILLER)],
+        ]
+        for i, rows in enumerate(batches):
+            if compact and i == 2:
+                n = compact_epoch_store(
+                    spark, digests, "distinct", upto=1, key_cols=("h",)
+                )
+                assert n == 2
+            b = spark.createDataFrame(rows, "doc_id long, text string")
+            _exsub_epoch(b, i, digests, out, 10)
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(out + "/epoch=*")
+            .select("doc_id", "n_toks", "n_kept", "text_dedup")
+            .collect()
+        )
+
+    assert run(False, "plain") == run(True, "compacted")
