@@ -1,0 +1,109 @@
+"""Adjudicate bench runs against the stall-window problem.
+
+This container's io bands inflate file-heavy lines 1.5-3x and recur
+more often than a suite run completes (SCALE.md rounds 8-11), so no
+single run is trustworthy.  The honest reading, mechanized here:
+
+  1. per-run totals + the start/mid/end calib quartets (a mid-band run
+     shows io >= ~2x the quiet ~0.11 s baseline);
+  2. a BEST-OF-N per-line composite (cancels a band that hits
+     different sections in different runs);
+  3. the composite vs the newest driver-recorded baseline
+     (bench._latest_prev_bench — q_cs arrays from older rounds map via
+     the CORRECTNESS-union name reconstruction), with the shared-set
+     delta, the median per-query ratio, and the residual regressions.
+
+Usage:
+  python tools/adjudicate_bench.py RUN.err [RUN2.err ...]
+where each RUN.err is a bench.py stderr file (the "# name: 1.234s"
+lines); the matching RUN.out (same stem) is read for the calib
+quartets when present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _latest_prev_bench  # noqa: E402
+
+
+def parse_err(path: str) -> dict[str, float]:
+    q: dict[str, float] = {}
+    with open(path, errors="ignore") as f:
+        for ln in f:
+            for m in re.finditer(r"# ([a-z0-9_]+): ([0-9.]+)s", ln):
+                q[m.group(1)] = float(m.group(2))
+    return q
+
+
+def parse_calib(err_path: str) -> dict:
+    out_path = re.sub(r"\.err$", ".out", err_path)
+    try:
+        with open(out_path) as f:
+            lines = [ln for ln in f if ln.strip().startswith("{")]
+        d = json.loads(lines[-1])
+        return {
+            "start": d.get("calib_start"),
+            "mid": d.get("calib_mid"),
+            "end": {
+                "cpu": d.get("calib_cpu_s"),
+                "io": d.get("calib_io_s"),
+                "mt": d.get("calib_mt_s"),
+            },
+        }
+    except (OSError, ValueError, IndexError):
+        return {}
+
+
+def main() -> None:
+    paths = sys.argv[1:]
+    if not paths:
+        sys.exit(__doc__)
+    runs = []
+    for p in paths:
+        q = parse_err(p)
+        c = parse_calib(p)
+        runs.append((p, q, c))
+        ios = [
+            (c.get(k) or {}).get("io")
+            for k in ("start", "mid", "end")
+            if c.get(k)
+        ]
+        print(
+            f"{os.path.basename(p)}: total {sum(q.values()):.1f}s / {len(q)}"
+            f"  calib_io start/mid/end = {ios}"
+        )
+    all_names = set().union(*[set(q) for _, q, _ in runs])
+    best = {n: min(q[n] for _, q, _ in runs if n in q) for n in all_names}
+    print(f"\nbest-of-{len(runs)} total: {sum(best.values()):.1f}s / {len(best)}")
+
+    rnd, src, prev = _latest_prev_bench(0.1)
+    if not prev:
+        print("no baseline recoverable")
+        return
+    shared = [n for n in best if n in prev]
+    tb, tp = sum(best[n] for n in shared), sum(prev[n] for n in shared)
+    ratios = [best[n] / prev[n] for n in shared if prev[n] > 0]
+    print(
+        f"vs {src} r{rnd}: shared {len(shared)} = {tb:.1f} vs {tp:.1f}"
+        f" ({tb - tp:+.1f}s), median ratio {statistics.median(ratios):.3f}"
+    )
+    print("residual best-of regressions >= 0.5s:")
+    for d, n in sorted(((best[n] - prev[n], n) for n in shared), reverse=True):
+        if d >= 0.5:
+            print(f"  {n}: {prev[n]:.2f} -> {best[n]:.2f} ({d:+.2f})")
+    new = sorted(n for n in best if n not in prev)
+    if new:
+        print(f"new lines ({len(new)}, {sum(best[n] for n in new):.1f}s gross):")
+        for n in new:
+            print(f"  {n}: {best[n]:.2f}")
+
+
+if __name__ == "__main__":
+    main()
