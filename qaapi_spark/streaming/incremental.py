@@ -2400,7 +2400,7 @@ def compact_epoch_store(
     has finished (upto < the next epoch to run).
 
     Crash-safe: the folded store is fully written to ``root + '.next'``
-    (later epochs hard-linked/copied over), then promoted with the
+    (later epochs copied over), then promoted with the
     rename-trash-rename _store_swap; _store_recover self-heals a crash
     between the renames.  Returns the number of delta dirs folded."""
     import glob as _glob
