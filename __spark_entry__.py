@@ -76,42 +76,21 @@ def _driver_state() -> tuple[set[str], set[str], int, dict[str, int]]:
 # passthrough), and the Hamming screen's query collect (limit + bound),
 # so their r7 rows certify retired code.  All four re-verified locally
 # (check_oracle sf0.001 + sf0.01); the force makes the driver confirm.
-_FORCE_RECHECK_ROUND = 10
+_FORCE_RECHECK_ROUND = 11
 _FORCE_RECHECK = frozenset(
     {
-        # Round 11: the ExactSubstr window kernel switched from md5
-        # hex strings to 16-byte BINARY digests and now carries the
-        # digest through the position relation (ADVICE r10 #2 — new
-        # executed path for ranges), and doc_stats RESULTS changed
-        # (ADVICE r10 #3: left-join emits clean/short docs with
-        # n_dup_toks=0; oracle updated to match).  Both re-verified
-        # locally (check_oracle sf0.001 + sf0.01); the force makes the
-        # driver confirm.
-        "dedup_exact_substring_ranges",
-        "dedup_exact_substring_doc_stats",
-        # Round 11 (VERDICT r10 next #2): the contrastive miner's pool
-        # is now COST-ROUTED (SRP within the per-anchor touch budget,
-        # adaptive stripe-trained IVF beyond it) and the IVF leg was
-        # retuned from k=8/nprobe=3 to k=ceil(n/16)/nprobe=ceil(3k/8)
-        # (recall@3 0.66-0.70 -> 0.80-0.86, tools/sweep_miner_pool.py),
-        # so all three miner relations execute new code (the ivf
-        # query's RESULTS changed; the other two are value-identical
-        # at sf<=0.01 but run through the router).  All three
-        # re-verified locally at sf0.001 + sf0.01, and the routed
-        # miner + eval additionally at sf0.1 where the route flips to
-        # IVF (check_oracle: 811 rows + 1 row hash-match).
-        "pairs_mine_contrastive",
-        "pairs_mine_contrastive_ivf",
-        "pairs_mine_recall_eval",
-        # Round 11 (VERDICT r10 next #3): the composed stream's epoch
-        # step was shaved (nested-transform minhash signature, totals
-        # snapshot derived from the written epoch output instead of a
-        # second pipeline pass, unconditional repartition, 8-partition
-        # shuffles) — value-identical by construction (re-verified
-        # sf0.001 + sf0.01 hash-match; retry-idempotence test green)
-        # but a new executed path, so the r10 row certifies retired
-        # code.  Warm floor 8.8 -> 6.6 s standalone at sf0.1.
-        "stream_pipeline_corpus_to_shards",
+        # Round 12 (ADVICE r11 #2): lloyd_centroids_distributed's
+        # shared iteration loop gained a per-iteration
+        # localCheckpoint(eager=False) in r11, and these three
+        # lloyd_centroids_kernel consumers rotated green in the SAME
+        # round — by the repo's own policy their rows may certify the
+        # pre-checkpoint loop, so force one confirming re-check
+        # (value-identical by construction; the checkpoint only cuts
+        # lineage).  The r11 miner forces self-expired on their r11
+        # green rows and already ran the new loop at the r11 gate.
+        "emb_kmeans_lloyd3",
+        "dedup_semantic_kmeans",
+        "ann_topk_ivf_trained",
     }
 )
 

@@ -274,6 +274,11 @@ def main() -> None:
         "sf": out["sf"],
         "n_queries": len(timings),
         "q_order": "sorted_names",
+        # name-list fingerprint (ADVICE r11 #4): readers verify this
+        # before zipping q_cs to names — a pure length match would
+        # silently mis-assign timings if a round both added and
+        # removed a query (same count, different names)
+        "q_names_md5": _names_md5(names_sorted),
         "q_cs": [int(round(timings[n] * 100)) for n in names_sorted],
         "slowest": slowest,
         "calib_cpu_s": out["calib_cpu_s"],
@@ -305,6 +310,15 @@ def main() -> None:
             if len(line) <= 1900:
                 break
     print(line, flush=True)
+
+
+def _names_md5(names_sorted: list[str]) -> str:
+    """12-hex fingerprint of a sorted catalog-name list — written into
+    every bench line as q_names_md5 so a reader can PROVE which names
+    a q_cs array indexes instead of trusting a length match."""
+    import hashlib
+
+    return hashlib.md5(",".join(names_sorted).encode()).hexdigest()[:12]
 
 
 def _catalog_names_at_round(rnd: int) -> list[str] | None:
@@ -348,14 +362,24 @@ def _per_query_timings(data: dict, rnd: int | None = None) -> dict[str, float] |
         if isinstance(q, dict) and q:
             return q
         # compact-line array form: q_cs[i] = centiseconds of the i-th
-        # sorted catalog name (names from the live CATALOG when the
-        # length still matches, else that round's reconstructed list)
+        # sorted catalog name.  When the artifact carries q_names_md5
+        # (r12+), the name list must PROVE itself against it (ADVICE
+        # r11 #4: a same-count add+remove would otherwise zip timings
+        # to the wrong queries); legacy artifacts without the
+        # fingerprint fall back to the length match.
         q_cs = d.get("q_cs")
-        if isinstance(q_cs, list) and len(q_cs) == len(CATALOG):
-            return {n: cs / 100.0 for n, cs in zip(sorted(CATALOG), q_cs)}
-        if isinstance(q_cs, list) and rnd is not None:
-            names = _catalog_names_at_round(rnd)
-            if names and len(names) == len(q_cs):
+        if isinstance(q_cs, list):
+            fp = d.get("q_names_md5")
+            candidates = [sorted(CATALOG)]
+            if rnd is not None:
+                rec = _catalog_names_at_round(rnd)
+                if rec:
+                    candidates.append(rec)
+            for names in candidates:
+                if len(names) != len(q_cs):
+                    continue
+                if fp is not None and _names_md5(names) != fp:
+                    continue
                 return {n: cs / 100.0 for n, cs in zip(names, q_cs)}
     tail = data.get("tail")
     if isinstance(tail, str):

@@ -1209,8 +1209,16 @@ def _mine_ivf_codebook_kernel(spark, sf_dir):
             vec_col="embedding", round_dp=_MINE_IVF_DP, rank_init=True,
         ).localCheckpoint(eager=False)
 
+    # memo key carries EVERY constant the fit depends on (ADVICE r11
+    # #3): _IVF_TRAIN_CAP sets the training stride and _MINE_IVF_DP the
+    # rounding — changing either must invalidate the cached codebook.
     return shared_kernel(
-        spark, ("mine_ivf_cents", sf_dir, _IVF_OCC, _MINE_IVF_ITERS), build
+        spark,
+        (
+            "mine_ivf_cents", sf_dir, _IVF_OCC, _MINE_IVF_ITERS,
+            _IVF_TRAIN_CAP, _MINE_IVF_DP,
+        ),
+        build,
     )
 
 

@@ -2016,8 +2016,16 @@ def _cc_labels_epoch(
     )
     new_edges = jaccard_ge(wcand, sets, sets)
 
-    # latest standing labels (empty on first epoch)
-    have_state = os.path.isdir(store_dir + "/data") and os.path.isdir(label_root)
+    # latest standing labels (empty on first epoch).  _store_recover,
+    # not a bare isdir (ADVICE r11 #1): compact_epoch_store promotes
+    # these roots via _store_swap, and a crash between its two renames
+    # leaves the root absent with state stranded at .__swap_old__ — a
+    # bare check would silently treat the batch as first-epoch and
+    # discard all accumulated labels/bands.  Call BOTH (no `and`
+    # short-circuit) so each root heals even when the other is absent.
+    have_bands = _store_recover(store_dir + "/data")
+    have_labels = _store_recover(label_root)
+    have_state = have_bands and have_labels
     if have_state:
         rec = spark.read.parquet(store_dir + "/data").filter(
             F.col("epoch") < int(epoch_id)
@@ -2263,8 +2271,12 @@ def _exsub_epoch(
 
     # non-canonical batch occurrences: digest already in the store
     # (any earlier occurrence beats the whole batch) ...
+    # _store_recover, not a bare isdir (ADVICE r11 #1): the digest
+    # store is compact_epoch_store-promoted, so a swap-crash strands it
+    # at .__swap_old__ — recover restores it instead of silently
+    # re-canonicalizing the whole batch as first-epoch.
     store = None
-    if os.path.isdir(digest_root) and int(epoch_id) > 0:
+    if _store_recover(digest_root) and int(epoch_id) > 0:
         store = spark.read.parquet(digest_root).filter(
             F.col("epoch") < int(epoch_id)
         ).select("h")
@@ -2402,7 +2414,15 @@ def compact_epoch_store(
     Crash-safe: the folded store is fully written to ``root + '.next'``
     (later epochs copied over), then promoted with the
     rename-trash-rename _store_swap; _store_recover self-heals a crash
-    between the renames.  Returns the number of delta dirs folded."""
+    between the renames.  Returns the number of delta dirs folded.
+
+    READER INVALIDATION (ADVICE r11 #5): the swap replaces the store's
+    files out from under any lazy DataFrame previously returned over it
+    (e.g. the result of stream_cc_labels_incremental still pointing at
+    old epoch files) — collecting such a handle after compaction fails
+    with missing-file errors.  Collect outstanding results BEFORE
+    compacting, or re-read the root afterwards; the same applies to
+    in-flight epochs (only compact epochs the stream has finished)."""
     import glob as _glob
     import shutil
 
