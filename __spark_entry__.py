@@ -91,6 +91,15 @@ _FORCE_RECHECK = frozenset(
         "emb_kmeans_lloyd3",
         "dedup_semantic_kmeans",
         "ann_topk_ivf_trained",
+        # Round 12: both incremental epoch kernels execute new code —
+        # _store_recover in place of bare isdir checks (ADVICE r11 #1)
+        # and the retraction refactor (_verified_jaccard_pairs /
+        # _propagate_min_labels extraction, del_root tombstone reads,
+        # None by default).  Value-identical by construction for the
+        # delete-free catalog paths (re-verified via check_oracle at
+        # sf0.01); the force makes the driver confirm.
+        "stream_cc_labels_incremental",
+        "stream_exact_substring_apply",
     }
 )
 

@@ -440,6 +440,61 @@ def stream_cc_labels_incremental_q(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# Retraction contract for the *_with_deletes streaming twins: the
+# staged ingest interleaves retraction batches that tombstone exactly
+# doc_id % _DEL_MOD == _DEL_REM, so the post-stream live corpus — and
+# therefore the oracle — is the batch relation on the complementary
+# filter.  The fragments contain exactly ONE "FROM documents" each
+# (asserted by test), so the textual lift is well-defined.
+_DEL_MOD, _DEL_REM = 10, 3
+_DEL_WHERE = f"doc_id % {_DEL_MOD} != {_DEL_REM}"
+
+
+@query(
+    "stream_cc_labels_with_deletes",
+    # batch CC relation on the POST-DELETE corpus: same recursive CTE,
+    # documents filtered to the live set.
+    oracle=f"""
+    WITH RECURSIVE {_DD_JACCARD_PAIRS.replace(
+        "FROM documents", f"FROM documents WHERE {_DEL_WHERE}")},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents WHERE {_DEL_WHERE}
+        UNION
+        SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS doc_id, MIN(r) AS comp FROM reach GROUP BY node
+    ORDER BY doc_id
+    """,
+    doc="CC labels under streaming inserts AND retraction batches "
+    "(VERDICT r11 next #2 — the streaming surface's deletion gap; the "
+    "reference reconciles upstream deletes the same way, "
+    "delete-then-merge, 'Update Calabrio Tables from Staging Tables "
+    "(D_POST_INSTALL).sql':85-92 / J5): a tombstoned doc's vertex "
+    "leaves the near-dup graph, so its component may SPLIT and the "
+    "label (min member id) re-elects — the delete epoch re-screens "
+    "ONLY the affected components' survivors from the standing band "
+    "store and rewrites their label delta; inserts after deletes read "
+    "through the tombstones.  Equals the batch CC relation on the "
+    "live corpus (extension, SURVEY §2.9; "
+    "streaming/retraction.stream_cc_labels_with_deletes)",
+)
+def stream_cc_labels_with_deletes_q(spark, sf_dir):
+    from qaapi_spark.streaming.retraction import stream_cc_labels_with_deletes
+
+    return stream_cc_labels_with_deletes(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        threshold=_JACCARD_THRESHOLD,
+        del_mod=_DEL_MOD,
+        del_rem=_DEL_REM,
+    ).orderBy("doc_id")
+
+
 def cc_jaccard_labels(spark, sf_dir):
     """Connected-component labels over the exact-Jaccard near-dup edge
     set, memoized per (application, sf_dir, threshold): both
@@ -1244,6 +1299,42 @@ def stream_exact_substring_apply_q(spark, sf_dir):
 
     return stream_exact_substring_apply(
         spark, f"{sf_dir}/documents.parquet", min_len=_SUBSTR_L
+    ).orderBy("doc_id")
+
+
+@query(
+    "stream_exsub_apply_with_deletes",
+    # batch apply relation on the POST-DELETE corpus: the shared
+    # apply oracle with documents filtered to the live set (the one
+    # "FROM documents" lives in the stoks CTE).
+    oracle=_EXSUB_APPLY_ORACLE.replace(
+        "FROM documents", f"FROM documents WHERE {_DEL_WHERE}"
+    ),
+    doc="streaming ExactSubstr dedup with RETRACTION + canonical "
+    "re-election (VERDICT r11 next #2: the insert-only stream's "
+    "docstring relied on 'canonicity can never be revoked' — this "
+    "variant revokes it): a retraction batch tombstones its docs, and "
+    "any duplicated window whose canonical occurrence they owned "
+    "promotes its next-earliest surviving occurrence — the promoted "
+    "owner re-trims from the corpus archive and re-emits its row as a "
+    "delta (latest epoch wins).  Needs per-occurrence provenance "
+    "(h, doc_id, pos — O(total windows), the honest cost of revocable "
+    "canonicity) instead of the insert-only store's O(distinct "
+    "digests).  Equals dedup_exact_substring_apply on the live corpus "
+    "(extension, SURVEY §2.9; "
+    "streaming/retraction.stream_exact_substring_apply_with_deletes)",
+)
+def stream_exsub_apply_with_deletes_q(spark, sf_dir):
+    from qaapi_spark.streaming.retraction import (
+        stream_exact_substring_apply_with_deletes,
+    )
+
+    return stream_exact_substring_apply_with_deletes(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        min_len=_SUBSTR_L,
+        del_mod=_DEL_MOD,
+        del_rem=_DEL_REM,
     ).orderBy("doc_id")
 
 

@@ -1915,6 +1915,101 @@ def stream_pipeline_corpus_to_shards(
     )
 
 
+def _verified_jaccard_pairs(pairs, sa, sb, threshold: float):
+    """Exact bigram-Jaccard verification of LSH candidate ``pairs``
+    (id, other) against shingle-set relations ``sa``/``sb`` (id, sh):
+    keep pairs whose rounded Jaccard clears ``threshold``.  Shared by
+    the CC insert epoch (within-batch + cross-corpus edges) and the
+    retraction epoch's survivor re-screen
+    (streaming/retraction._cc_rt_delete_epoch)."""
+    j = (
+        pairs.join(sa.select(F.col("id"), F.col("sh").alias("sh_a")), "id")
+        .join(
+            sb.select(F.col("id").alias("other"), F.col("sh").alias("sh_b")),
+            "other",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "j",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                4,
+            ),
+        )
+    )
+    return j.filter(F.col("j") >= threshold).select("id", "other")
+
+
+def _propagate_min_labels(spark, edges, dist_nodes):
+    """Min-label connected components over ``edges`` (id, other),
+    returned as a PERSISTED (node, comp) DataFrame.
+
+    The contracted graph handed in here is bounded by the batch's (or
+    the affected components') verified edge count, so below a size
+    gate the propagation runs as driver-side union-find over ONE
+    LIMIT-bounded collect of the edge list — isolated nodes never
+    enter the map (callers coalesce them to their own id).  Above the
+    gate (a genuinely dup-heavy batch at cluster scale) the
+    distributed min-label operator takes over unchanged, seeded with
+    ``dist_nodes`` (one ``id`` column) plus the edge endpoints.
+    Labels are min ids by induction in both branches."""
+    from qaapi_spark.operators.graph import connected_components
+
+    _EDGE_GATE = 100_000
+    edge_rows = edges.limit(_EDGE_GATE + 1).collect()
+    if len(edge_rows) <= _EDGE_GATE:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for ra, rb in ((find(r[0]), find(r[1])) for r in edge_rows):
+            if ra != rb:
+                # min id wins the root — labels stay min doc_ids
+                lo2, hi2 = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi2] = lo2
+        touched = {int(r[0]) for r in edge_rows} | {int(r[1]) for r in edge_rows}
+        comp_rows = [(n_, int(find(n_))) for n_ in sorted(touched)]
+        return spark.createDataFrame(comp_rows, "node long, comp long").persist()
+    nodes = dist_nodes.unionByName(
+        edges.select(F.col("other").alias("id"))
+    ).distinct()
+    return connected_components(
+        nodes, edges, node_col="id", src_col="id", dst_col="other"
+    ).persist()
+
+
+def _has_epochs(root: str) -> bool:
+    """Whether an epoch-keyed store holds any delta yet.  The scratch
+    roots are pre-created empty by mkdtemp, so a bare isdir reads an
+    empty directory (UNABLE_TO_INFER_SCHEMA) — presence means at least
+    one ``epoch=`` delta dir."""
+    return os.path.isdir(root) and any(
+        e.startswith("epoch=") for e in os.listdir(root)
+    )
+
+
+def _read_deleted(spark, del_root: str, epoch_id: int | None = None):
+    """The retracted doc_ids recorded so far (one ``doc_id`` column),
+    or None when no delete epoch has written yet.  ``epoch_id`` filters
+    to strictly earlier epochs (retry-idempotence: a replayed epoch
+    never meets its own tombstones); None reads every epoch (the
+    final-result read).  _store_recover first: the tombstone root is a
+    compactable epoch store like the others (ADVICE r11 #1)."""
+    if not _store_recover(del_root) or not _has_epochs(del_root):
+        return None
+    df = spark.read.parquet(del_root)
+    if epoch_id is not None:
+        df = df.filter(F.col("epoch") < int(epoch_id))
+    return df.select("doc_id")
+
+
 def _cc_labels_epoch(
     bdf,
     epoch_id: int,
@@ -1923,6 +2018,7 @@ def _cc_labels_epoch(
     threshold: float,
     num_hashes: int,
     n_bands: int,
+    del_root: str | None = None,
 ) -> None:
     """One foreachBatch step of incremental connected-component
     maintenance over the near-dup graph (module-level so
@@ -1960,7 +2056,6 @@ def _cc_labels_epoch(
         _hashed_shingle_sets,
         minhash_band_arrays,
     )
-    from qaapi_spark.operators.graph import connected_components
 
     spark = bdf.sparkSession
     bdf = bdf.repartition(8)
@@ -1983,25 +2078,6 @@ def _cc_labels_epoch(
         "id", "bk.band", "bk.bsig"
     )
 
-    def jaccard_ge(pairs, sa, sb):
-        j = (
-            pairs.join(sa.select(F.col("id"), F.col("sh").alias("sh_a")), "id")
-            .join(
-                sb.select(F.col("id").alias("other"), F.col("sh").alias("sh_b")),
-                "other",
-            )
-            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-            .withColumn(
-                "j",
-                F.round(
-                    F.col("inter")
-                    / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
-                    4,
-                ),
-            )
-        )
-        return j.filter(F.col("j") >= threshold).select("id", "other")
-
     # within-batch verified edges (undirected, id > other)
     a, b = keys.alias("a"), keys.alias("b")
     wcand = (
@@ -2014,7 +2090,7 @@ def _cc_labels_epoch(
         .select(F.col("a.id").alias("id"), F.col("b.id").alias("other"))
         .distinct()
     )
-    new_edges = jaccard_ge(wcand, sets, sets)
+    new_edges = _verified_jaccard_pairs(wcand, sets, sets, threshold)
 
     # latest standing labels (empty on first epoch).  _store_recover,
     # not a bare isdir (ADVICE r11 #1): compact_epoch_store promotes
@@ -2030,6 +2106,14 @@ def _cc_labels_epoch(
         rec = spark.read.parquet(store_dir + "/data").filter(
             F.col("epoch") < int(epoch_id)
         )
+        # retraction support: tombstoned docs leave the standing corpus
+        # logically — their band rows and label rows are filtered from
+        # every read instead of rewriting historical epoch files
+        dels = _read_deleted(spark, del_root, epoch_id) if del_root else None
+        if dels is not None:
+            rec = rec.join(
+                dels.select(F.col("doc_id").alias("id")), "id", "left_anti"
+            )
         store = rec.select(
             F.col("id").alias("other"), F.explode("bands").alias("bk")
         ).select("bk.band", "bk.bsig", "other")
@@ -2041,11 +2125,13 @@ def _cc_labels_epoch(
             .withColumn("rn", F.row_number().over(lab_w))
             .filter(F.col("rn") == 1)
             .select("doc_id", "comp")
-            .persist()
         )
+        if dels is not None:
+            labels_now = labels_now.join(dels, "doc_id", "left_anti")
+        labels_now = labels_now.persist()
         # cross edges vs the standing corpus, old endpoint -> its label
         ccand = keys.join(store, ["band", "bsig"]).select("id", "other").distinct()
-        cross = jaccard_ge(ccand, sets, old_sets)
+        cross = _verified_jaccard_pairs(ccand, sets, old_sets, threshold)
         cross_lab = (
             cross.join(
                 labels_now.select(
@@ -2063,40 +2149,10 @@ def _cc_labels_epoch(
 
     # The contracted graph is bounded by the BATCH's verified edge
     # count (supernodes fold whole standing components into one row),
-    # so below a size gate the propagation runs as driver-side
-    # union-find over ONE LIMIT-bounded collect of the edge list —
-    # isolated nodes never enter the map (they coalesce to their own
-    # id below), so nothing corpus- or batch-sized reaches the driver.
-    # Above the gate (a genuinely dup-heavy batch at cluster scale)
-    # the distributed min-label operator takes over unchanged.
-    _EDGE_GATE = 100_000
-    edge_rows = edges.limit(_EDGE_GATE + 1).collect()
-    if len(edge_rows) <= _EDGE_GATE:
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        for ra, rb in ((find(r[0]), find(r[1])) for r in edge_rows):
-            if ra != rb:
-                # min id wins the root — labels stay min doc_ids
-                lo2, hi2 = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi2] = lo2
-        touched = {int(r[0]) for r in edge_rows} | {int(r[1]) for r in edge_rows}
-        comp_rows = [(n_, int(find(n_))) for n_ in sorted(touched)]
-        comp = spark.createDataFrame(comp_rows, "node long, comp long").persist()
-    else:
-        nodes = sets.select("id").unionByName(
-            edges.select(F.col("other").alias("id"))
-        ).distinct()
-        comp = connected_components(
-            nodes, edges, node_col="id", src_col="id", dst_col="other"
-        ).persist()
+    # so nothing corpus- or batch-sized reaches the driver — see
+    # _propagate_min_labels for the union-find gate / distributed
+    # fallback split.
+    comp = _propagate_min_labels(spark, edges, sets.select("id"))
 
     # EVERY batch doc gets a label — docs whose shingle set is empty
     # (< 2 words) can never pair, exactly like the oracle's seed row,

@@ -1,0 +1,310 @@
+"""Round-12 retraction tests (VERDICT r11 next #2): component SPLITS
+and label re-election for the CC-label stream, canonical re-election
+for the ExactSubstr stream, tombstone-filtered inserts after deletes,
+delete-epoch retry-idempotence, and the op-routing contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+# 20 distinct words -> 19 distinct bigrams
+_BASE = " ".join(f"b{i}" for i in range(20))
+_EXT = [f"e{i}" for i in range(6)]
+# chain corpus: J(A,B)=19/22=.8636, J(B,C)=22/25=.88, J(A,C)=19/25=.76
+_A = _BASE
+_B = _BASE + " " + " ".join(_EXT[:3])
+_C = _BASE + " " + " ".join(_EXT)
+
+_PASSAGE = " ".join(f"w{i}" for i in range(12))  # 12 tokens >= min_len 10
+_FILLER = " ".join(f"f{i}" for i in range(12))
+
+
+def _mk_docs(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _labels(df):
+    return {r["doc_id"]: r["comp"] for r in df.collect()}
+
+
+# --- CC labels under retraction -------------------------------------
+
+
+def test_cc_delete_splits_component(spark, tmp_path):
+    """1-3-4 is one component only through bridge doc 3 (A~B~C but
+    A!~C); retracting 3 after all three are ingested must SPLIT it
+    into {1} and {4}."""
+    from qaapi_spark.streaming.retraction import stream_cc_labels_with_deletes
+
+    docs = str(tmp_path / "docs.parquet")
+    # staging (n_splits=2): ins{1}, ins{3,4}, del{3} — the delete
+    # lands after every insert, so the split path runs
+    _mk_docs(spark, docs, [(1, _A), (3, _B), (4, _C)])
+    got = _labels(
+        stream_cc_labels_with_deletes(
+            spark, docs, n_splits=2, del_mod=10, del_rem=3
+        )
+    )
+    assert got == {1: 1, 4: 4}
+
+
+def test_cc_delete_reelects_min_label_and_filters_store(spark, tmp_path):
+    """Docs 3,5 identical -> comp 3; retracting min-id member 3 must
+    re-elect the label UPWARD to 5; doc 7 (identical, inserted AFTER
+    the delete) must edge to 5 through the tombstone-filtered band
+    store — never to the retracted 3."""
+    from qaapi_spark.streaming.retraction import stream_cc_labels_with_deletes
+
+    docs = str(tmp_path / "docs.parquet")
+    # staging: ins{3,5}, del{3}, ins{7}
+    _mk_docs(spark, docs, [(3, _A), (5, _A), (7, _A)])
+    got = _labels(
+        stream_cc_labels_with_deletes(
+            spark, docs, n_splits=2, del_mod=100, del_rem=3
+        )
+    )
+    assert got == {5: 5, 7: 5}
+
+
+def test_cc_stream_with_deletes_matches_batch_union_find(spark, tmp_path):
+    """Mixed corpus (two near-dup groups + uniques), deletions hitting
+    a group member and a unique: final labels equal an independent
+    Python union-find over exact bigram-Jaccard edges of the LIVE
+    corpus."""
+    from qaapi_spark.streaming.retraction import stream_cc_labels_with_deletes
+
+    rows = [
+        (0, _BASE),
+        (1, _BASE + " x0"),
+        (2, _BASE + " x0 x1"),
+        (3, _BASE + " x0 x1 x2"),
+        (4, "q " + _FILLER),
+        (5, "q " + _FILLER),
+        (6, " ".join(f"u6w{i}" for i in range(15))),
+        (13, " ".join(f"u13w{i}" for i in range(15))),
+    ]
+    docs = str(tmp_path / "docs.parquet")
+    _mk_docs(spark, docs, rows)
+    got = _labels(
+        stream_cc_labels_with_deletes(
+            spark, docs, n_splits=2, del_mod=10, del_rem=3
+        )
+    )
+
+    live = [(i, t) for i, t in rows if i % 10 != 3]
+
+    def bigrams(t):
+        w = t.lower().split()
+        return set(zip(w, w[1:]))
+
+    parent = {i: i for i, _ in live}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, ti in live:
+        for j, tj in live:
+            if i >= j:
+                continue
+            si, sj = bigrams(ti), bigrams(tj)
+            if not si or not sj:
+                continue
+            jac = round(len(si & sj) / len(si | sj), 4)
+            if jac >= 0.8:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    want = {i: find(i) for i, _ in live}
+    assert got == want
+
+
+def test_cc_delete_epoch_retry_idempotent(spark, tmp_path):
+    """A replayed retraction epoch reproduces the identical label
+    delta and tombstone set (reads filter epoch < N, writes epoch-keyed
+    overwrite)."""
+    from qaapi_spark.streaming.incremental import _cc_labels_epoch
+    from qaapi_spark.streaming.retraction import _cc_rt_delete_epoch
+
+    store = str(tmp_path / "store")
+    labels = str(tmp_path / "labels")
+    delr = str(tmp_path / "deleted")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    _cc_labels_epoch(mk([(1, _A), (3, _B)]), 0, store, labels, 0.8, 64, 16,
+                     del_root=delr)
+    _cc_labels_epoch(mk([(4, _C)]), 1, store, labels, 0.8, 64, 16,
+                     del_root=delr)
+    ddf = spark.createDataFrame([(3,)], "doc_id long")
+    _cc_rt_delete_epoch(ddf, 2, store, labels, delr, 0.8)
+    first = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(labels, "epoch=2")).collect()
+    )
+    assert first == [(1, 1), (4, 4)]  # the split, as the epoch delta
+    _cc_rt_delete_epoch(ddf, 2, store, labels, delr, 0.8)  # replay
+    again = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(labels, "epoch=2")).collect()
+    )
+    assert again == first
+    dels = spark.read.parquet(os.path.join(delr, "epoch=2")).collect()
+    assert [r["doc_id"] for r in dels] == [3]
+
+
+# --- ExactSubstr under retraction -----------------------------------
+
+
+def test_exsub_delete_reelects_canonical(spark, tmp_path):
+    """Doc 3 owns the canonical passage, doc 4's copy is cut; after
+    both are ingested, retracting 3 must PROMOTE doc 4's occurrence —
+    its row is re-emitted with the passage restored."""
+    from qaapi_spark.streaming.retraction import (
+        stream_exact_substring_apply_with_deletes,
+    )
+
+    docs = str(tmp_path / "docs.parquet")
+    # staging: ins{3,4}, del{3}, ins{21}
+    _mk_docs(
+        spark,
+        docs,
+        [(3, _PASSAGE + " t0 t1"), (4, "pre fix " + _PASSAGE), (21, _FILLER)],
+    )
+    got = {
+        r["doc_id"]: (r["n_toks"], r["n_kept"], r["text_dedup"])
+        for r in stream_exact_substring_apply_with_deletes(
+            spark, docs, n_splits=2, del_mod=10, del_rem=3
+        ).collect()
+    }
+    assert set(got) == {4, 21}  # retracted doc gone
+    assert got[4] == (14, 14, ("pre fix " + _PASSAGE).lower())
+    assert got[21] == (12, 12, _FILLER)
+
+
+def test_exsub_insert_after_delete_recanonicalizes(spark, tmp_path):
+    """Every occurrence of the passage is retracted before doc 21
+    arrives: the live index no longer contains those digests, so doc
+    21's copy is canonical again and kept intact."""
+    from qaapi_spark.streaming.retraction import (
+        stream_exact_substring_apply_with_deletes,
+    )
+
+    docs = str(tmp_path / "docs.parquet")
+    # staging: ins{3}, del{3}, ins{21}
+    _mk_docs(spark, docs, [(3, _PASSAGE), (21, _PASSAGE + " tail")])
+    got = {
+        r["doc_id"]: (r["n_kept"], r["text_dedup"])
+        for r in stream_exact_substring_apply_with_deletes(
+            spark, docs, n_splits=2, del_mod=10, del_rem=3
+        ).collect()
+    }
+    assert got == {21: (13, _PASSAGE + " tail")}
+
+
+def test_exsub_matches_batch_apply_on_live_corpus(spark, tmp_path):
+    """Stream-with-deletes equals the batch apply on the post-delete
+    corpus, on a corpus mixing canonical deletion, surviving
+    borrowers, and clean docs."""
+    from qaapi_spark.operators.dedup import exact_substring_apply
+    from qaapi_spark.streaming.retraction import (
+        stream_exact_substring_apply_with_deletes,
+    )
+
+    rows = [
+        (0, _PASSAGE + " a0 a1"),
+        (3, "p3 " + _PASSAGE),
+        (4, "p4 q4 " + _PASSAGE),
+        (6, _FILLER),
+        (13, _FILLER + " z"),
+        (20, "tail copy " + _PASSAGE),
+    ]
+    docs = str(tmp_path / "docs.parquet")
+    _mk_docs(spark, docs, rows)
+    got = sorted(
+        tuple(r)
+        for r in stream_exact_substring_apply_with_deletes(
+            spark, docs, n_splits=2, del_mod=10, del_rem=3
+        ).collect()
+    )
+    live = spark.createDataFrame(
+        [(i, t) for i, t in rows if i % 10 != 3], "doc_id long, text string"
+    )
+    want = sorted(tuple(r) for r in exact_substring_apply(live, 10).collect())
+    assert got == want
+
+
+def test_exsub_delete_epoch_retry_idempotent(spark, tmp_path):
+    """A replayed ExactSubstr retraction epoch re-emits the identical
+    re-elected rows."""
+    from qaapi_spark.streaming.retraction import (
+        _exsub_rt_delete_epoch,
+        _exsub_rt_insert_epoch,
+    )
+
+    occ = str(tmp_path / "occ")
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    delr = str(tmp_path / "deleted")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    _exsub_rt_insert_epoch(
+        mk([(0, _PASSAGE), (1, "x " + _PASSAGE)]), 0, occ, corpus, out, delr, 10
+    )
+    _exsub_rt_insert_epoch(mk([(20, _FILLER)]), 1, occ, corpus, out, delr, 10)
+    # epoch 0 left doc 1 trimmed to its unique prefix
+    e0 = {
+        r["doc_id"]: r["n_kept"]
+        for r in spark.read.parquet(os.path.join(out, "epoch=0")).collect()
+    }
+    assert e0 == {0: 12, 1: 1}
+    ddf = spark.createDataFrame([(0,)], "doc_id long")
+    _exsub_rt_delete_epoch(ddf, 2, occ, corpus, out, delr, 10)
+    first = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "epoch=2")).collect()
+    )
+    assert first == [(1, 13, 13, ("x " + _PASSAGE).lower())]
+    _exsub_rt_delete_epoch(ddf, 2, occ, corpus, out, delr, 10)  # replay
+    again = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "epoch=2")).collect()
+    )
+    assert again == first
+
+
+# --- contracts ------------------------------------------------------
+
+
+def test_route_op_batch_rejects_mixed(spark):
+    from qaapi_spark.streaming.retraction import _route_op_batch
+
+    bdf = spark.createDataFrame(
+        [(1, "t", "i"), (2, "", "d")], "doc_id long, text string, op string"
+    )
+    with pytest.raises(ValueError, match="mixed insert\\+delete"):
+        _route_op_batch(bdf, 0, lambda b, e: None, lambda d, e: None)
+
+
+def test_delete_oracle_lift_is_well_defined():
+    """The textual 'FROM documents -> FROM documents WHERE live'
+    lift behind the *_with_deletes oracles is sound only while the
+    source fragments contain exactly ONE corpus scan each — pin it."""
+    from qaapi_spark.plans.llm_dedup import (
+        _DD_JACCARD_PAIRS,
+        _DEL_WHERE,
+        _EXSUB_APPLY_ORACLE,
+    )
+    from qaapi_spark.plans import CATALOG
+
+    assert _DD_JACCARD_PAIRS.count("FROM documents") == 1
+    assert _EXSUB_APPLY_ORACLE.count("FROM documents") == 1
+    cc = CATALOG["stream_cc_labels_with_deletes"].oracle
+    ex = CATALOG["stream_exsub_apply_with_deletes"].oracle
+    # every corpus scan in the lifted oracles carries the live filter
+    live = f"FROM documents WHERE {_DEL_WHERE}"
+    assert cc.count("FROM documents") == cc.count(live) == 2  # pairs + seed
+    assert ex.count("FROM documents") == ex.count(live) == 1
