@@ -124,6 +124,9 @@ def test_distributed_lloyd_matches_catalog_and_is_distributed(spark):
         out.agg(F.sum("dist")).first()[0]
         <= d0.agg(F.sum("dist")).first()[0] + 1e-9
     )
+    # assignment is the Arrow kernel: corpus stays distributed (scanned,
+    # mapped in place), the codebook rides as an executor broadcast —
+    # there is no join and no corpus-sized LocalTableScan
     p = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "MapInPandas" in p
     assert "embeddings.parquet" in p
