@@ -375,15 +375,20 @@ def stream_neardup_dedup(
         # each epoch scans/tokenizes the batch text exactly once
         # (round-10 probe: the duplicated tokenize+shingle+hash pass
         # was part of the ~3.2 s/epoch floor).
+        # O(1)-wide signature tree (the stream_pipeline shave, VERDICT
+        # r10 next #3, now applied here per VERDICT r11 next #4): one
+        # nested transform over sequence(0, num_hashes-1) instead of a
+        # 64-wide F.array of per-index expressions — value-identical
+        # (xxhash64(i, v) with i the sequence element = xxhash64(lit(i),
+        # v); the CC stream hash-checks the same form against the batch
+        # oracle) but a constant-size tree to analyze/plan per epoch.
         signed = sets.select(
             "id",
-            F.array(
-                *[
-                    F.array_min(
-                        F.transform(F.col("sh"), lambda v: F.xxhash64(F.lit(i), v))
-                    )
-                    for i in range(num_hashes)
-                ]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(F.col("sh"), lambda v: F.xxhash64(i, v))
+                ),
             ).alias("sig"),
         )
         bands_arr = minhash_band_arrays(signed, num_hashes, n_bands).persist()
@@ -400,7 +405,7 @@ def stream_neardup_dedup(
         # passes any threshold) — only strictly-earlier epochs are the
         # legitimate cross-batch state (round-10 fix; partition pruning
         # skips the excluded directory entirely).
-        if os.path.isdir(store_dir + "/data"):
+        if _store_recover(store_dir + "/data"):
             rec = spark.read.parquet(store_dir + "/data").filter(
                 F.col("epoch") < int(epoch_id)
             )
@@ -468,7 +473,13 @@ def stream_neardup_dedup(
     # should run this stream on a cloned session
     # (spark.newSession()) so the toggle is isolated.
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # 8-way shuffles for the epoch's chained micro-batch joins/aggs
+    # (the CC/ExactSubstr stream setting, VERDICT r11 next #4): at
+    # session width (32) each of the ~8 per-epoch jobs pays 4x the
+    # task overhead on batch-sized inputs; restored after.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
             stream.writeStream.foreachBatch(dedup_batch)
@@ -482,6 +493,7 @@ def stream_neardup_dedup(
             spark.conf.unset("spark.sql.adaptive.enabled")
         else:
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     # kept docs = the store's ids (exactly the survivors, every epoch)
     # re-attached to the corpus once — the epoch=N partition-discovery
     # column drops in the select
