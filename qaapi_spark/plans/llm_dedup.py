@@ -441,13 +441,21 @@ def stream_cc_labels_incremental_q(spark, sf_dir):
 
 
 # Retraction contract for the *_with_deletes streaming twins: the
-# staged ingest interleaves retraction batches that tombstone exactly
-# doc_id % _DEL_MOD == _DEL_REM, so the post-stream live corpus — and
-# therefore the oracle — is the batch relation on the complementary
-# filter.  The fragments contain exactly ONE "FROM documents" each
-# (asserted by test), so the textual lift is well-defined.
+# staged ingest (streaming/retraction._stage_ops_with_deletes,
+# n_splits=2) runs insert(low half) -> retraction batch tombstoning
+# doc_id % _DEL_MOD == _DEL_REM among the docs ingested so far ->
+# insert(high half), so the post-stream live corpus — and therefore
+# the oracle — is the batch relation under the complementary filter,
+# with the low/high boundary expressed as a scalar min/max subquery
+# (mirrors step = max(1, (hi - lo + 2) // 2), mid = lo + step).  The
+# source fragments contain exactly ONE "FROM documents" each (asserted
+# by test), so the textual lift is well-defined.
 _DEL_MOD, _DEL_REM = 10, 3
-_DEL_WHERE = f"doc_id % {_DEL_MOD} != {_DEL_REM}"
+_DEL_MID = (
+    "(SELECT MIN(doc_id) + GREATEST(1, (MAX(doc_id) - MIN(doc_id) + 2) // 2)"
+    " FROM documents)"
+)
+_DEL_WHERE = f"NOT (doc_id % {_DEL_MOD} = {_DEL_REM} AND doc_id < {_DEL_MID})"
 
 
 @query(

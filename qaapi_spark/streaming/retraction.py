@@ -37,9 +37,10 @@ sub-gaps:
 Honest state-cost delta vs the insert-only twins: re-election needs
 per-OCCURRENCE provenance — (h, doc_id, pos) for every window, not the
 O(distinct-windows) digest set — plus the raw text of docs being
-recomputed (an epoch-keyed corpus archive; a deployment already has
-the corpus in object storage).  The insert-only variants keep their
-cheaper stores; this module is the opt-in retraction-capable shape.
+recomputed (carried as a column of the emitted store and projected
+away in the public relation; a deployment already has the corpus in
+object storage).  The insert-only variants keep their cheaper stores;
+this module is the opt-in retraction-capable shape.
 At 100 TB both stores bucket by their join key (h / doc_id) and every
 delete epoch touches only the tombstoned docs' components/digests —
 never the corpus.
@@ -66,6 +67,7 @@ from pyspark.sql import functions as F
 
 from qaapi_spark.streaming.incremental import (
     _cc_labels_epoch,
+    _frontier_max_doc_id,
     _has_epochs,
     _propagate_min_labels,
     _read_deleted,
@@ -83,14 +85,23 @@ def _stage_ops_with_deletes(
     del_rem: int,
     n_splits: int = 4,
 ) -> str:
-    """Stage the corpus as an op-tagged ordered ingest with INTERLEAVED
-    retraction batches: insert slices 0..mid-1 (low doc_id half), a
-    delete batch retracting the predicate docs ingested so far, insert
-    slices mid..n-1 (high half), then a final delete batch for the
-    predicate docs of the high half.  The post-stream live set is
-    exactly ``doc_id % del_mod != del_rem`` — independent of the slice
-    boundary — while the stream genuinely exercises inserts AFTER
-    deletes (the store reads must honor standing tombstones).
+    """Stage the corpus as an op-tagged ordered ingest with an
+    INTERLEAVED retraction batch: insert slices 0..mid-1 (low doc_id
+    half), a delete batch retracting the predicate docs ingested so
+    far, then insert slices mid..n-1 (high half) — so the stream
+    genuinely exercises deletes against standing state AND inserts
+    AFTER deletes (the store reads must honor the tombstones).  The
+    post-stream live set is ``NOT (doc_id % del_mod = del_rem AND
+    doc_id < mid_bound)`` with ``mid_bound = lo + max(1, (hi - lo +
+    n_splits) // n_splits) * (n_splits // 2)`` — the catalog oracles
+    lift exactly this predicate (a scalar min/max subquery), valid for
+    the default n_splits=2.
+
+    One retraction batch, not one per half (r12 shave): the final
+    relation hash-checks either way, and every retraction code path —
+    splits, re-election, tombstone-filtered inserts — already runs
+    with the single mid-stream batch; the second delete epoch bought
+    only ~3.5 s of per-epoch machinery per suite line.
 
     Uniform slice schema (doc_id, text, op): op='i' inserts carry
     text, op='d' tombstones carry only the id (text='')."""
@@ -115,11 +126,6 @@ def _stage_ops_with_deletes(
                     "doc_id", F.lit("").alias("text"), F.lit("d").alias("op")
                 )
             )
-    slices.append(
-        raw.filter(pred & (F.col("doc_id") >= mid_bound)).select(
-            "doc_id", F.lit("").alias("text"), F.lit("d").alias("op")
-        )
-    )
     for j, sl in enumerate(slices):
         sl.coalesce(1).sortWithinPartitions("doc_id").write.mode(
             "overwrite"
@@ -310,7 +316,7 @@ def stream_cc_labels_with_deletes(
     threshold: float = 0.8,
     num_hashes: int = 64,
     n_bands: int = 16,
-    n_splits: int = 4,
+    n_splits: int = 2,
     del_mod: int = 10,
     del_rem: int = 3,
 ) -> DataFrame:
@@ -319,11 +325,11 @@ def stream_cc_labels_with_deletes(
     insert path (supernode contraction for merges) now reads through
     the tombstone set, and `_cc_rt_delete_epoch` handles the
     vertex-removal direction (component splits + label re-election).
-    The staged ingest interleaves deletes between insert waves, so
-    post-delete inserts exercise the tombstone-filtered store reads.
-    Final relation = batch CC labels on the live corpus
-    (doc_id % del_mod != del_rem) — hash-checked against the same
-    recursive-CTE oracle on the filtered documents."""
+    The staged ingest interleaves the retraction batch between insert
+    waves, so post-delete inserts exercise the tombstone-filtered
+    store reads.  Final relation = batch CC labels on the live corpus
+    (see _stage_ops_with_deletes for the live predicate) — hash-checked
+    against the same recursive-CTE oracle on the filtered documents."""
     from pyspark.sql import Window
 
     raw = spark.read.parquet(docs_path)
@@ -368,7 +374,6 @@ def _exsub_rt_insert_epoch(
     bdf,
     epoch_id: int,
     occ_root: str,
-    corpus_root: str,
     out_root: str,
     del_root: str,
     min_len: int,
@@ -383,8 +388,11 @@ def _exsub_rt_insert_epoch(
       never-seen digests, so a later retraction can find the
       next-earliest occurrence to promote (O(total windows) rows; the
       honest cost of revocable canonicity — bucket by h at 100 TB);
-    - corpus archive (doc_id, text) — re-elected docs re-trim from
-      their original text without rescanning the stream.
+    - corpus archive, FUSED into the output store: each emitted row
+      carries its original ``text`` (identical across a doc's
+      versions), so re-elected docs re-trim without rescanning the
+      stream and without a third store write per epoch; the public
+      relation projects it away.
 
     Retry-idempotent: reads filter epoch < N, writes epoch-keyed
     overwrite."""
@@ -395,6 +403,26 @@ def _exsub_rt_insert_epoch(
 
     spark = bdf.sparkSession
     bdf = bdf.repartition(8)
+
+    # ordered-ingest guard (VERDICT r11 next #6, same contract as
+    # _exsub_epoch): the frontier counts RETRACTED docs too — a
+    # tombstoned id stays used (re-insert is forbidden; tombstones
+    # filter standing-store reads, so a re-insert would be silently
+    # invisible rather than wrong — reject it here instead).  Footer
+    # stats, not a Spark job (see _frontier_max_doc_id); the out store
+    # covers every ingested doc, so its doc_id stats ARE the frontier.
+    if _has_epochs(out_root):
+        prev_max = _frontier_max_doc_id(spark, out_root, epoch_id)
+        if prev_max is not None:
+            batch_min = bdf.agg(F.min("doc_id")).collect()[0][0]
+            if batch_min is not None and int(batch_min) <= int(prev_max):
+                raise ValueError(
+                    "out-of-order ingest: batch min doc_id "
+                    f"{batch_min} <= standing frontier {prev_max} "
+                    "(tombstoned ids included — retracted doc_ids are "
+                    "permanent); inserts must arrive doc_id-ordered"
+                )
+
     wins = _all_window_positions(bdf, min_len, "text", "doc_id").persist()
 
     seen = None
@@ -423,15 +451,14 @@ def _exsub_rt_insert_epoch(
     ).distinct()
     base = bdf.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks"))
     try:
-        _apply_trim(base, cut).coalesce(1).write.mode("overwrite").parquet(
+        _apply_trim(base, cut).join(
+            bdf.select("doc_id", "text"), "doc_id"
+        ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_root, f"epoch={int(epoch_id)}")
         )
         wins.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(occ_root, f"epoch={int(epoch_id)}")
         )
-        bdf.select("doc_id", "text").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(corpus_root, f"epoch={int(epoch_id)}"))
     finally:
         wins.unpersist()
 
@@ -440,7 +467,6 @@ def _exsub_rt_delete_epoch(
     ddf,
     epoch_id: int,
     occ_root: str,
-    corpus_root: str,
     out_root: str,
     del_root: str,
     min_len: int,
@@ -448,24 +474,23 @@ def _exsub_rt_delete_epoch(
     """Retraction epoch: tombstone the batch's docs and RE-ELECT
     canonical occurrences they owned.
 
-    Scope derivation (everything bounded by the tombstoned docs'
-    occurrence lists, never the corpus):
-      1. touched digests = digests with any occurrence in the batch;
-      2. affected digests = touched digests whose pre-delete canonical
-         (live-first by (doc_id, pos)) was owned by a tombstoned doc;
-      3. the NEW canonical of each affected digest is its earliest
-         surviving occurrence — only its owner doc's emitted row can
-         change (later occurrences stay cut; digests with no survivor
-         leave the live index entirely);
-      4. each such owner re-trims from the corpus archive against the
-         live canonical set of ITS OWN digests, and the recomputed row
-         is emitted as a delta (latest epoch wins — retraction is the
-         one event that revokes row immutability).
+    Scope derivation — ONE groupBy(h) with two conditional lexicographic
+    mins replaces any per-h rank windows (map-side combine folds the
+    store to |distinct digests| partials; no rank shuffle):
+      1. first_all  = min (doc_id, pos) over every standing occurrence,
+         first_live = the same min over survivors only;
+      2. a digest is AFFECTED iff the two differ (the pre-delete
+         canonical was tombstoned) and a survivor exists — its NEW
+         canonical is first_live, and only first_live's owner doc's
+         emitted row can change (later occurrences stay cut; digests
+         with no survivor leave the live index entirely);
+      3. each such owner re-trims from the corpus archive against
+         first_live over ITS OWN digests, and the recomputed row is
+         emitted as a delta (latest epoch wins — retraction is the one
+         event that revokes row immutability).
 
     Retry-idempotent: reads filter epoch < N, writes epoch-keyed
     overwrite."""
-    from pyspark.sql import Window
-
     from qaapi_spark.operators.dedup import _apply_trim
     from qaapi_spark.operators.textstats import ws_tokens
 
@@ -481,68 +506,85 @@ def _exsub_rt_delete_epoch(
             )
             if prior is not None:
                 occ_all = occ_all.join(prior, "doc_id", "left_anti")
-            w_h = Window.partitionBy("h").orderBy("doc_id", "pos")
-            touched_h = (
-                occ_all.join(dels, "doc_id", "left_semi").select("h").distinct()
+            marked = occ_all.join(
+                F.broadcast(dels.withColumn("is_del", F.lit(True))),
+                "doc_id",
+                "left",
             )
-            old_canon = (
-                occ_all.join(touched_h, "h", "left_semi")
-                .withColumn("rn", F.row_number().over(w_h))
-                .filter(F.col("rn") == 1)
+            g = (
+                marked.groupBy("h")
+                .agg(
+                    F.min(F.struct("doc_id", "pos")).alias("first_all"),
+                    F.min(
+                        F.when(
+                            F.col("is_del").isNull(),
+                            F.struct("doc_id", "pos"),
+                        )
+                    ).alias("first_live"),
+                )
+                .persist()
             )
-            affected_h = old_canon.join(dels, "doc_id", "left_semi").select("h")
-            live_occ = occ_all.join(dels, "doc_id", "left_anti").persist()
-            new_canon = (
-                live_occ.join(affected_h, "h", "left_semi")
-                .withColumn("rn", F.row_number().over(w_h))
-                .filter(F.col("rn") == 1)
+            affected = g.filter(
+                F.col("first_live").isNotNull()
+                & (
+                    (F.col("first_all.doc_id") != F.col("first_live.doc_id"))
+                    | (F.col("first_all.pos") != F.col("first_live.pos"))
+                )
             )
-            affected_docs = new_canon.select("doc_id").distinct().persist()
+            affected_docs = affected.select(
+                F.col("first_live.doc_id").alias("doc_id")
+            ).distinct()
             try:
-                if affected_docs.limit(1).count() > 0:
-                    aw = live_occ.join(affected_docs, "doc_id", "left_semi")
-                    hs = aw.select("h").distinct()
-                    canon = (
-                        live_occ.join(hs, "h", "left_semi")
-                        .withColumn("rn", F.row_number().over(w_h))
-                        .filter(F.col("rn") == 1)
-                        .select(
-                            "h",
-                            F.col("doc_id").alias("cdoc"),
-                            F.col("pos").alias("cpos"),
-                        )
+                # written UNCONDITIONALLY (r12 shave: the emptiness
+                # probe was its own full-plan job; an empty affected
+                # set just writes an empty delta, which the latest-wins
+                # final read ignores)
+                aw = occ_all.join(dels, "doc_id", "left_anti").join(
+                    affected_docs, "doc_id", "left_semi"
+                )
+                # the live canonical of every digest aw touches is its
+                # first_live (aw rows are live, so first_live is never
+                # null on a matching h)
+                canon = g.select(
+                    "h",
+                    F.col("first_live.doc_id").alias("cdoc"),
+                    F.col("first_live.pos").alias("cpos"),
+                )
+                cut = (
+                    aw.join(canon, "h")
+                    .filter(
+                        (F.col("doc_id") != F.col("cdoc"))
+                        | (F.col("pos") != F.col("cpos"))
                     )
-                    cut = (
-                        aw.join(canon, "h")
-                        .filter(
-                            (F.col("doc_id") != F.col("cdoc"))
-                            | (F.col("pos") != F.col("cpos"))
-                        )
-                        .select(
-                            "doc_id",
-                            F.explode(
-                                F.sequence(
-                                    F.col("pos"), F.col("pos") + min_len - 1
-                                )
-                            ).alias("tok_pos"),
-                        )
-                        .distinct()
+                    .select(
+                        "doc_id",
+                        F.explode(
+                            F.sequence(F.col("pos"), F.col("pos") + min_len - 1)
+                        ).alias("tok_pos"),
                     )
-                    base = (
-                        spark.read.parquet(corpus_root)
-                        .filter(F.col("epoch") < int(epoch_id))
-                        .join(affected_docs, "doc_id", "left_semi")
-                        .select(
-                            "doc_id",
-                            ws_tokens(F.lower(F.col("text"))).alias("toks"),
-                        )
-                    )
-                    _apply_trim(base, cut).coalesce(1).write.mode(
-                        "overwrite"
-                    ).parquet(os.path.join(out_root, f"epoch={int(epoch_id)}"))
+                    .distinct()
+                )
+                # original text from the fused out store: a doc may
+                # hold several versions (insert row + prior
+                # re-emissions) but they all carry the IDENTICAL
+                # original text, so max() is a deterministic dedupe
+                texts = (
+                    spark.read.parquet(out_root)
+                    .filter(F.col("epoch") < int(epoch_id))
+                    .join(affected_docs, "doc_id", "left_semi")
+                    .groupBy("doc_id")
+                    .agg(F.max("text").alias("text"))
+                )
+                base = texts.select(
+                    "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
+                )
+                _apply_trim(base, cut).join(
+                    texts, "doc_id"
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(out_root, f"epoch={int(epoch_id)}")
+                )
             finally:
-                live_occ.unpersist()
-                affected_docs.unpersist()
+                g.unpersist()
         dels.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(del_root, f"epoch={int(epoch_id)}")
         )
@@ -554,7 +596,7 @@ def stream_exact_substring_apply_with_deletes(
     spark: SparkSession,
     docs_path: str,
     min_len: int = 10,
-    n_splits: int = 4,
+    n_splits: int = 2,
     del_mod: int = 10,
     del_rem: int = 3,
 ) -> DataFrame:
@@ -564,14 +606,14 @@ def stream_exact_substring_apply_with_deletes(
     a retraction batch tombstones its docs and re-elects any canonical
     occurrences they owned, re-emitting the promoted owners' rows as
     deltas.  Final relation = dedup_exact_substring_apply on the live
-    corpus (doc_id % del_mod != del_rem) — hash-checked against the
-    batch apply oracle on the filtered documents."""
+    corpus (see _stage_ops_with_deletes for the live predicate) —
+    hash-checked against the batch apply oracle on the filtered
+    documents."""
     from pyspark.sql import Window
 
     raw = spark.read.parquet(docs_path)
     stage_dir = _stage_ops_with_deletes(spark, raw, del_mod, del_rem, n_splits)
     occ_root = _scratch(prefix="exrt_occ_")
-    corpus_root = _scratch(prefix="exrt_corpus_")
     out_root = _scratch(prefix="exrt_out_")
     del_root = _scratch(prefix="exrt_deleted_")
 
@@ -580,10 +622,10 @@ def stream_exact_substring_apply_with_deletes(
             bdf,
             epoch_id,
             ins_fn=lambda b, e: _exsub_rt_insert_epoch(
-                b, e, occ_root, corpus_root, out_root, del_root, min_len
+                b, e, occ_root, out_root, del_root, min_len
             ),
             del_fn=lambda d, e: _exsub_rt_delete_epoch(
-                d, e, occ_root, corpus_root, out_root, del_root, min_len
+                d, e, occ_root, out_root, del_root, min_len
             ),
         )
 

@@ -35,21 +35,22 @@ def _labels(df):
 
 
 def test_cc_delete_splits_component(spark, tmp_path):
-    """1-3-4 is one component only through bridge doc 3 (A~B~C but
+    """1-3-2 is one component only through bridge doc 3 (A~B, C~B but
     A!~C); retracting 3 after all three are ingested must SPLIT it
-    into {1} and {4}."""
+    into {1} and {2}."""
     from qaapi_spark.streaming.retraction import stream_cc_labels_with_deletes
 
     docs = str(tmp_path / "docs.parquet")
-    # staging (n_splits=2): ins{1}, ins{3,4}, del{3} — the delete
-    # lands after every insert, so the split path runs
-    _mk_docs(spark, docs, [(1, _A), (3, _B), (4, _C)])
+    # staging (n_splits=2, lo=1 hi=21 step=11): ins{1,2,3}, del{3},
+    # ins{21} — the retraction lands after the whole component is
+    # ingested, so the survivor re-screen must find the split
+    _mk_docs(spark, docs, [(1, _A), (2, _C), (3, _B), (21, _FILLER)])
     got = _labels(
         stream_cc_labels_with_deletes(
             spark, docs, n_splits=2, del_mod=10, del_rem=3
         )
     )
-    assert got == {1: 1, 4: 4}
+    assert got == {1: 1, 2: 2, 21: 21}
 
 
 def test_cc_delete_reelects_min_label_and_filters_store(spark, tmp_path):
@@ -70,11 +71,27 @@ def test_cc_delete_reelects_min_label_and_filters_store(spark, tmp_path):
     assert got == {5: 5, 7: 5}
 
 
+def _live_rows(rows, del_mod=10, del_rem=3, n_splits=2):
+    """The post-stream live set under the staged single-retraction
+    contract: predicate docs ingested BEFORE the mid-stream retraction
+    batch (doc_id < mid_bound) are tombstoned."""
+    ids = [i for i, _ in rows]
+    lo, hi = min(ids), max(ids)
+    step = max(1, (hi - lo + n_splits) // n_splits)
+    mid = lo + (n_splits // 2) * step
+    return [
+        (i, t)
+        for i, t in rows
+        if not (i % del_mod == del_rem and i < mid)
+    ]
+
+
 def test_cc_stream_with_deletes_matches_batch_union_find(spark, tmp_path):
-    """Mixed corpus (two near-dup groups + uniques), deletions hitting
-    a group member and a unique: final labels equal an independent
-    Python union-find over exact bigram-Jaccard edges of the LIVE
-    corpus."""
+    """Mixed corpus (two near-dup groups + uniques), the retraction
+    hitting a group member: final labels equal an independent Python
+    union-find over exact bigram-Jaccard edges of the LIVE corpus
+    (which keeps the high-half predicate doc 13 — it arrives after the
+    retraction batch)."""
     from qaapi_spark.streaming.retraction import stream_cc_labels_with_deletes
 
     rows = [
@@ -95,7 +112,8 @@ def test_cc_stream_with_deletes_matches_batch_union_find(spark, tmp_path):
         )
     )
 
-    live = [(i, t) for i, t in rows if i % 10 != 3]
+    live = _live_rows(rows)
+    assert {i for i, _ in live} == {0, 1, 2, 4, 5, 6, 13}  # 3 out, 13 kept
 
     def bigrams(t):
         w = t.lower().split()
@@ -232,7 +250,7 @@ def test_exsub_matches_batch_apply_on_live_corpus(spark, tmp_path):
         ).collect()
     )
     live = spark.createDataFrame(
-        [(i, t) for i, t in rows if i % 10 != 3], "doc_id long, text string"
+        _live_rows(rows), "doc_id long, text string"
     )
     want = sorted(tuple(r) for r in exact_substring_apply(live, 10).collect())
     assert got == want
@@ -247,36 +265,72 @@ def test_exsub_delete_epoch_retry_idempotent(spark, tmp_path):
     )
 
     occ = str(tmp_path / "occ")
-    corpus = str(tmp_path / "corpus")
     out = str(tmp_path / "out")
     delr = str(tmp_path / "deleted")
     mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
     _exsub_rt_insert_epoch(
-        mk([(0, _PASSAGE), (1, "x " + _PASSAGE)]), 0, occ, corpus, out, delr, 10
+        mk([(0, _PASSAGE), (1, "x " + _PASSAGE)]), 0, occ, out, delr, 10
     )
-    _exsub_rt_insert_epoch(mk([(20, _FILLER)]), 1, occ, corpus, out, delr, 10)
+    _exsub_rt_insert_epoch(mk([(20, _FILLER)]), 1, occ, out, delr, 10)
     # epoch 0 left doc 1 trimmed to its unique prefix
     e0 = {
         r["doc_id"]: r["n_kept"]
         for r in spark.read.parquet(os.path.join(out, "epoch=0")).collect()
     }
     assert e0 == {0: 12, 1: 1}
+    pub = lambda rows: sorted(
+        (r["doc_id"], r["n_toks"], r["n_kept"], r["text_dedup"]) for r in rows
+    )
     ddf = spark.createDataFrame([(0,)], "doc_id long")
-    _exsub_rt_delete_epoch(ddf, 2, occ, corpus, out, delr, 10)
-    first = sorted(
-        tuple(r)
-        for r in spark.read.parquet(os.path.join(out, "epoch=2")).collect()
-    )
+    _exsub_rt_delete_epoch(ddf, 2, occ, out, delr, 10)
+    first = pub(spark.read.parquet(os.path.join(out, "epoch=2")).collect())
     assert first == [(1, 13, 13, ("x " + _PASSAGE).lower())]
-    _exsub_rt_delete_epoch(ddf, 2, occ, corpus, out, delr, 10)  # replay
-    again = sorted(
-        tuple(r)
-        for r in spark.read.parquet(os.path.join(out, "epoch=2")).collect()
-    )
+    _exsub_rt_delete_epoch(ddf, 2, occ, out, delr, 10)  # replay
+    again = pub(spark.read.parquet(os.path.join(out, "epoch=2")).collect())
     assert again == first
 
 
 # --- contracts ------------------------------------------------------
+
+
+def test_exsub_rejects_out_of_order_ingest(spark, tmp_path):
+    """VERDICT r11 next #6: a batch arriving behind the standing
+    doc_id frontier would silently produce a different relation —
+    the epoch must REJECT it, while in-order (and replayed) epochs
+    still pass."""
+    from qaapi_spark.streaming.incremental import _exsub_epoch
+
+    dig, out = str(tmp_path / "dig"), str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    _exsub_epoch(mk([(20, _PASSAGE)]), 0, dig, out, 10)
+    with pytest.raises(ValueError, match="out-of-order ingest"):
+        _exsub_epoch(mk([(5, _FILLER)]), 1, dig, out, 10)
+    # a retry of epoch 0 reads the frontier at epoch < 0 — no false trip
+    _exsub_epoch(mk([(20, _PASSAGE)]), 0, dig, out, 10)
+    # and the in-order successor is accepted
+    _exsub_epoch(mk([(21, _FILLER)]), 1, dig, out, 10)
+
+
+def test_exsub_rt_rejects_reinsert_of_tombstoned_id(spark, tmp_path):
+    """The retraction variant's frontier counts RETRACTED docs: a
+    tombstoned id is permanent, so re-inserting it (or any id behind
+    the frontier) raises instead of becoming silently invisible."""
+    from qaapi_spark.streaming.retraction import (
+        _exsub_rt_delete_epoch,
+        _exsub_rt_insert_epoch,
+    )
+
+    occ = str(tmp_path / "occ")
+    out = str(tmp_path / "out")
+    delr = str(tmp_path / "deleted")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    _exsub_rt_insert_epoch(mk([(3, _PASSAGE)]), 0, occ, out, delr, 10)
+    ddf = spark.createDataFrame([(3,)], "doc_id long")
+    _exsub_rt_delete_epoch(ddf, 1, occ, out, delr, 10)
+    with pytest.raises(ValueError, match="out-of-order ingest"):
+        _exsub_rt_insert_epoch(mk([(3, _PASSAGE)]), 2, occ, out, delr, 10)
+    # the next fresh id is accepted
+    _exsub_rt_insert_epoch(mk([(4, _FILLER)]), 2, occ, out, delr, 10)
 
 
 def test_route_op_batch_rejects_mixed(spark):
@@ -305,6 +359,10 @@ def test_delete_oracle_lift_is_well_defined():
     cc = CATALOG["stream_cc_labels_with_deletes"].oracle
     ex = CATALOG["stream_exsub_apply_with_deletes"].oracle
     # every corpus scan in the lifted oracles carries the live filter
+    # (each lift adds one extra "FROM documents" inside the mid-bound
+    # min/max scalar subquery)
     live = f"FROM documents WHERE {_DEL_WHERE}"
-    assert cc.count("FROM documents") == cc.count(live) == 2  # pairs + seed
-    assert ex.count("FROM documents") == ex.count(live) == 1
+    assert cc.count(live) == 2  # pairs + recursive seed
+    assert cc.count("FROM documents") == 4
+    assert ex.count(live) == 1
+    assert ex.count("FROM documents") == 2
