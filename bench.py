@@ -250,6 +250,17 @@ def main() -> None:
         with open(os.path.join(here, "bench_history", f"sf{sf}.json"), "w") as f:
             json.dump(out, f, separators=(",", ":"))
             f.write("\n")
+        # Append-only per-RUN log (VERDICT r11 what's-wrong #4): the
+        # round's best-of-N composite must be re-derivable from the
+        # repo alone, not from a session's scrollback — every run
+        # appends its complete per-query map + calib quartets here;
+        # commit the file with the round.
+        with open(
+            os.path.join(here, "bench_history", f"runs_sf{sf}.jsonl"), "a"
+        ) as f:
+            json.dump({"ts": round(time.time(), 1), **out}, f,
+                      separators=(",", ":"))
+            f.write("\n")
     except OSError:
         pass
     # own line (a leading newline isolates it from any \r-progress

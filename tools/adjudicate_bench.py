@@ -15,9 +15,12 @@ single run is trustworthy.  The honest reading, mechanized here:
 
 Usage:
   python tools/adjudicate_bench.py RUN.err [RUN2.err ...]
+  python tools/adjudicate_bench.py bench_history/runs_sf0.1.jsonl
 where each RUN.err is a bench.py stderr file (the "# name: 1.234s"
 lines); the matching RUN.out (same stem) is read for the calib
-quartets when present.
+quartets when present.  A .jsonl argument is bench.py's committed
+per-run log (VERDICT r11 #4): every line is one complete run — the
+composite becomes re-derivable from the repo alone.
 """
 
 from __future__ import annotations
@@ -67,6 +70,26 @@ def main() -> None:
         sys.exit(__doc__)
     runs = []
     for p in paths:
+        if p.endswith(".jsonl"):
+            with open(p) as f:
+                for i, ln in enumerate(ln for ln in f if ln.strip()):
+                    d = json.loads(ln)
+                    runs.append(
+                        (
+                            f"{p}#{i}",
+                            d.get("queries") or {},
+                            {
+                                "start": d.get("calib_start"),
+                                "mid": d.get("calib_mid"),
+                                "end": {
+                                    "cpu": d.get("calib_cpu_s"),
+                                    "io": d.get("calib_io_s"),
+                                    "mt": d.get("calib_mt_s"),
+                                },
+                            },
+                        )
+                    )
+            continue
         q = parse_err(p)
         c = parse_calib(p)
         runs.append((p, q, c))
