@@ -290,6 +290,59 @@ def test_exsub_delete_epoch_retry_idempotent(spark, tmp_path):
     assert again == first
 
 
+def test_retraction_stores_compact_cleanly(spark, tmp_path):
+    """The retraction stores are compactable epoch stores like the
+    insert-only ones: folding occ ('distinct'), out ('latest' by
+    doc_id), and tombstones ('distinct') between epochs leaves the
+    delete epoch's re-election — and the final relation — identical."""
+    from qaapi_spark.streaming.incremental import compact_epoch_store
+    from qaapi_spark.streaming.retraction import (
+        _exsub_rt_delete_epoch,
+        _exsub_rt_insert_epoch,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    batches = [[(0, _PASSAGE), (1, "x " + _PASSAGE)], [(20, _FILLER)]]
+
+    def run(compact: bool, sub: str):
+        occ = str(tmp_path / sub / "occ")
+        out = str(tmp_path / sub / "out")
+        delr = str(tmp_path / sub / "deleted")
+        for i, rows in enumerate(batches):
+            _exsub_rt_insert_epoch(mk(rows), i, occ, out, delr, 10)
+        if compact:
+            assert compact_epoch_store(
+                spark, occ, "distinct", upto=1, key_cols=("h",)
+            ) == 2
+            assert compact_epoch_store(
+                spark, out, "latest", upto=1, key_cols=("doc_id",)
+            ) == 2
+        _exsub_rt_delete_epoch(
+            spark.createDataFrame([(0,)], "doc_id long"), 2, occ, out, delr, 10
+        )
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("doc_id").orderBy(F.desc("epoch"))
+        dels = spark.read.parquet(delr).select("doc_id")
+        return sorted(
+            (r["doc_id"], r["n_toks"], r["n_kept"], r["text_dedup"])
+            for r in (
+                spark.read.parquet(out)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .join(dels, "doc_id", "left_anti")
+                .select("doc_id", "n_toks", "n_kept", "text_dedup")
+            ).collect()
+        )
+
+    plain = run(False, "plain")
+    folded = run(True, "folded")
+    assert folded == plain
+    # the re-election happened in both: doc 1 restored to full text
+    assert (1, 13, 13, ("x " + _PASSAGE).lower()) in plain
+
+
 # --- contracts ------------------------------------------------------
 
 
