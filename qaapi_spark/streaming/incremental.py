@@ -2103,6 +2103,12 @@ def _cc_labels_epoch(
     Retry-idempotent: all reads filter epoch < N (a replayed epoch
     never meets its own prior output), all writes are epoch-keyed
     overwrite.
+
+    ``del_root`` (r12, retraction support): when set, band-store and
+    label reads anti-join the tombstoned doc_ids recorded there by
+    `streaming/retraction._cc_rt_delete_epoch`, so post-delete inserts
+    edge only to live docs; None (the insert-only catalog stream)
+    leaves every read unchanged.
     """
     from pyspark.sql import Window
 

@@ -76,7 +76,7 @@ def main() -> None:
                     d = json.loads(ln)
                     runs.append(
                         (
-                            f"{p}#{i}",
+                            f"{os.path.basename(p)}#{i}",
                             d.get("queries") or {},
                             {
                                 "start": d.get("calib_start"),
@@ -89,10 +89,9 @@ def main() -> None:
                             },
                         )
                     )
-            continue
-        q = parse_err(p)
-        c = parse_calib(p)
-        runs.append((p, q, c))
+        else:
+            runs.append((p, parse_err(p), parse_calib(p)))
+    for p, q, c in runs:
         ios = [
             (c.get(k) or {}).get("io")
             for k in ("start", "mid", "end")
