@@ -1347,6 +1347,38 @@ def stream_exsub_apply_with_deletes_q(spark, sf_dir):
 
 
 @query(
+    "stream_exsub_apply_unordered",
+    # the SAME full-corpus batch oracle as the ordered stream: order
+    # independence is the point — the staged ingest delivers the
+    # corpus in REVERSE doc_id order and the relation must not care.
+    oracle=_EXSUB_APPLY_ORACLE,
+    doc="ORDER-INDEPENDENT streaming ExactSubstr dedup (the bounded-"
+    "lateness arm of VERDICT r11 next #6, taken to arbitrary "
+    "disorder): documents arrive in ANY order — here the adversarial "
+    "REVERSE doc_id permutation, where every epoch carries occurrences "
+    "earlier than all standing canonicals — and a late earlier "
+    "occurrence DEMOTES the standing canonical (its owner's row is "
+    "recomputed and re-emitted, latest epoch wins) instead of being "
+    "rejected by the ordered stream's frontier guard.  Per batch "
+    "digest, one groupBy derives the standing canonical vs the batch "
+    "minimum; least() of the two is the new canonical — the batch "
+    "apply's corpus-wide first once every doc has arrived, whatever "
+    "the permutation, so the query shares the batch oracle VERBATIM.  "
+    "Trade vs ordered: rows are not immutable (read latest-wins), "
+    "state is the per-occurrence index (extension, SURVEY §2.9; "
+    "streaming/retraction.stream_exact_substring_apply_unordered)",
+)
+def stream_exsub_apply_unordered_q(spark, sf_dir):
+    from qaapi_spark.streaming.retraction import (
+        stream_exact_substring_apply_unordered,
+    )
+
+    return stream_exact_substring_apply_unordered(
+        spark, f"{sf_dir}/documents.parquet", min_len=_SUBSTR_L
+    ).orderBy("doc_id")
+
+
+@query(
     "dedup_exact_substring_attribution",
     oracle=f"""
     WITH {_DD_SUBSTR_DPOS},

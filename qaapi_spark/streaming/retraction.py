@@ -643,3 +643,206 @@ def stream_exact_substring_apply_with_deletes(
     if dels is not None:
         out = out.join(dels, "doc_id", "left_anti")
     return out
+
+
+# --- Order-independent ExactSubstr (late-arrival demotion) -----------
+
+
+def _stage_reversed_slices(
+    spark: SparkSession, raw: DataFrame, n_splits: int
+) -> str:
+    """Stage doc_id-range slices in REVERSE id order — the adversarial
+    arrival order for canonical election: every epoch after the first
+    brings occurrences EARLIER than everything standing, so each
+    duplicated window's canonical is demoted as often as the data
+    allows."""
+    lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
+    stage_dir = _scratch(prefix="docs_uo_stream_")
+    for j, i in enumerate(reversed(range(n_splits))):
+        hi_pad = (1 << 60) if i == n_splits - 1 else 0
+        (
+            raw.filter(
+                (F.col("doc_id") >= int(lo) + i * step)
+                & (F.col("doc_id") < int(lo) + (i + 1) * step + hi_pad)
+            )
+            .select("doc_id", "text")
+            .coalesce(1)
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage_dir, f"slice={j}"))
+        )
+    _stage_monotonic_mtimes(stage_dir)
+    return stage_dir
+
+
+def _exsub_uo_epoch(
+    bdf, epoch_id: int, occ_root: str, out_root: str, min_len: int
+) -> None:
+    """One insert epoch of the ORDER-INDEPENDENT streaming ExactSubstr
+    apply: no arrival-order assumption at all — the batch may bring
+    occurrences earlier than standing canonicals, in which case the
+    standing owners are DEMOTED (their rows recomputed and re-emitted,
+    latest epoch wins) and the batch occurrence takes the canonical.
+
+    Per digest the batch touches, ONE groupBy derives first_old (the
+    standing canonical) and first_b (the batch minimum); the new
+    canonical is least(first_b, first_old) — identical to the batch
+    apply's corpus-wide first once every doc has arrived, whatever the
+    arrival permutation.  Demoted digests are exactly those where
+    first_b < first_old; only first_old's owner doc's emitted row can
+    change, and it re-trims against the post-batch canonical set of
+    ITS OWN digests (the `_exsub_rt_delete_epoch` recompute tail with
+    the batch's windows unioned in).  Work is bounded by the batch's
+    windows + the demoted owners' occurrence lists — never the corpus.
+
+    Contract: doc_ids are unique across the whole stream (a re-sent
+    doc_id is a data-integrity violation, exactly as it would be for
+    the batch kernel — there is no frontier here to catch it).
+    Retry-idempotent: reads filter epoch < N, writes epoch-keyed
+    overwrite."""
+    from qaapi_spark.operators.dedup import _all_window_positions, _apply_trim
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    spark = bdf.sparkSession
+    bdf = bdf.repartition(8)
+    wins = _all_window_positions(bdf, min_len, "text", "doc_id").persist()
+    g_b = wins.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("fb"))
+
+    have = _store_recover(occ_root) and _has_epochs(occ_root)
+    if have:
+        occ_old = (
+            spark.read.parquet(occ_root)
+            .filter(F.col("epoch") < int(epoch_id))
+            .select("doc_id", "pos", "h")
+        )
+        g_old = (
+            occ_old.join(g_b.select("h"), "h", "left_semi")
+            .groupBy("h")
+            .agg(F.min(F.struct("doc_id", "pos")).alias("fo"))
+        )
+        g = g_b.join(g_old, "h", "left").select(
+            "h", "fb", "fo", F.least("fb", "fo").alias("c")
+        ).persist()
+    else:
+        g = g_b.select("h", "fb", F.lit(None).alias("fo"),
+                       F.col("fb").alias("c")).persist()
+
+    try:
+        # batch rows: an occurrence is cut iff it is not the (new)
+        # canonical of its digest
+        cut_b = (
+            wins.join(g.select("h", "c"), "h")
+            .filter(
+                (F.col("doc_id") != F.col("c.doc_id"))
+                | (F.col("pos") != F.col("c.pos"))
+            )
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + min_len - 1)
+                ).alias("tok_pos"),
+            )
+            .distinct()
+        )
+        base_b = bdf.select(
+            "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
+        )
+        rows = _apply_trim(base_b, cut_b).join(
+            bdf.select("doc_id", "text"), "doc_id"
+        )
+
+        if have:
+            # demoted standing owners: their canonical lost to an
+            # earlier batch occurrence — recompute their full rows
+            aff = (
+                g.filter(F.col("fo").isNotNull() & (F.col("fb") < F.col("fo")))
+                .select(F.col("fo.doc_id").alias("doc_id"))
+                .distinct()
+            )
+            awd = occ_old.join(aff, "doc_id", "left_semi")
+            hs = awd.select("h").distinct()
+            canon_d = (
+                occ_old.unionByName(wins)
+                .join(hs, "h", "left_semi")
+                .groupBy("h")
+                .agg(F.min(F.struct("doc_id", "pos")).alias("c"))
+            )
+            cut_d = (
+                awd.join(canon_d, "h")
+                .filter(
+                    (F.col("doc_id") != F.col("c.doc_id"))
+                    | (F.col("pos") != F.col("c.pos"))
+                )
+                .select(
+                    "doc_id",
+                    F.explode(
+                        F.sequence(F.col("pos"), F.col("pos") + min_len - 1)
+                    ).alias("tok_pos"),
+                )
+                .distinct()
+            )
+            texts = (
+                spark.read.parquet(out_root)
+                .filter(F.col("epoch") < int(epoch_id))
+                .join(aff, "doc_id", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.max("text").alias("text"))
+            )
+            base_d = texts.select(
+                "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
+            )
+            rows = rows.unionByName(
+                _apply_trim(base_d, cut_d).join(texts, "doc_id")
+            )
+
+        rows.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_root, f"epoch={int(epoch_id)}")
+        )
+        wins.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(occ_root, f"epoch={int(epoch_id)}")
+        )
+    finally:
+        g.unpersist()
+        wins.unpersist()
+
+
+def stream_exact_substring_apply_unordered(
+    spark: SparkSession,
+    docs_path: str,
+    min_len: int = 10,
+    n_splits: int = 2,
+) -> DataFrame:
+    """ORDER-INDEPENDENT streaming ExactSubstr dedup (the bounded-
+    lateness arm of VERDICT r11 next #6, taken all the way): documents
+    may arrive in ANY order — a late-arriving earlier occurrence
+    DEMOTES the standing canonical (whose row is recomputed and
+    re-emitted, latest epoch wins) instead of being rejected the way
+    the ordered stream's frontier guard does.  The staged ingest
+    delivers the corpus in REVERSE doc_id order — the adversarial
+    permutation where every epoch demotes standing canonicals — and
+    the final relation still equals dedup_exact_substring_apply on the
+    full corpus, sharing its oracle verbatim.  The trade vs the
+    ordered stream: rows are no longer immutable (consumers must read
+    latest-wins), and state is the per-occurrence index rather than
+    the O(distinct-digests) store."""
+    from pyspark.sql import Window
+
+    raw = spark.read.parquet(docs_path)
+    stage_dir = _stage_reversed_slices(spark, raw, n_splits)
+    occ_root = _scratch(prefix="exuo_occ_")
+    out_root = _scratch(prefix="exuo_out_")
+
+    def merge(bdf, epoch_id: int) -> None:
+        _exsub_uo_epoch(bdf, int(epoch_id), occ_root, out_root, min_len)
+
+    schema = spark.read.parquet(stage_dir + "/slice=0").schema
+    _run_ordered_stream(spark, schema, stage_dir, merge, "exuo_ckpt_")
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("epoch"))
+    return (
+        spark.read.parquet(out_root)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_toks", "n_kept", "text_dedup")
+    )

@@ -419,3 +419,99 @@ def test_delete_oracle_lift_is_well_defined():
     assert cc.count("FROM documents") == 4
     assert ex.count(live) == 1
     assert ex.count("FROM documents") == 2
+
+
+# --- order-independent (unordered) ExactSubstr ----------------------
+
+
+def test_unordered_late_canonical_demotes(spark, tmp_path):
+    """Doc 20 arrives FIRST (kept whole as the interim canonical);
+    doc 3 arrives later with the EARLIER occurrence — the standing
+    canonical is demoted: doc 20's row is re-emitted with the passage
+    cut, doc 3 keeps it.  Final relation = the batch apply."""
+    from qaapi_spark.operators.dedup import exact_substring_apply
+    from qaapi_spark.streaming.retraction import (
+        stream_exact_substring_apply_unordered,
+    )
+
+    docs = str(tmp_path / "docs.parquet")
+    rows = [(3, _PASSAGE + " t0 t1"), (20, "x y " + _PASSAGE)]
+    _mk_docs(spark, docs, rows)
+    got = {
+        r["doc_id"]: (r["n_toks"], r["n_kept"], r["text_dedup"])
+        for r in stream_exact_substring_apply_unordered(
+            spark, docs, n_splits=2
+        ).collect()
+    }
+    assert got[3] == (14, 14, (_PASSAGE + " t0 t1").lower())
+    assert got[20] == (14, 2, "x y")
+    batch = {
+        r["doc_id"]: (r["n_toks"], r["n_kept"], r["text_dedup"])
+        for r in exact_substring_apply(spark.read.parquet(docs), 10).collect()
+    }
+    assert got == batch
+
+
+def test_unordered_equals_batch_for_every_permutation(spark, tmp_path):
+    """Three batches carrying interlocking duplicates, driven through
+    the epoch function directly in ALL SIX arrival permutations: every
+    final relation equals the batch apply on the full corpus."""
+    import itertools
+
+    from qaapi_spark.operators.dedup import exact_substring_apply
+    from qaapi_spark.streaming.retraction import _exsub_uo_epoch
+    from pyspark.sql import Window
+
+    batches = [
+        [(0, _PASSAGE + " a0"), (1, _FILLER)],
+        [(10, "m0 m1 " + _PASSAGE)],
+        [(20, _PASSAGE), (21, _FILLER + " z0 z1")],
+    ]
+    rows = [r for b in batches for r in b]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(tuple(r) for r in exact_substring_apply(corpus, 10).collect())
+
+    mk = lambda rs: spark.createDataFrame(rs, "doc_id long, text string")
+    for k, perm in enumerate(itertools.permutations(range(3))):
+        occ = str(tmp_path / f"p{k}" / "occ")
+        out = str(tmp_path / f"p{k}" / "out")
+        for e, bi in enumerate(perm):
+            _exsub_uo_epoch(mk(batches[bi]), e, occ, out, 10)
+        from pyspark.sql import functions as F
+
+        got = sorted(
+            (r["doc_id"], r["n_toks"], r["n_kept"], r["text_dedup"])
+            for r in (
+                spark.read.parquet(out)
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("doc_id").orderBy(F.desc("epoch"))
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .select("doc_id", "n_toks", "n_kept", "text_dedup")
+            ).collect()
+        )
+        assert got == want, f"permutation {perm} diverged"
+
+
+def test_unordered_epoch_retry_idempotent(spark, tmp_path):
+    """A replayed demoting epoch re-emits the identical rows."""
+    from qaapi_spark.streaming.retraction import _exsub_uo_epoch
+
+    occ = str(tmp_path / "occ")
+    out = str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    _exsub_uo_epoch(mk([(20, "x " + _PASSAGE)]), 0, occ, out, 10)
+    b1 = mk([(3, _PASSAGE)])
+    _exsub_uo_epoch(b1, 1, occ, out, 10)
+    pub = lambda rows: sorted(
+        (r["doc_id"], r["n_toks"], r["n_kept"], r["text_dedup"]) for r in rows
+    )
+    first = pub(spark.read.parquet(os.path.join(out, "epoch=1")).collect())
+    # the demoted doc 20 re-emitted trimmed + the new canonical doc 3
+    assert first == [(3, 12, 12, _PASSAGE), (20, 13, 1, "x")]
+    _exsub_uo_epoch(b1, 1, occ, out, 10)  # replay
+    again = pub(spark.read.parquet(os.path.join(out, "epoch=1")).collect())
+    assert again == first
