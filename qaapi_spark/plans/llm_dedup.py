@@ -503,6 +503,103 @@ def stream_cc_labels_with_deletes_q(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@query(
+    "stream_neardup_with_deletes",
+    # the stream_neardup two-phase greedy relation, reconstructed on
+    # the LIVE corpus with the phases at the staged low/high boundary:
+    # phase 0 = live docs below mid, phase 1 = the rest; within a
+    # phase greedy min-id over true pairs (ANY smaller same-phase doc
+    # blocks), across phases a doc drops iff a KEPT earlier doc is a
+    # true near-dup.  Zero-shingle docs never appear (the operator
+    # contract shared with stream_neardup_dedup_docs).
+    oracle=f"""
+    WITH live AS (
+        SELECT doc_id, lang, source, text FROM documents
+        WHERE {_DEL_WHERE}
+    ),
+    words AS (
+        SELECT doc_id AS id, {_DD_WORDS} AS w FROM live
+    ),
+    sets AS (
+        SELECT id,
+               list_distinct(CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS sh
+        FROM words
+    ),
+    sizes AS (SELECT id, len(sh) AS set_size FROM sets),
+    posting AS (SELECT id, unnest(sh) AS shingle FROM sets),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes sa ON i.id_a = sa.id
+        JOIN sizes sb ON i.id_b = sb.id
+        WHERE ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4)
+              >= {_JACCARD_THRESHOLD}
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    eligible AS (
+        SELECT d.doc_id, d.lang, d.source
+        FROM live d JOIN sizes s ON d.doc_id = s.id
+        WHERE s.set_size >= 1
+    ),
+    b0 AS (SELECT * FROM eligible WHERE doc_id < {_DEL_MID}),
+    b1 AS (SELECT * FROM eligible WHERE doc_id >= {_DEL_MID}),
+    kept0 AS (
+        SELECT * FROM b0 d WHERE NOT EXISTS (
+            SELECT 1 FROM sym p JOIN b0 e ON p.a = e.doc_id
+            WHERE p.b = d.doc_id AND e.doc_id < d.doc_id)
+    ),
+    surv1 AS (
+        SELECT * FROM b1 d WHERE NOT EXISTS (
+            SELECT 1 FROM sym p JOIN kept0 k ON p.a = k.doc_id
+            WHERE p.b = d.doc_id)
+    ),
+    kept1 AS (
+        SELECT * FROM surv1 d WHERE NOT EXISTS (
+            SELECT 1 FROM sym p JOIN surv1 e ON p.a = e.doc_id
+            WHERE p.b = d.doc_id AND e.doc_id < d.doc_id)
+    )
+    SELECT doc_id, lang, source FROM kept0
+    UNION ALL SELECT doc_id, lang, source FROM kept1
+    ORDER BY doc_id
+    """,
+    doc="greedy near-dup dedup under streaming inserts AND retraction "
+    "— the third streaming dedup family to gain deletes (with CC "
+    "labels and ExactSubstr, VERDICT r11 next #2's direction taken to "
+    "completion): tombstoning a doc RE-OPENS its component's greedy "
+    "decisions — a doc dropped because of the retracted keeper "
+    "RESURRECTS, and a resurrected doc re-drops its own larger "
+    "near-dups (the cascade).  The delete epoch discovers the "
+    "tombstoned docs' components by band-join BFS (edges collected en "
+    "route — influence travels along edges and none leave a "
+    "component, so the scoped recompute is exact) and replays the "
+    "layered greedy formula per arrival epoch; the band store keeps "
+    "EVERY eligible doc (dropped ones may resurrect), decisions are "
+    "latest-wins deltas.  Equals the batch two-phase greedy relation "
+    "on the live corpus (extension, SURVEY §2.9; "
+    "streaming/retraction.stream_neardup_with_deletes)",
+)
+def stream_neardup_with_deletes_q(spark, sf_dir):
+    from qaapi_spark.streaming.retraction import stream_neardup_with_deletes
+
+    return stream_neardup_with_deletes(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        threshold=_JACCARD_THRESHOLD,
+        del_mod=_DEL_MOD,
+        del_rem=_DEL_REM,
+    ).orderBy("doc_id")
+
+
 def cc_jaccard_labels(spark, sf_dir):
     """Connected-component labels over the exact-Jaccard near-dup edge
     set, memoized per (application, sf_dir, threshold): both

@@ -126,12 +126,28 @@ def _stage_ops_with_deletes(
                     "doc_id", F.lit("").alias("text"), F.lit("d").alias("op")
                 )
             )
-    for j, sl in enumerate(slices):
-        sl.coalesce(1).sortWithinPartitions("doc_id").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(stage_dir, f"slice={j}"))
-    _stage_monotonic_mtimes(stage_dir)
+    _write_slices(stage_dir, slices)
     return stage_dir
+
+
+def _write_slices(stage_dir: str, slices: list[DataFrame]) -> None:
+    """Stage every slice in ONE partitionBy write (r12: the per-slice
+    write loop cost one job per slice): slices union with their index,
+    repartition by it (one shuffle partition per slice -> one file per
+    slice dir), and land as slice=j directories — the same layout the
+    per-slice writes produced, then monotonic mtimes as before."""
+    u = None
+    for j, sl in enumerate(slices):
+        tagged = sl.withColumn("slice", F.lit(j))
+        u = tagged if u is None else u.unionByName(tagged)
+    (
+        u.repartition("slice")
+        .sortWithinPartitions("slice", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("slice")
+        .parquet(stage_dir)
+    )
+    _stage_monotonic_mtimes(stage_dir)
 
 
 def _route_op_batch(bdf, epoch_id: int, ins_fn, del_fn) -> None:
@@ -659,20 +675,16 @@ def _stage_reversed_slices(
     lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
     stage_dir = _scratch(prefix="docs_uo_stream_")
-    for j, i in enumerate(reversed(range(n_splits))):
+    slices = []
+    for i in reversed(range(n_splits)):
         hi_pad = (1 << 60) if i == n_splits - 1 else 0
-        (
+        slices.append(
             raw.filter(
                 (F.col("doc_id") >= int(lo) + i * step)
                 & (F.col("doc_id") < int(lo) + (i + 1) * step + hi_pad)
-            )
-            .select("doc_id", "text")
-            .coalesce(1)
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(os.path.join(stage_dir, f"slice={j}"))
+            ).select("doc_id", "text")
         )
-    _stage_monotonic_mtimes(stage_dir)
+    _write_slices(stage_dir, slices)
     return stage_dir
 
 
@@ -845,4 +857,335 @@ def stream_exact_substring_apply_unordered(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_toks", "n_kept", "text_dedup")
+    )
+
+
+# --- Greedy near-dup keep/drop under retraction ----------------------
+
+
+def _nd_rt_insert_epoch(
+    bdf,
+    epoch_id: int,
+    band_root: str,
+    del_root: str,
+    threshold: float,
+    num_hashes: int,
+    n_bands: int,
+) -> None:
+    """Insert epoch of the retraction-capable greedy near-dup stream:
+    the stream_neardup_dedup decision pipeline (cross-screen against
+    kept live docs, then greedy min-id within the batch's survivors),
+    with the state made retraction-ready:
+
+    - the store keeps EVERY eligible batch doc as ONE row
+      (id, bands, sh, kept, arrival) — dropped docs may resurrect, so
+      their bands/sets must survive, and the decision rides the same
+      row (latest epoch wins) so flipping it later is one delta write;
+    - ``arrival`` pins the doc's INSERT epoch forever (the greedy
+      formula is layered by arrival phase; a later decision flip must
+      not move the doc between layers).
+
+    Retry-idempotent: reads filter epoch < N, writes epoch-keyed
+    overwrite."""
+    from qaapi_spark.operators.dedup import (
+        _hashed_shingle_sets,
+        minhash_band_arrays,
+    )
+
+    spark = bdf.sparkSession
+    bdf = bdf.repartition(8)
+    sets = (
+        _hashed_shingle_sets(bdf, 2, "text", "doc_id")
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    signed = sets.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(F.col("sh"), lambda v: F.xxhash64(i, v))
+            ),
+        ).alias("sig"),
+    )
+    bands_arr = minhash_band_arrays(signed, num_hashes, n_bands).persist()
+    keys = bands_arr.select("id", F.explode("bands").alias("bk")).select(
+        "id", "bk.band", "bk.bsig"
+    )
+
+    dropped_cross = None
+    if _store_recover(band_root) and _has_epochs(band_root):
+        rec = _nd_live_rows(spark, band_root, del_root, epoch_id).filter(
+            F.col("kept")
+        )
+        store = rec.select(
+            F.col("id").alias("other"), F.explode("bands").alias("bk")
+        ).select("bk.band", "bk.bsig", "other")
+        cand = keys.join(store, ["band", "bsig"]).select("id", "other").distinct()
+        dropped_cross = (
+            _verified_jaccard_pairs(cand, sets, rec.select("id", "sh"), threshold)
+            .select("id")
+            .distinct()
+        )
+    surv_keys = (
+        keys if dropped_cross is None else keys.join(dropped_cross, "id", "left_anti")
+    )
+    a, b = surv_keys.alias("a"), surv_keys.alias("b")
+    wpairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") > F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("other"))
+        .distinct()
+    )
+    dropped_within = (
+        _verified_jaccard_pairs(wpairs, sets, sets, threshold)
+        .select("id")
+        .distinct()
+    )
+    dropped = (
+        dropped_within
+        if dropped_cross is None
+        else dropped_within.unionByName(dropped_cross).distinct()
+    )
+    try:
+        (
+            bands_arr.join(sets, "id")
+            .join(dropped.withColumn("kept", F.lit(False)), "id", "left")
+            .select(
+                "id", "bands", "sh",
+                F.coalesce("kept", F.lit(True)).alias("kept"),
+                F.lit(int(epoch_id)).alias("arrival"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(band_root, f"epoch={int(epoch_id)}"))
+        )
+    finally:
+        bands_arr.unpersist()
+        sets.unpersist()
+
+
+def _nd_live_rows(spark, band_root: str, del_root: str, epoch_id: int):
+    """Current (id, bands, sh, kept, arrival) of every LIVE doc: the
+    fused store's latest-wins row per id (a delete epoch's decision
+    flip outranks the insert row), minus the tombstones."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("epoch"))
+    live = (
+        spark.read.parquet(band_root)
+        .filter(F.col("epoch") < int(epoch_id))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "bands", "sh", "kept", "arrival")
+    )
+    dels = _read_deleted(spark, del_root, epoch_id)
+    if dels is not None:
+        live = live.join(
+            dels.select(F.col("doc_id").alias("id")), "id", "left_anti"
+        )
+    return live
+
+
+def _nd_rt_delete_epoch(
+    ddf,
+    epoch_id: int,
+    band_root: str,
+    del_root: str,
+    threshold: float,
+) -> None:
+    """Retraction epoch of the greedy near-dup stream: tombstone the
+    batch's docs and RECOMPUTE the keep/drop decisions of their whole
+    live components.
+
+    Why the component, and why that is sufficient: the greedy relation
+    is a LAYERED formula over the verified near-dup graph — per arrival
+    epoch e, a doc survives the cross-screen iff no KEPT earlier-epoch
+    neighbor, and is kept iff additionally no smaller SURVIVING
+    same-epoch neighbor.  Deleting a doc can flip a neighbor's
+    decision, which can flip that doc's later-epoch neighbors, and so
+    on — but every influence travels along edges, and no edge leaves a
+    connected component, so recomputing the formula over the tombstoned
+    docs' components (discovered by band-join BFS from the tombstones,
+    edges collected along the way) is self-contained and exact:
+    resurrections (a dropped doc whose blocker vanished) AND cascades
+    (a resurrected doc re-dropping its larger near-dups) both land.
+    Unaffected components never pay anything.
+
+    Retry-idempotent: reads filter epoch < N, writes epoch-keyed
+    overwrite."""
+    spark = ddf.sparkSession
+    dels = ddf.select("doc_id").distinct().persist()
+    pinned = [dels]
+
+    def pin(df):
+        pinned.append(df.persist())
+        return pinned[-1]
+
+    try:
+        if _store_recover(band_root) and _has_epochs(band_root):
+            # tombstoned docs stay visible THIS epoch (BFS roots); the
+            # live view excludes only prior deletions
+            rows = pin(_nd_live_rows(spark, band_root, del_root, epoch_id))
+            all_keys = pin(
+                rows.select(
+                    F.col("id").alias("other"), F.explode("bands").alias("bk")
+                ).select("bk.band", "bk.bsig", "other")
+            )
+            lsets = rows.select("id", "sh")
+
+            # band-join BFS from the tombstones to component closure;
+            # verified edges accumulate as we go (an edge is discovered
+            # the first time either endpoint enters the frontier)
+            explored = pin(dels.select(F.col("doc_id").alias("id")))
+            frontier = explored
+            edges = None
+            while True:
+                fkeys = (
+                    rows.join(frontier, "id", "left_semi")
+                    .select("id", F.explode("bands").alias("bk"))
+                    .select("id", "bk.band", "bk.bsig")
+                )
+                cand = (
+                    fkeys.join(all_keys, ["band", "bsig"])
+                    .filter(F.col("id") != F.col("other"))
+                    .select("id", "other")
+                    .distinct()
+                )
+                ve = pin(_verified_jaccard_pairs(cand, lsets, lsets, threshold))
+                edges = (
+                    ve if edges is None
+                    else pin(edges.unionByName(ve).distinct())
+                )
+                new = pin(
+                    ve.select(F.col("other").alias("id"))
+                    .distinct()
+                    .join(explored, "id", "left_anti")
+                )
+                if new.limit(1).count() == 0:
+                    break
+                explored = pin(explored.unionByName(new).distinct())
+                frontier = new
+
+            comp = pin(
+                explored.join(
+                    dels.select(F.col("doc_id").alias("id")), "id", "left_anti"
+                ).join(rows.select("id", "bands", "sh", "arrival"), "id")
+            )
+            # symmetric closure once, for the formula's neighbor probes
+            sym = pin(
+                edges.unionByName(
+                    edges.select(
+                        F.col("other").alias("id"), F.col("id").alias("other")
+                    )
+                )
+                .join(dels.select(F.col("doc_id").alias("id")), "id", "left_anti")
+                .join(
+                    dels.select(F.col("doc_id").alias("other")), "other", "left_anti"
+                )
+                .distinct()
+            )
+            arrivals = sorted(
+                r[0] for r in comp.select("arrival").distinct().collect()
+            )
+            kept_frames = []
+            for e in arrivals:
+                aff_e = comp.filter(F.col("arrival") == e).select("id")
+                if kept_frames:
+                    kept_earlier = kept_frames[0]
+                    for kf in kept_frames[1:]:
+                        kept_earlier = kept_earlier.unionByName(kf)
+                    blocked = (
+                        sym.join(
+                            kept_earlier.select(F.col("id").alias("other")),
+                            "other",
+                            "left_semi",
+                        )
+                        .select("id")
+                        .distinct()
+                    )
+                    surv_e = aff_e.join(blocked, "id", "left_anti")
+                else:
+                    surv_e = aff_e
+                surv_e = pin(surv_e)
+                smaller_block = (
+                    sym.join(surv_e, "id", "left_semi")
+                    .join(
+                        surv_e.select(F.col("id").alias("other")), "other", "left_semi"
+                    )
+                    .filter(F.col("other") < F.col("id"))
+                    .select("id")
+                    .distinct()
+                )
+                kept_frames.append(surv_e.join(smaller_block, "id", "left_anti"))
+            if kept_frames:
+                kept_all = kept_frames[0]
+                for kf in kept_frames[1:]:
+                    kept_all = kept_all.unionByName(kf)
+                delta = comp.join(
+                    kept_all.withColumn("k2", F.lit(True)), "id", "left"
+                ).select(
+                    "id", "bands", "sh",
+                    F.coalesce("k2", F.lit(False)).alias("kept"),
+                    "arrival",
+                )
+                delta.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(band_root, f"epoch={int(epoch_id)}")
+                )
+        dels.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(del_root, f"epoch={int(epoch_id)}")
+        )
+    finally:
+        for df in pinned:
+            df.unpersist()
+
+
+def stream_neardup_with_deletes(
+    spark: SparkSession,
+    docs_path: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    n_bands: int = 16,
+    n_splits: int = 2,
+    del_mod: int = 10,
+    del_rem: int = 3,
+) -> DataFrame:
+    """Greedy near-dup dedup under streaming inserts AND retraction —
+    the third and last streaming dedup family to gain deletes (after
+    CC labels and ExactSubstr): tombstoning a doc RE-OPENS the greedy
+    decisions of its component, so a doc dropped because of the
+    retracted keeper RESURRECTS, and a resurrected doc re-drops its
+    own larger near-dups (the cascade), exactly reproducing the batch
+    two-phase greedy relation on the live corpus.  Returns the kept
+    docs as (doc_id, lang, source), like stream_neardup_dedup."""
+    raw = spark.read.parquet(docs_path)
+    stage_dir = _stage_ops_with_deletes(spark, raw, del_mod, del_rem, n_splits)
+    band_root = _scratch(prefix="ndrt_bands_")
+    del_root = _scratch(prefix="ndrt_deleted_")
+
+    def merge(bdf, epoch_id: int) -> None:
+        _route_op_batch(
+            bdf,
+            epoch_id,
+            ins_fn=lambda b, e: _nd_rt_insert_epoch(
+                b, e, band_root, del_root, threshold, num_hashes, n_bands
+            ),
+            del_fn=lambda d, e: _nd_rt_delete_epoch(
+                d, e, band_root, del_root, threshold
+            ),
+        )
+
+    schema = spark.read.parquet(stage_dir + "/slice=0").schema
+    _run_ordered_stream(spark, schema, stage_dir, merge, "ndrt_ckpt_")
+
+    # sentinel epoch number: strictly above every stream epoch
+    kept = _nd_live_rows(spark, band_root, del_root, 1 << 40).filter(
+        F.col("kept")
+    ).select(F.col("id").alias("doc_id"))
+    return raw.join(kept, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
     )

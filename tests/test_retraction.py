@@ -515,3 +515,84 @@ def test_unordered_epoch_retry_idempotent(spark, tmp_path):
     _exsub_uo_epoch(b1, 1, occ, out, 10)  # replay
     again = pub(spark.read.parquet(os.path.join(out, "epoch=1")).collect())
     assert again == first
+
+
+# --- greedy near-dup under retraction --------------------------------
+
+
+def _mk_docs_ls(spark, path, rows):
+    """(doc_id, text) rows widened with the lang/source columns the
+    neardup stream's public relation projects."""
+    spark.createDataFrame(
+        [(i, t, "en", f"src{i % 2}") for i, t in rows],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(path)
+
+
+def test_neardup_delete_resurrects_dropped_doc(spark, tmp_path):
+    """Epoch 0 ingests the chain 1~3~4 (1!~4): greedy keeps only 1 (3
+    blocked by 1, 4 blocked by survivor 3).  Retracting 3 re-opens the
+    component: 4 has no live smaller near-dup left and RESURRECTS."""
+    from qaapi_spark.streaming.retraction import stream_neardup_with_deletes
+
+    docs = str(tmp_path / "docs.parquet")
+    # staging (lo=1 hi=21 step=11): ins{1,3,4}, del{3}, ins{21}
+    _mk_docs_ls(spark, docs, [(1, _A), (3, _B), (4, _C), (21, _FILLER)])
+    kept = sorted(
+        r["doc_id"]
+        for r in stream_neardup_with_deletes(
+            spark, docs, n_splits=2, del_mod=10, del_rem=3
+        ).collect()
+    )
+    assert kept == [1, 4, 21]
+
+
+def test_neardup_resurrected_doc_blocks_later_insert(spark, tmp_path):
+    """Doc 4 is dropped behind keeper 3; retracting 3 resurrects 4;
+    doc 21 (near-dup of 4, NOT of 3) then arrives and must drop
+    against the RESURRECTED keeper — the kept-store read after a
+    delete epoch reflects the flipped decision."""
+    from qaapi_spark.streaming.retraction import stream_neardup_with_deletes
+
+    docs = str(tmp_path / "docs.parquet")
+    # staging: ins{3,4}, del{3}, ins{21}; J(3,4)=.86, J(4,21)=.88,
+    # J(3,21)=.76
+    _mk_docs_ls(spark, docs, [(3, _A), (4, _B), (21, _C)])
+    kept = sorted(
+        r["doc_id"]
+        for r in stream_neardup_with_deletes(
+            spark, docs, n_splits=2, del_mod=10, del_rem=3
+        ).collect()
+    )
+    assert kept == [4]
+
+
+def test_neardup_delete_epoch_retry_idempotent(spark, tmp_path):
+    """A replayed greedy-recompute epoch reproduces the identical
+    decision delta (the fused store row carries the flipped kept flag
+    plus the doc's bands/sets and its pinned arrival epoch)."""
+    from qaapi_spark.streaming.retraction import (
+        _nd_rt_delete_epoch,
+        _nd_rt_insert_epoch,
+    )
+
+    bands = str(tmp_path / "bands")
+    delr = str(tmp_path / "deleted")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    _nd_rt_insert_epoch(
+        mk([(1, _A), (3, _B), (4, _C)]), 0, bands, delr, 0.8, 64, 16
+    )
+    dec = lambda sub: sorted(
+        (r["id"], r["kept"], r["arrival"])
+        for r in spark.read.parquet(os.path.join(bands, sub))
+        .select("id", "kept", "arrival")
+        .collect()
+    )
+    assert dec("epoch=0") == [(1, True, 0), (3, False, 0), (4, False, 0)]
+    ddf = spark.createDataFrame([(3,)], "doc_id long")
+    _nd_rt_delete_epoch(ddf, 1, bands, delr, 0.8)
+    first = dec("epoch=1")
+    # 4 resurrected; arrival stays pinned at its insert epoch
+    assert first == [(1, True, 0), (4, True, 0)]
+    _nd_rt_delete_epoch(ddf, 1, bands, delr, 0.8)  # replay
+    assert dec("epoch=1") == first
