@@ -74,6 +74,7 @@ from qaapi_spark.streaming.incremental import (
     _scratch,
     _stage_monotonic_mtimes,
     _store_recover,
+    _store_swap,
     _verified_jaccard_pairs,
 )
 
@@ -426,9 +427,16 @@ def _exsub_rt_insert_epoch(
     # filter standing-store reads, so a re-insert would be silently
     # invisible rather than wrong — reject it here instead).  Footer
     # stats, not a Spark job (see _frontier_max_doc_id); the out store
-    # covers every ingested doc, so its doc_id stats ARE the frontier.
-    if _has_epochs(out_root):
-        prev_max = _frontier_max_doc_id(spark, out_root, epoch_id)
+    # covers every ingested doc, and del_root is consulted TOO so the
+    # frontier survives purge_tombstoned physically erasing the max-id
+    # doc's rows from the out store.
+    if _has_epochs(out_root) or _has_epochs(del_root):
+        cands = [
+            _frontier_max_doc_id(spark, out_root, epoch_id),
+            _frontier_max_doc_id(spark, del_root, epoch_id),
+        ]
+        vals = [c for c in cands if c is not None]
+        prev_max = max(vals) if vals else None
         if prev_max is not None:
             batch_min = bdf.agg(F.min("doc_id")).collect()[0][0]
             if batch_min is not None and int(batch_min) <= int(prev_max):
@@ -1189,3 +1197,49 @@ def stream_neardup_with_deletes(
     return raw.join(kept, "doc_id", "left_semi").select(
         "doc_id", "lang", "source"
     )
+
+
+# --- Physical erasure -------------------------------------------------
+
+
+def purge_tombstoned(
+    spark: SparkSession, root: str, del_root: str, key_col: str = "doc_id"
+) -> int:
+    """PHYSICAL erasure of tombstoned docs from an epoch-keyed store —
+    the second half of a GDPR takedown: the retraction epochs remove a
+    doc's influence from the maintained RELATION, but its text /
+    shingles / occurrences remain on disk, logically filtered on every
+    read.  This maintenance op rewrites the store without the
+    tombstoned keys (epoch partitioning preserved, so every
+    ``epoch < N`` read sees exactly the rows it saw before minus the
+    already-filtered ones — reader-visible state is unchanged) and
+    promotes it crash-safely via the rename-trash-rename _store_swap.
+
+    Tombstones themselves are NOT purged: del_root stays, both to
+    filter any store this op has not visited yet and to hold the
+    ordered-ingest frontier for retracted ids (the insert guards read
+    del_root's footer stats too, so purging the max-id doc's rows
+    cannot reopen its id).  Returns the number of rows erased.
+
+    Same reader-invalidation caveat as compact_epoch_store: collect
+    outstanding DataFrames over the store before purging."""
+    import shutil
+
+    dels = _read_deleted(spark, del_root)
+    if dels is None or not (_store_recover(root) and _has_epochs(root)):
+        return 0
+    df = spark.read.parquet(root)
+    n_before = df.count()
+    keep = df.join(
+        dels.select(F.col("doc_id").alias(key_col)), key_col, "left_anti"
+    )
+    nxt = root + ".next"
+    shutil.rmtree(nxt, ignore_errors=True)
+    (
+        keep.repartition("epoch")
+        .write.mode("overwrite")
+        .partitionBy("epoch")
+        .parquet(nxt)
+    )
+    _store_swap(root)
+    return n_before - spark.read.parquet(root).count()

@@ -596,3 +596,58 @@ def test_neardup_delete_epoch_retry_idempotent(spark, tmp_path):
     assert first == [(1, True, 0), (4, True, 0)]
     _nd_rt_delete_epoch(ddf, 1, bands, delr, 0.8)  # replay
     assert dec("epoch=1") == first
+
+
+def test_purge_tombstoned_physically_erases(spark, tmp_path):
+    """purge_tombstoned removes the retracted doc's rows from the
+    stores ON DISK (GDPR erasure, not just logical filtering), leaves
+    the maintained relation identical, keeps the next insert epoch
+    working, and still rejects re-insert of the purged id (the
+    frontier consults del_root, which the purge preserves)."""
+    from qaapi_spark.streaming.retraction import (
+        _exsub_rt_delete_epoch,
+        _exsub_rt_insert_epoch,
+        purge_tombstoned,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    occ = str(tmp_path / "occ")
+    out = str(tmp_path / "out")
+    delr = str(tmp_path / "deleted")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    _exsub_rt_insert_epoch(
+        mk([(0, _PASSAGE), (1, "x " + _PASSAGE)]), 0, occ, out, delr, 10
+    )
+    _exsub_rt_delete_epoch(
+        spark.createDataFrame([(0,)], "doc_id long"), 1, occ, out, delr, 10
+    )
+
+    def final():
+        w = Window.partitionBy("doc_id").orderBy(F.desc("epoch"))
+        dels = spark.read.parquet(delr).select("doc_id")
+        return sorted(
+            (r["doc_id"], r["n_kept"], r["text_dedup"])
+            for r in (
+                spark.read.parquet(out)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .join(dels, "doc_id", "left_anti")
+                .select("doc_id", "n_kept", "text_dedup")
+            ).collect()
+        )
+
+    before = final()
+    assert before == [(1, 13, ("x " + _PASSAGE).lower())]  # re-elected
+    assert purge_tombstoned(spark, out, delr, key_col="doc_id") > 0
+    assert purge_tombstoned(spark, occ, delr, key_col="doc_id") > 0
+    # doc 0 is GONE from disk, not merely filtered
+    assert spark.read.parquet(out).filter(F.col("doc_id") == 0).count() == 0
+    assert spark.read.parquet(occ).filter(F.col("doc_id") == 0).count() == 0
+    assert final() == before
+    # re-insert of the purged id is still rejected...
+    with pytest.raises(ValueError, match="out-of-order ingest"):
+        _exsub_rt_insert_epoch(mk([(0, _PASSAGE)]), 2, occ, out, delr, 10)
+    # ...and a fresh in-order insert still lands on the purged stores
+    _exsub_rt_insert_epoch(mk([(2, _FILLER)]), 2, occ, out, delr, 10)
+    assert final() == before + [(2, 12, _FILLER)]
