@@ -166,7 +166,16 @@ def _assign_points(points: DataFrame, cents: DataFrame) -> DataFrame:
     SQL-oracle order — NOT numpy's pairwise sum, which could flip
     near-tie argmins), and ``argmin`` over cid-ascending columns takes
     the first minimum = lowest cid, the ``array_min(struct(dist,
-    cid))`` tiebreak."""
+    cid))`` tiebreak.
+
+    The codebook ships inside the task closure, NOT a SparkContext
+    broadcast (ADVICE r12 #5: a per-iteration broadcast was never
+    destroyed, so executor-held blocks accumulated across Lloyd
+    iterations/queries until a GC-driven ContextCleaner pass — the
+    exact cross-query interference bench.py works around).  A codebook
+    is k x d doubles (tens of KB), far under the closure-serialization
+    threshold where a real broadcast pays off, and closures have no
+    lifecycle to leak."""
     import pandas as pd
 
     crows = sorted(
@@ -174,10 +183,9 @@ def _assign_points(points: DataFrame, cents: DataFrame) -> DataFrame:
     )
     cids = np.array([c for c, _ in crows], dtype=np.int64)
     cmat = np.array([v for _, v in crows], dtype=np.float64)  # (k, d)
-    bc = points.sparkSession.sparkContext.broadcast((cids, cmat))
 
     def kernel(batches):
-        cids_, cm = bc.value
+        cids_, cm = cids, cmat
         for pdf in batches:
             if not len(pdf):
                 continue

@@ -2064,6 +2064,40 @@ def _read_deleted(spark, del_root: str, epoch_id: int | None = None):
     return df.select("doc_id")
 
 
+def _reject_tombstoned_reinsert(bdf, del_root: str | None, epoch_id: int) -> None:
+    """Raise when an insert batch carries a doc_id that was already
+    RETRACTED (ADVICE r12 #1): tombstones filter every standing-store
+    read, so a re-inserted retracted doc would participate in
+    within-batch greedy/edge decisions (it can block a live near-dup or
+    become a component's min label) and then silently vanish from later
+    reads — corrupting survivors' kept flags / labels instead of
+    erroring.  The ExactSubstr stream catches this for free via its
+    doc_id-ordered frontier (which counts del_root footer stats); the
+    CC-label and near-dup insert epochs have no frontier, so they call
+    this explicit semi-join guard.  Retry-idempotent: the tombstone
+    read filters ``epoch < epoch_id``, so a replayed insert epoch never
+    trips on tombstones written after it."""
+    if del_root is None:
+        return
+    tomb = _read_deleted(bdf.sparkSession, del_root, epoch_id)
+    if tomb is None:
+        return
+    hits = (
+        bdf.select("doc_id")
+        .join(F.broadcast(tomb), "doc_id", "left_semi")
+        .limit(3)
+        .collect()
+    )
+    if hits:
+        raise ValueError(
+            "re-insert of tombstoned doc_id(s) "
+            f"{sorted(r[0] for r in hits)}: retracted ids are permanent "
+            "(GDPR-shaped) — tombstones filter standing-store reads, so "
+            "a re-inserted doc would silently corrupt the maintained "
+            "relation instead of erroring"
+        )
+
+
 def _cc_labels_epoch(
     bdf,
     epoch_id: int,
@@ -2118,6 +2152,7 @@ def _cc_labels_epoch(
     )
 
     spark = bdf.sparkSession
+    _reject_tombstoned_reinsert(bdf, del_root, epoch_id)
     bdf = bdf.repartition(8)
     sets = (
         _hashed_shingle_sets(bdf, 2, "text", "doc_id")

@@ -651,3 +651,90 @@ def test_purge_tombstoned_physically_erases(spark, tmp_path):
     # ...and a fresh in-order insert still lands on the purged stores
     _exsub_rt_insert_epoch(mk([(2, _FILLER)]), 2, occ, out, delr, 10)
     assert final() == before + [(2, 12, _FILLER)]
+
+
+def test_cc_insert_rejects_reinsert_of_tombstoned_id(spark, tmp_path):
+    """ADVICE r12 #1: the CC insert path has no doc_id frontier, so a
+    re-inserted retracted id would silently corrupt labels (it can
+    become a component's min label, then vanish from every read) —
+    the explicit tombstone semi-join guard must raise instead, while
+    fresh ids and replayed pre-delete epochs still pass."""
+    from qaapi_spark.streaming.incremental import _cc_labels_epoch
+    from qaapi_spark.streaming.retraction import _cc_rt_delete_epoch
+
+    store = str(tmp_path / "store")
+    labels = str(tmp_path / "labels")
+    delr = str(tmp_path / "deleted")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    _cc_labels_epoch(mk([(1, _A)]), 0, store, labels, 0.8, 64, 16, del_root=delr)
+    _cc_rt_delete_epoch(
+        spark.createDataFrame([(1,)], "doc_id long"), 1, store, labels, delr, 0.8
+    )
+    with pytest.raises(ValueError, match="re-insert of tombstoned"):
+        _cc_labels_epoch(
+            mk([(1, _A)]), 2, store, labels, 0.8, 64, 16, del_root=delr
+        )
+    # a fresh id is accepted...
+    _cc_labels_epoch(mk([(2, _C)]), 2, store, labels, 0.8, 64, 16, del_root=delr)
+    # ...and a REPLAY of the pre-delete epoch reads tombstones at
+    # epoch < 0 — no false trip (retry-idempotence)
+    _cc_labels_epoch(mk([(1, _A)]), 0, store, labels, 0.8, 64, 16, del_root=delr)
+
+
+def test_nd_insert_rejects_reinsert_of_tombstoned_id(spark, tmp_path):
+    """Same guard on the greedy near-dup insert epoch: a re-inserted
+    retracted doc could block a live near-dup inside the batch before
+    later reads anti-join it away."""
+    from qaapi_spark.streaming.retraction import (
+        _nd_rt_delete_epoch,
+        _nd_rt_insert_epoch,
+    )
+
+    band = str(tmp_path / "bands")
+    delr = str(tmp_path / "deleted")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    _nd_rt_insert_epoch(mk([(1, _A)]), 0, band, delr, 0.8, 64, 16)
+    _nd_rt_delete_epoch(
+        spark.createDataFrame([(1,)], "doc_id long"), 1, band, delr, 0.8
+    )
+    with pytest.raises(ValueError, match="re-insert of tombstoned"):
+        _nd_rt_insert_epoch(mk([(1, _A)]), 2, band, delr, 0.8, 64, 16)
+    _nd_rt_insert_epoch(mk([(2, _C)]), 2, band, delr, 0.8, 64, 16)
+    _nd_rt_insert_epoch(mk([(1, _A)]), 0, band, delr, 0.8, 64, 16)
+
+
+def test_purge_tombstoned_full_purge_and_accounting(spark, tmp_path):
+    """ADVICE r12 #2: purging a store whose EVERY row is tombstoned
+    must not write a schema-less root (the empty partitionBy write) —
+    it erases the epoch dirs in place, returns the erased count, and
+    the store behaves as never-written (readers guard on _has_epochs);
+    a second purge is a 0-row no-op and fresh inserts still land."""
+    from qaapi_spark.streaming.incremental import _has_epochs
+    from qaapi_spark.streaming.retraction import (
+        _exsub_rt_delete_epoch,
+        _exsub_rt_insert_epoch,
+        purge_tombstoned,
+    )
+    from pyspark.sql import functions as F
+
+    occ = str(tmp_path / "occ")
+    out = str(tmp_path / "out")
+    delr = str(tmp_path / "deleted")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    _exsub_rt_insert_epoch(mk([(0, _PASSAGE)]), 0, occ, out, delr, 10)
+    _exsub_rt_delete_epoch(
+        spark.createDataFrame([(0,)], "doc_id long"), 1, occ, out, delr, 10
+    )
+    assert purge_tombstoned(spark, occ, delr) > 0
+    assert not _has_epochs(occ)
+    assert purge_tombstoned(spark, occ, delr) == 0  # idempotent no-op
+    # the fused out store purges fully too (its only row was doc 0)
+    assert purge_tombstoned(spark, out, delr) == 1
+    assert not _has_epochs(out)
+    # the frontier survives in del_root: reinsert rejected, fresh ok
+    with pytest.raises(ValueError, match="out-of-order ingest"):
+        _exsub_rt_insert_epoch(mk([(0, _PASSAGE)]), 2, occ, out, delr, 10)
+    _exsub_rt_insert_epoch(mk([(2, _FILLER)]), 2, occ, out, delr, 10)
+    assert (
+        spark.read.parquet(out).filter(F.col("doc_id") == 2).count() == 1
+    )

@@ -15,12 +15,19 @@ single run is trustworthy.  The honest reading, mechanized here:
 
 Usage:
   python tools/adjudicate_bench.py RUN.err [RUN2.err ...]
-  python tools/adjudicate_bench.py bench_history/runs_sf0.1.jsonl
+  python tools/adjudicate_bench.py [--since TS] bench_history/runs_sf0.1.jsonl
 where each RUN.err is a bench.py stderr file (the "# name: 1.234s"
 lines); the matching RUN.out (same stem) is read for the calib
 quartets when present.  A .jsonl argument is bench.py's committed
 per-run log (VERDICT r11 #4): every line is one complete run — the
 composite becomes re-derivable from the repo alone.
+
+``--since TS`` (ADVICE r12 #3): the jsonl is append-only across
+rounds, so without a bound 'best-of-N' silently blends prior rounds'
+timings (a stale fast outlier understates the current round).  TS is
+epoch seconds or a local ISO datetime (--since 2026-08-16T12:00);
+lines whose ``ts`` is earlier are dropped.  Each ingested line prints
+its ts so the right bound is easy to pick.
 """
 
 from __future__ import annotations
@@ -64,8 +71,24 @@ def parse_calib(err_path: str) -> dict:
         return {}
 
 
+def _ts_key(v) -> float:
+    """Epoch seconds from a jsonl ``ts`` (float) or an ISO datetime."""
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        from datetime import datetime
+
+        return datetime.fromisoformat(str(v)).timestamp()
+
+
 def main() -> None:
-    paths = sys.argv[1:]
+    argv = sys.argv[1:]
+    since = None
+    if "--since" in argv:
+        i = argv.index("--since")
+        since = _ts_key(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    paths = argv
     if not paths:
         sys.exit(__doc__)
     runs = []
@@ -74,9 +97,11 @@ def main() -> None:
             with open(p) as f:
                 for i, ln in enumerate(ln for ln in f if ln.strip()):
                     d = json.loads(ln)
+                    if since is not None and _ts_key(d.get("ts") or 0) < since:
+                        continue
                     runs.append(
                         (
-                            f"{os.path.basename(p)}#{i}",
+                            f"{os.path.basename(p)}#{i}@{d.get('ts', '?')}",
                             d.get("queries") or {},
                             {
                                 "start": d.get("calib_start"),
@@ -91,6 +116,8 @@ def main() -> None:
                     )
         else:
             runs.append((p, parse_err(p), parse_calib(p)))
+    if not runs:
+        sys.exit("no runs left after --since filter")
     for p, q, c in runs:
         ios = [
             (c.get(k) or {}).get("io")
