@@ -76,36 +76,29 @@ def _driver_state() -> tuple[set[str], set[str], int, dict[str, int]]:
 # passthrough), and the Hamming screen's query collect (limit + bound),
 # so their r7 rows certify retired code.  All four re-verified locally
 # (check_oracle sf0.001 + sf0.01); the force makes the driver confirm.
-_FORCE_RECHECK_ROUND = 11
+_FORCE_RECHECK_ROUND = 12
 _FORCE_RECHECK = frozenset(
     {
-        # Round 12 (ADVICE r11 #2): lloyd_centroids_distributed's
-        # shared iteration loop gained a per-iteration
-        # localCheckpoint(eager=False) in r11, and these three
-        # lloyd_centroids_kernel consumers rotated green in the SAME
-        # round — by the repo's own policy their rows may certify the
-        # pre-checkpoint loop, so force one confirming re-check
-        # (value-identical by construction; the checkpoint only cuts
-        # lineage).  The r11 miner forces self-expired on their r11
-        # green rows and already ran the new loop at the r11 gate.
-        "emb_kmeans_lloyd3",
-        "dedup_semantic_kmeans",
-        "ann_topk_ivf_trained",
-        # Round 12: both incremental epoch kernels execute new code —
-        # _store_recover in place of bare isdir checks (ADVICE r11 #1)
-        # and the retraction refactor (_verified_jaccard_pairs /
-        # _propagate_min_labels extraction, del_root tombstone reads,
-        # None by default).  Value-identical by construction for the
-        # delete-free catalog paths (re-verified via check_oracle at
-        # sf0.01); the force makes the driver confirm.
-        "stream_cc_labels_incremental",
-        "stream_exact_substring_apply",
-        # Round 12 (VERDICT r11 next #4): stream_neardup's epoch step
-        # was shaved (O(1)-wide signature tree, 8-part shuffles,
-        # _store_recover) — value-identical (hash re-verified at
-        # sf0.01, 6.8 -> 5.0 s warm standalone at sf0.1) but a new
-        # executed path.
-        "stream_neardup_dedup_docs",
+        # Round 13 (VERDICT r12 next #1): the 13 queries whose most
+        # recent green row is r7 — 5 rounds stale, the catalog's
+        # oldest verification debt.  The 235-query catalog cycles a
+        # 50-slot window in ~5 rounds, so without pins the LRU
+        # rotation would reach only part of this tail; pinning clears
+        # the whole r7 cohort in one window.  The pins self-expire on
+        # their r13 green rows.
+        "ann_topk_pq",
+        "bm25_search_topk",
+        "cdc_diff_order_snapshots",
+        "curation_source_mixture_weights",
+        "curation_training_order",
+        "dedup_keep_representatives",
+        "event_type_cooccurrence_lift",
+        "pmi_collocations",
+        "profile_orders_columns",
+        "skew_profile_orders_custkey",
+        "sliding_window_event_counts",
+        "tfidf_top_terms",
+        "user_interevent_stats",
     }
 )
 
