@@ -36,6 +36,10 @@ from qaapi_spark.plans.catalog import query, t
 from qaapi_spark.plans.llm_dedup import (
     _DD_JACCARD_PAIRS,
     _DD_SUBSTR_DPOS,
+    _DEL_MID,
+    _DEL_MOD,
+    _DEL_REM,
+    _DEL_WHERE,
     _SUBSTR_L,
     cc_jaccard_labels,
 )
@@ -615,3 +619,132 @@ def stream_pipeline_corpus_to_shards_q(spark, sf_dir):
         ).orderBy("source", "doc_id")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@query(
+    "stream_pipeline_shards_with_deletes",
+    # the stream pipeline relation reconstructed on the LIVE corpus:
+    # the stream_neardup_with_deletes two-phase greedy (phases at the
+    # staged low/high boundary _DEL_MID) feeding the same gate/cap/pack
+    # tail as the insert-only pipeline oracle — retraction must (1)
+    # resurrect dedup-dropped docs, (2) release quota slots, and (3)
+    # shift every later same-source doc's rank and start_tok, and all
+    # three fall out of computing the batch formula over live docs.
+    oracle=f"""
+    WITH live AS (
+        SELECT doc_id, source, text FROM documents WHERE {_DEL_WHERE}
+    ),
+    words AS (
+        SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM live
+    ),
+    sets AS (
+        SELECT id,
+               list_distinct(CASE WHEN len(w) >= 2
+                   THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS sh
+        FROM words
+    ),
+    sizes AS (SELECT id, len(sh) AS set_size FROM sets),
+    posting AS (SELECT id, unnest(sh) AS shingle FROM sets),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    npairs AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes sa ON i.id_a = sa.id
+        JOIN sizes sb ON i.id_b = sb.id
+        WHERE ROUND(i.inter * 1.0 / (sa.set_size + sb.set_size - i.inter), 4) >= 0.8
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM npairs
+        UNION ALL SELECT id_b, id_a FROM npairs
+    ),
+    eligible AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM live d JOIN sizes s ON d.doc_id = s.id
+        WHERE s.set_size >= 1
+    ),
+    b0 AS (SELECT * FROM eligible WHERE doc_id < {_DEL_MID}),
+    b1 AS (SELECT * FROM eligible WHERE doc_id >= {_DEL_MID}),
+    kept0 AS (
+        SELECT * FROM b0 d WHERE NOT EXISTS (
+            SELECT 1 FROM sym p JOIN b0 e ON p.a = e.doc_id
+            WHERE p.b = d.doc_id AND e.doc_id < d.doc_id)
+    ),
+    surv1 AS (
+        SELECT * FROM b1 d WHERE NOT EXISTS (
+            SELECT 1 FROM sym p JOIN kept0 k ON p.a = k.doc_id
+            WHERE p.b = d.doc_id)
+    ),
+    kept1 AS (
+        SELECT * FROM surv1 d WHERE NOT EXISTS (
+            SELECT 1 FROM sym p JOIN surv1 e ON p.a = e.doc_id
+            WHERE p.b = d.doc_id AND e.doc_id < d.doc_id)
+    ),
+    keptall AS (
+        SELECT doc_id, source, text FROM kept0
+        UNION ALL SELECT doc_id, source, text FROM kept1
+    ),
+    gated AS (
+        SELECT source, doc_id,
+               len(string_split_regex(trim(lower(text)), '\\s+')) AS n_toks
+        FROM keptall
+        WHERE len(string_split_regex(trim(lower(text)), '\\s+'))
+              >= {_SHARD_MIN_TOKS}
+    ),
+    capped AS (
+        SELECT source, doc_id, n_toks FROM (
+            SELECT source, doc_id, n_toks,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn <= {_SHARD_CAP}
+    ),
+    p AS (
+        SELECT source, doc_id, n_toks,
+               COALESCE(SUM(n_toks) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_tok
+        FROM capped
+    )
+    SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(FLOOR(start_tok / {_SHARD_BUDGET}.0) AS BIGINT) AS first_chunk,
+           CAST(FLOOR((start_tok + n_toks - 1) / {_SHARD_BUDGET}.0) AS BIGINT)
+               AS last_chunk,
+           CAST(FLOOR((start_tok + n_toks - 1) / {_SHARD_BUDGET}.0) AS BIGINT)
+               - CAST(FLOOR(start_tok / {_SHARD_BUDGET}.0) AS BIGINT) + 1
+               AS n_chunks
+    FROM p ORDER BY source, doc_id
+    """,
+    doc="the composed corpus-to-shards pipeline under streaming "
+    "inserts AND retraction — the last insert-only streaming family "
+    "to gain deletes (VERDICT r12 next #2; the reference's J5 "
+    "delete-then-reconcile applied to a derived artifact, 'Update "
+    "Calabrio Tables from Staging Tables (D_POST_INSTALL).sql':85-92): "
+    "a tombstoned doc re-opens its component's greedy dedup decisions, "
+    "RELEASES its per-source quota slot (the next capped-out doc is "
+    "readmitted), and invalidates its packed chunks — the delete epoch "
+    "rebuilds the AFFECTED SOURCES' packs from the fused store "
+    "(bands + shingles + gate inputs per eligible doc) and resets "
+    "their totals snapshots, so later inserts append with correct "
+    "offsets and the final relation equals the batch gate/cap/pack "
+    "over the live kept corpus (extension, SURVEY §2.9; "
+    "streaming/retraction.stream_pipeline_corpus_to_shards_with_"
+    "deletes)",
+)
+def stream_pipeline_shards_with_deletes_q(spark, sf_dir):
+    from qaapi_spark.streaming.retraction import (
+        stream_pipeline_corpus_to_shards_with_deletes,
+    )
+
+    return stream_pipeline_corpus_to_shards_with_deletes(
+        spark, f"{sf_dir}/documents.parquet",
+        min_toks=_SHARD_MIN_TOKS, budget=_SHARD_BUDGET,
+        source_cap=_SHARD_CAP, del_mod=_DEL_MOD, del_rem=_DEL_REM,
+    ).orderBy("source", "doc_id")

@@ -86,6 +86,7 @@ def _stage_ops_with_deletes(
     del_mod: int,
     del_rem: int,
     n_splits: int = 2,
+    extra_cols: tuple = (),
 ) -> str:
     """Stage the corpus as an op-tagged ordered ingest with an
     INTERLEAVED retraction batch: insert slices 0..mid-1 (low doc_id
@@ -107,8 +108,10 @@ def _stage_ops_with_deletes(
     with the single mid-stream batch; the second delete epoch bought
     only ~3.5 s of per-epoch machinery per suite line.
 
-    Uniform slice schema (doc_id, text, op): op='i' inserts carry
-    text, op='d' tombstones carry only the id (text='')."""
+    Uniform slice schema (doc_id, text, *extra_cols, op): op='i'
+    inserts carry text (plus any ``extra_cols`` a pipeline consumer
+    needs, e.g. ``source`` for the shard pipeline), op='d' tombstones
+    carry only the id (text='', extra cols ride along unused)."""
     lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
     mid_i = max(1, n_splits // 2)
@@ -122,12 +125,15 @@ def _stage_ops_with_deletes(
             raw.filter(
                 (F.col("doc_id") >= int(lo) + i * step)
                 & (F.col("doc_id") < int(lo) + (i + 1) * step + hi_pad)
-            ).select("doc_id", "text", F.lit("i").alias("op"))
+            ).select("doc_id", "text", *extra_cols, F.lit("i").alias("op"))
         )
         if i == mid_i - 1:
             slices.append(
                 raw.filter(pred & (F.col("doc_id") < mid_bound)).select(
-                    "doc_id", F.lit("").alias("text"), F.lit("d").alias("op")
+                    "doc_id",
+                    F.lit("").alias("text"),
+                    *extra_cols,
+                    F.lit("d").alias("op"),
                 )
             )
     _write_slices(stage_dir, slices)
@@ -898,6 +904,43 @@ def _nd_rt_insert_epoch(
 
     Retry-idempotent: reads filter epoch < N, writes epoch-keyed
     overwrite."""
+    sets, bands_arr, dropped = _nd_rt_decide(
+        bdf, epoch_id, band_root, del_root, threshold, num_hashes, n_bands
+    )
+    try:
+        (
+            bands_arr.join(sets, "id")
+            .join(dropped.withColumn("kept", F.lit(False)), "id", "left")
+            .select(
+                "id", "bands", "sh",
+                F.coalesce("kept", F.lit(True)).alias("kept"),
+                F.lit(int(epoch_id)).alias("arrival"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(band_root, f"epoch={int(epoch_id)}"))
+        )
+    finally:
+        bands_arr.unpersist()
+        sets.unpersist()
+
+
+def _nd_rt_decide(
+    bdf,
+    epoch_id: int,
+    band_root: str,
+    del_root: str,
+    threshold: float,
+    num_hashes: int,
+    n_bands: int,
+):
+    """The shared greedy insert-epoch DECISION of the retraction-capable
+    near-dup streams (extracted r13 so the composed shard pipeline can
+    reuse it): reject tombstone re-inserts, minhash-band the batch,
+    cross-screen against the KEPT live store rows, then greedy min-id
+    within the batch's survivors.  Returns ``(sets, bands_arr,
+    dropped)`` — ``sets``/``bands_arr`` PERSISTED (the caller owns the
+    unpersist), ``dropped`` the batch ids losing the greedy decision."""
     from qaapi_spark.operators.dedup import (
         _hashed_shingle_sets,
         minhash_band_arrays,
@@ -963,28 +1006,16 @@ def _nd_rt_insert_epoch(
         if dropped_cross is None
         else dropped_within.unionByName(dropped_cross).distinct()
     )
-    try:
-        (
-            bands_arr.join(sets, "id")
-            .join(dropped.withColumn("kept", F.lit(False)), "id", "left")
-            .select(
-                "id", "bands", "sh",
-                F.coalesce("kept", F.lit(True)).alias("kept"),
-                F.lit(int(epoch_id)).alias("arrival"),
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(band_root, f"epoch={int(epoch_id)}"))
-        )
-    finally:
-        bands_arr.unpersist()
-        sets.unpersist()
+    return sets, bands_arr, dropped
 
 
 def _nd_live_rows(spark, band_root: str, del_root: str, epoch_id: int):
-    """Current (id, bands, sh, kept, arrival) of every LIVE doc: the
-    fused store's latest-wins row per id (a delete epoch's decision
-    flip outranks the insert row), minus the tombstones."""
+    """Current store row of every LIVE doc: the fused store's
+    latest-wins row per id (a delete epoch's decision flip outranks
+    the insert row), minus the tombstones.  Column-generic (r13): the
+    near-dup store carries (id, bands, sh, kept, arrival), the shard
+    pipeline's extends that with (source, n_toks) — both read through
+    here."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy(F.desc("epoch"))
@@ -993,7 +1024,7 @@ def _nd_live_rows(spark, band_root: str, del_root: str, epoch_id: int):
         .filter(F.col("epoch") < int(epoch_id))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("id", "bands", "sh", "kept", "arrival")
+        .drop("rn", "epoch")
     )
     dels = _read_deleted(spark, del_root, epoch_id)
     if dels is not None:
@@ -1043,101 +1074,10 @@ def _nd_rt_delete_epoch(
             # tombstoned docs stay visible THIS epoch (BFS roots); the
             # live view excludes only prior deletions
             rows = pin(_nd_live_rows(spark, band_root, del_root, epoch_id))
-            all_keys = pin(
-                rows.select(
-                    F.col("id").alias("other"), F.explode("bands").alias("bk")
-                ).select("bk.band", "bk.bsig", "other")
+            comp, kept_all = _nd_rt_component_recompute(
+                dels, rows, threshold, pin
             )
-            lsets = rows.select("id", "sh")
-
-            # band-join BFS from the tombstones to component closure;
-            # verified edges accumulate as we go (an edge is discovered
-            # the first time either endpoint enters the frontier)
-            explored = pin(dels.select(F.col("doc_id").alias("id")))
-            frontier = explored
-            edges = None
-            while True:
-                fkeys = (
-                    rows.join(frontier, "id", "left_semi")
-                    .select("id", F.explode("bands").alias("bk"))
-                    .select("id", "bk.band", "bk.bsig")
-                )
-                cand = (
-                    fkeys.join(all_keys, ["band", "bsig"])
-                    .filter(F.col("id") != F.col("other"))
-                    .select("id", "other")
-                    .distinct()
-                )
-                ve = pin(_verified_jaccard_pairs(cand, lsets, lsets, threshold))
-                edges = (
-                    ve if edges is None
-                    else pin(edges.unionByName(ve).distinct())
-                )
-                new = pin(
-                    ve.select(F.col("other").alias("id"))
-                    .distinct()
-                    .join(explored, "id", "left_anti")
-                )
-                if new.limit(1).count() == 0:
-                    break
-                explored = pin(explored.unionByName(new).distinct())
-                frontier = new
-
-            comp = pin(
-                explored.join(
-                    dels.select(F.col("doc_id").alias("id")), "id", "left_anti"
-                ).join(rows.select("id", "bands", "sh", "arrival"), "id")
-            )
-            # symmetric closure once, for the formula's neighbor probes
-            sym = pin(
-                edges.unionByName(
-                    edges.select(
-                        F.col("other").alias("id"), F.col("id").alias("other")
-                    )
-                )
-                .join(dels.select(F.col("doc_id").alias("id")), "id", "left_anti")
-                .join(
-                    dels.select(F.col("doc_id").alias("other")), "other", "left_anti"
-                )
-                .distinct()
-            )
-            arrivals = sorted(
-                r[0] for r in comp.select("arrival").distinct().collect()
-            )
-            kept_frames = []
-            for e in arrivals:
-                aff_e = comp.filter(F.col("arrival") == e).select("id")
-                if kept_frames:
-                    kept_earlier = kept_frames[0]
-                    for kf in kept_frames[1:]:
-                        kept_earlier = kept_earlier.unionByName(kf)
-                    blocked = (
-                        sym.join(
-                            kept_earlier.select(F.col("id").alias("other")),
-                            "other",
-                            "left_semi",
-                        )
-                        .select("id")
-                        .distinct()
-                    )
-                    surv_e = aff_e.join(blocked, "id", "left_anti")
-                else:
-                    surv_e = aff_e
-                surv_e = pin(surv_e)
-                smaller_block = (
-                    sym.join(surv_e, "id", "left_semi")
-                    .join(
-                        surv_e.select(F.col("id").alias("other")), "other", "left_semi"
-                    )
-                    .filter(F.col("other") < F.col("id"))
-                    .select("id")
-                    .distinct()
-                )
-                kept_frames.append(surv_e.join(smaller_block, "id", "left_anti"))
-            if kept_frames:
-                kept_all = kept_frames[0]
-                for kf in kept_frames[1:]:
-                    kept_all = kept_all.unionByName(kf)
+            if comp is not None:
                 delta = comp.join(
                     kept_all.withColumn("k2", F.lit(True)), "id", "left"
                 ).select(
@@ -1154,6 +1094,116 @@ def _nd_rt_delete_epoch(
     finally:
         for df in pinned:
             df.unpersist()
+
+
+def _nd_rt_component_recompute(dels, rows, threshold: float, pin):
+    """The shared heart of the near-dup delete epochs (extracted r13
+    for the composed shard pipeline): band-join BFS from the
+    tombstones to component closure (verified edges accumulate as we
+    go — an edge is discovered the first time either endpoint enters
+    the frontier), then the layered greedy formula replayed per
+    arrival epoch over the affected components' LIVE docs.
+
+    ``rows`` is the live store view (any column superset of id, bands,
+    sh, kept, arrival), ``pin`` the caller's persist-tracking helper.
+    Returns ``(comp, kept_all)``: ``comp`` = affected live docs with
+    every store column except ``kept``; ``kept_all`` = their recomputed
+    kept ids — or ``(None, None)`` when the tombstones touch no live
+    component member (nothing to rewrite)."""
+    all_keys = pin(
+        rows.select(
+            F.col("id").alias("other"), F.explode("bands").alias("bk")
+        ).select("bk.band", "bk.bsig", "other")
+    )
+    lsets = rows.select("id", "sh")
+
+    explored = pin(dels.select(F.col("doc_id").alias("id")))
+    frontier = explored
+    edges = None
+    while True:
+        fkeys = (
+            rows.join(frontier, "id", "left_semi")
+            .select("id", F.explode("bands").alias("bk"))
+            .select("id", "bk.band", "bk.bsig")
+        )
+        cand = (
+            fkeys.join(all_keys, ["band", "bsig"])
+            .filter(F.col("id") != F.col("other"))
+            .select("id", "other")
+            .distinct()
+        )
+        ve = pin(_verified_jaccard_pairs(cand, lsets, lsets, threshold))
+        edges = (
+            ve if edges is None
+            else pin(edges.unionByName(ve).distinct())
+        )
+        new = pin(
+            ve.select(F.col("other").alias("id"))
+            .distinct()
+            .join(explored, "id", "left_anti")
+        )
+        if new.limit(1).count() == 0:
+            break
+        explored = pin(explored.unionByName(new).distinct())
+        frontier = new
+
+    comp = pin(
+        explored.join(
+            dels.select(F.col("doc_id").alias("id")), "id", "left_anti"
+        ).join(rows.drop("kept"), "id")
+    )
+    # symmetric closure once, for the formula's neighbor probes
+    sym = pin(
+        edges.unionByName(
+            edges.select(
+                F.col("other").alias("id"), F.col("id").alias("other")
+            )
+        )
+        .join(dels.select(F.col("doc_id").alias("id")), "id", "left_anti")
+        .join(
+            dels.select(F.col("doc_id").alias("other")), "other", "left_anti"
+        )
+        .distinct()
+    )
+    arrivals = sorted(
+        r[0] for r in comp.select("arrival").distinct().collect()
+    )
+    kept_frames = []
+    for e in arrivals:
+        aff_e = comp.filter(F.col("arrival") == e).select("id")
+        if kept_frames:
+            kept_earlier = kept_frames[0]
+            for kf in kept_frames[1:]:
+                kept_earlier = kept_earlier.unionByName(kf)
+            blocked = (
+                sym.join(
+                    kept_earlier.select(F.col("id").alias("other")),
+                    "other",
+                    "left_semi",
+                )
+                .select("id")
+                .distinct()
+            )
+            surv_e = aff_e.join(blocked, "id", "left_anti")
+        else:
+            surv_e = aff_e
+        surv_e = pin(surv_e)
+        smaller_block = (
+            sym.join(surv_e, "id", "left_semi")
+            .join(
+                surv_e.select(F.col("id").alias("other")), "other", "left_semi"
+            )
+            .filter(F.col("other") < F.col("id"))
+            .select("id")
+            .distinct()
+        )
+        kept_frames.append(surv_e.join(smaller_block, "id", "left_anti"))
+    if not kept_frames:
+        return None, None
+    kept_all = kept_frames[0]
+    for kf in kept_frames[1:]:
+        kept_all = kept_all.unionByName(kf)
+    return comp, kept_all
 
 
 def stream_neardup_with_deletes(
@@ -1201,6 +1251,394 @@ def stream_neardup_with_deletes(
     return raw.join(kept, "doc_id", "left_semi").select(
         "doc_id", "lang", "source"
     )
+
+
+# --- Composed shard pipeline under retraction -------------------------
+
+
+def _totals_before(spark, totals_root: str, epoch_id: int):
+    """The newest totals+counts snapshot strictly before ``epoch_id``
+    (|sources| rows: source, total_toks, n_kept), or an empty relation
+    when none exists.  Unlike the insert-only pipeline's ``epoch - 1``
+    read, epochs here interleave inserts and deletes and a delete that
+    touches nothing writes no snapshot — so the latest-earlier dir is
+    the correct predecessor."""
+    es: list[int] = []
+    if os.path.isdir(totals_root):
+        for d in os.listdir(totals_root):
+            if d.startswith("epoch="):
+                try:
+                    e = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if e < int(epoch_id):
+                    es.append(e)
+    if not es:
+        return spark.createDataFrame(
+            [], "source string, total_toks long, n_kept long"
+        )
+    return spark.read.parquet(os.path.join(totals_root, f"epoch={max(es)}"))
+
+
+def _pack_tail(gated, prev, source_cap, budget: int):
+    """The pipeline's cap+pack tail over ``gated`` (source, doc_id,
+    n_toks) given the running ``prev`` totals snapshot — the
+    `_pipeline_shards_epoch` one-window construction verbatim: one
+    window pass computes the cap rank and the running token prefix,
+    one broadcast join attaches both state columns; the cap filter is
+    safe AFTER the prefix sum because surviving rows are a per-source
+    doc_id-ordered PREFIX of ``gated``."""
+    from pyspark.sql import Window
+
+    rk_w = Window.partitionBy("source").orderBy("doc_id")
+    cum_w = rk_w.rowsBetween(Window.unboundedPreceding, -1)
+    placed = (
+        gated.withColumn("rk", F.row_number().over(rk_w))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_toks").over(cum_w), F.lit(0))
+        )
+        .join(F.broadcast(prev), "source", "left")
+    )
+    if source_cap is not None:
+        placed = placed.filter(
+            F.coalesce(F.col("n_kept"), F.lit(0)) + F.col("rk")
+            <= int(source_cap)
+        )
+    placed = placed.withColumn(
+        "start_tok",
+        (F.coalesce(F.col("total_toks"), F.lit(0)) + F.col("cum_before"))
+        .cast("long"),
+    )
+    return placed.select(
+        "source",
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        "start_tok",
+        F.floor(F.col("start_tok") / F.lit(budget)).cast("long")
+        .alias("first_chunk"),
+        F.floor((F.col("start_tok") + F.col("n_toks") - 1) / F.lit(budget))
+        .cast("long")
+        .alias("last_chunk"),
+    ).withColumn("n_chunks", F.col("last_chunk") - F.col("first_chunk") + 1)
+
+
+def _c2s_rt_insert_epoch(
+    bdf,
+    epoch_id: int,
+    band_root: str,
+    del_root: str,
+    totals_root: str,
+    out_root: str,
+    threshold: float,
+    num_hashes: int,
+    n_bands: int,
+    min_toks: int,
+    budget: int,
+    source_cap,
+) -> None:
+    """Insert epoch of the retraction-capable corpus-to-shards
+    pipeline: the `_nd_rt_decide` greedy dedup decision, then the
+    gate -> cap -> pack tail from the running totals snapshot.
+
+    The fused store row extends the near-dup retraction store with the
+    pipeline's per-doc inputs — (id, bands, sh, kept, arrival, source,
+    n_toks) — because a delete must be able to REBUILD an affected
+    source's pack from state alone: a capped-out or dedup-dropped doc
+    can enter the pack when a retraction releases its blocker or its
+    source's quota slot, so every eligible doc's gate inputs persist
+    whatever today's decision.
+
+    Retry-idempotent: reads filter epoch < N (totals via the
+    latest-earlier snapshot), writes epoch-keyed overwrite."""
+    from qaapi_spark.operators.textstats import ws_tokens
+
+    spark = bdf.sparkSession
+    sets, bands_arr, dropped = _nd_rt_decide(
+        bdf, epoch_id, band_root, del_root, threshold, num_hashes, n_bands
+    )
+    try:
+        meta = bdf.select(
+            F.col("doc_id").alias("id"),
+            "source",
+            F.size(ws_tokens(F.lower(F.col("text")))).cast("long")
+            .alias("n_toks"),
+        )
+        store_epoch = os.path.join(band_root, f"epoch={int(epoch_id)}")
+        (
+            bands_arr.join(sets, "id")
+            .join(dropped.withColumn("kept", F.lit(False)), "id", "left")
+            .select(
+                "id", "bands", "sh",
+                F.coalesce("kept", F.lit(True)).alias("kept"),
+                F.lit(int(epoch_id)).alias("arrival"),
+            )
+            .join(meta, "id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(store_epoch)
+        )
+        # pipeline tail over this epoch's kept+gated docs, derived from
+        # the store delta JUST written (one small single-file scan, the
+        # _pipeline_shards_epoch r11 shave) — never recomputes the
+        # screen chain
+        gated = (
+            spark.read.parquet(store_epoch)
+            .filter(F.col("kept") & (F.col("n_toks") >= int(min_toks)))
+            .select("source", F.col("id").alias("doc_id"), "n_toks")
+        )
+        prev = _totals_before(spark, totals_root, epoch_id)
+        out_epoch = os.path.join(out_root, f"epoch={int(epoch_id)}")
+        _pack_tail(gated, prev, source_cap, budget).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out_epoch)
+        bsum = (
+            spark.read.parquet(out_epoch)
+            .groupBy("source")
+            .agg(F.sum("n_toks").alias("b_toks"), F.count("*").alias("b_kept"))
+        )
+        totals = prev.join(bsum, "source", "full_outer").select(
+            "source",
+            (
+                F.coalesce(F.col("total_toks"), F.lit(0))
+                + F.coalesce(F.col("b_toks"), F.lit(0))
+            ).cast("long").alias("total_toks"),
+            (
+                F.coalesce(F.col("n_kept"), F.lit(0))
+                + F.coalesce(F.col("b_kept"), F.lit(0))
+            ).cast("long").alias("n_kept"),
+        )
+        totals.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(totals_root, f"epoch={int(epoch_id)}")
+        )
+    finally:
+        bands_arr.unpersist()
+        sets.unpersist()
+
+
+def _c2s_rt_delete_epoch(
+    ddf,
+    epoch_id: int,
+    band_root: str,
+    del_root: str,
+    totals_root: str,
+    out_root: str,
+    rebuilt_root: str,
+    threshold: float,
+    min_toks: int,
+    budget: int,
+    source_cap,
+) -> None:
+    """Retraction epoch of the corpus-to-shards pipeline: tombstone the
+    batch's docs, recompute their components' greedy decisions
+    (`_nd_rt_component_recompute` — resurrections and cascades), then
+    REBUILD the pack of every AFFECTED SOURCE from state.
+
+    Why whole-source rebuild is the right granularity: cap ranks and
+    start_tok offsets are per-source prefix functions of the kept set
+    in doc_id order, so removing (or resurrecting) one doc shifts every
+    later doc of that source — the minimal correct rewrite IS the
+    source's live pack, and packed shards are append-only artifacts
+    a deployment rewrites wholesale anyway.  Affected sources = sources
+    of the tombstoned docs ∪ sources of recomputed-component docs; work
+    is bounded by those sources' row counts, never the corpus.  The
+    rebuild also RELEASES quota: the totals snapshot for each affected
+    source is recomputed from its rebuilt pack (a freed slot readmits
+    the next doc; a resurrected doc can push the source's last-ranked
+    doc back OUT past the cap — both land because the rebuild replays
+    the batch formula).
+
+    Out-store contract: the rebuild writes the affected sources' FULL
+    pack at this epoch and records them in ``rebuilt_root``; the final
+    read keeps, per source, only rows from epochs >= its newest rebuild
+    (insert epochs after a rebuild append disjoint doc_ids, so no
+    per-doc reconciliation is needed).
+
+    Retry-idempotent: reads filter epoch < N, writes epoch-keyed
+    overwrite."""
+    spark = ddf.sparkSession
+    dels = ddf.select("doc_id").distinct().persist()
+    pinned = [dels]
+
+    def pin(df):
+        pinned.append(df.persist())
+        return pinned[-1]
+
+    try:
+        if _store_recover(band_root) and _has_epochs(band_root):
+            rows = pin(_nd_live_rows(spark, band_root, del_root, epoch_id))
+            comp, kept_all = _nd_rt_component_recompute(
+                dels, rows, threshold, pin
+            )
+            if comp is not None:
+                delta = comp.join(
+                    kept_all.withColumn("k2", F.lit(True)), "id", "left"
+                ).select(
+                    "id", "bands", "sh",
+                    F.coalesce("k2", F.lit(False)).alias("kept"),
+                    "arrival", "source", "n_toks",
+                )
+                delta.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(band_root, f"epoch={int(epoch_id)}")
+                )
+            tomb_src = rows.join(
+                dels.select(F.col("doc_id").alias("id")), "id", "left_semi"
+            ).select("source")
+            aff_src = (
+                tomb_src
+                if comp is None
+                else tomb_src.unionByName(comp.select("source"))
+            )
+            aff_src = pin(aff_src.distinct())
+            if aff_src.limit(1).count() > 0:
+                # post-delete live view of the affected sources, with
+                # the recomputed kept flags patched in
+                live = rows.join(
+                    dels.select(F.col("doc_id").alias("id")), "id", "left_anti"
+                ).join(aff_src, "source", "left_semi")
+                if comp is not None:
+                    upd = comp.select("id").join(
+                        kept_all.withColumn("k2", F.lit(True)), "id", "left"
+                    ).select(
+                        "id", F.coalesce("k2", F.lit(False)).alias("k2")
+                    )
+                    live = (
+                        live.join(upd, "id", "left")
+                        .withColumn("kept", F.coalesce("k2", F.col("kept")))
+                        .drop("k2")
+                    )
+                gated = live.filter(
+                    F.col("kept") & (F.col("n_toks") >= int(min_toks))
+                ).select("source", F.col("id").alias("doc_id"), "n_toks")
+                empty_prev = spark.createDataFrame(
+                    [], "source string, total_toks long, n_kept long"
+                )
+                out_epoch = os.path.join(out_root, f"epoch={int(epoch_id)}")
+                _pack_tail(gated, empty_prev, source_cap, budget).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(out_epoch)
+                aff_src.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(rebuilt_root, f"epoch={int(epoch_id)}")
+                )
+                # totals: affected sources from their rebuilt pack
+                # (left join so a fully-emptied source resets to 0,0 —
+                # its quota is fully released), others carried forward
+                prev = _totals_before(spark, totals_root, epoch_id)
+                bsum = (
+                    spark.read.parquet(out_epoch)
+                    .groupBy("source")
+                    .agg(
+                        F.sum("n_toks").alias("b_toks"),
+                        F.count("*").alias("b_kept"),
+                    )
+                )
+                reb_tot = aff_src.join(bsum, "source", "left").select(
+                    "source",
+                    F.coalesce(F.col("b_toks"), F.lit(0)).cast("long")
+                    .alias("total_toks"),
+                    F.coalesce(F.col("b_kept"), F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                )
+                totals = prev.join(aff_src, "source", "left_anti").unionByName(
+                    reb_tot
+                )
+                totals.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(totals_root, f"epoch={int(epoch_id)}")
+                )
+        dels.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(del_root, f"epoch={int(epoch_id)}")
+        )
+    finally:
+        for df in pinned:
+            df.unpersist()
+
+
+def stream_pipeline_corpus_to_shards_with_deletes(
+    spark: SparkSession,
+    docs_path: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    n_bands: int = 16,
+    min_toks: int = 16,
+    budget: int = 128,
+    n_splits: int = 2,
+    del_mod: int = 10,
+    del_rem: int = 3,
+    source_cap=None,
+) -> DataFrame:
+    """The composed corpus-refresh pipeline (near-dup dedup -> quality
+    gate -> per-source quota cap -> packed-shard offsets) under
+    streaming inserts AND retraction — the last insert-only streaming
+    family to gain deletes (VERDICT r12 next #2).  A tombstoned doc (1)
+    re-opens its component's greedy dedup decisions (resurrections +
+    cascades, the stream_neardup_with_deletes machinery), (2) releases
+    its quota slot (a capped-out doc of the same source is readmitted),
+    and (3) invalidates its packed chunks — the affected sources' packs
+    are REBUILT (offsets re-derived from zero), which is the honest
+    semantics for append-only training shards: a retracted doc's bytes
+    cannot remain addressable, so its source's shards are rewritten and
+    the final relation equals the batch gate/cap/pack over the live
+    kept corpus.  Reference precedent: the same DELETE-then-reconcile
+    the staging refresh runs ('Update Calabrio Tables from Staging
+    Tables (D_POST_INSTALL).sql':85-92, J5), applied to a derived
+    artifact.  Returns (source, doc_id, n_toks, start_tok, first_chunk,
+    last_chunk, n_chunks), like stream_pipeline_corpus_to_shards."""
+    raw = spark.read.parquet(docs_path)
+    stage_dir = _stage_ops_with_deletes(
+        spark, raw, del_mod, del_rem, n_splits, extra_cols=("source",)
+    )
+    band_root = _scratch(prefix="c2srt_bands_")
+    del_root = _scratch(prefix="c2srt_deleted_")
+    totals_root = _scratch(prefix="c2srt_totals_")
+    out_root = _scratch(prefix="c2srt_out_")
+    rebuilt_root = _scratch(prefix="c2srt_rebuilt_")
+
+    def merge(bdf, epoch_id: int) -> None:
+        _route_op_batch(
+            bdf,
+            epoch_id,
+            ins_fn=lambda b, e: _c2s_rt_insert_epoch(
+                b, e, band_root, del_root, totals_root, out_root,
+                threshold, num_hashes, n_bands, min_toks, budget, source_cap,
+            ),
+            del_fn=lambda d, e: _c2s_rt_delete_epoch(
+                d, e, band_root, del_root, totals_root, out_root,
+                rebuilt_root, threshold, min_toks, budget, source_cap,
+            ),
+        )
+
+    schema = spark.read.parquet(stage_dir + "/slice=0").schema
+    _run_ordered_stream(spark, schema, stage_dir, merge, "c2srt_ckpt_")
+    return _c2s_final_rows(spark, out_root, rebuilt_root, del_root)
+
+
+def _c2s_final_rows(
+    spark: SparkSession, out_root: str, rebuilt_root: str, del_root: str
+) -> DataFrame:
+    """The maintained shard relation: per source, only rows from epochs
+    >= its newest rebuild (a rebuild supersedes every earlier row of
+    that source; insert epochs after it append disjoint doc_ids), minus
+    any tombstoned doc (belt-and-braces — rebuilds already exclude
+    them)."""
+    out = spark.read.parquet(out_root)
+    if _store_recover(rebuilt_root) and _has_epochs(rebuilt_root):
+        reb = (
+            spark.read.parquet(rebuilt_root)
+            .groupBy("source")
+            .agg(F.max("epoch").alias("r"))
+        )
+        out = (
+            out.join(reb, "source", "left")
+            .filter(F.col("epoch") >= F.coalesce(F.col("r"), F.lit(-1)))
+            .drop("r")
+        )
+    out = out.select(
+        "source", "doc_id", "n_toks", "start_tok",
+        "first_chunk", "last_chunk", "n_chunks",
+    )
+    dels = _read_deleted(spark, del_root)
+    if dels is not None:
+        out = out.join(dels, "doc_id", "left_anti")
+    return out
 
 
 # --- Physical erasure -------------------------------------------------

@@ -738,3 +738,132 @@ def test_purge_tombstoned_full_purge_and_accounting(spark, tmp_path):
     assert (
         spark.read.parquet(out).filter(F.col("doc_id") == 2).count() == 1
     )
+
+
+# --- Composed shard pipeline under retraction -------------------------
+
+
+def _mk_src(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def _c2s_rows(spark, out, reb, delr):
+    from qaapi_spark.streaming.retraction import _c2s_final_rows
+
+    return sorted(
+        (r["source"], r["doc_id"], r["n_toks"], r["start_tok"])
+        for r in _c2s_final_rows(spark, out, reb, delr).collect()
+    )
+
+
+def _uniq_text(prefix, n=12):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def _c2s_roots(tmp_path):
+    return tuple(
+        str(tmp_path / d) for d in ("bands", "deleted", "totals", "out", "reb")
+    )
+
+
+def test_c2s_delete_releases_quota_slot(spark, tmp_path):
+    """VERDICT r12 next #2: retracting a packed doc must RELEASE its
+    per-source quota slot — the doc that was capped out re-enters the
+    rebuilt pack, and every later same-source doc's start_tok shifts."""
+    from qaapi_spark.streaming.retraction import (
+        _c2s_rt_delete_epoch,
+        _c2s_rt_insert_epoch,
+    )
+
+    band, delr, tot, out, reb = _c2s_roots(tmp_path)
+    t1, t2, t3 = (_uniq_text(p) for p in ("a", "b", "c"))
+    _c2s_rt_insert_epoch(
+        _mk_src(spark, [(1, t1, "s"), (2, t2, "s"), (3, t3, "s")]),
+        0, band, delr, tot, out,
+        0.8, 64, 16, min_toks=4, budget=10, source_cap=2,
+    )
+    assert _c2s_rows(spark, out, reb, delr) == [
+        ("s", 1, 12, 0), ("s", 2, 12, 12)
+    ]  # doc 3 capped out
+    _c2s_rt_delete_epoch(
+        spark.createDataFrame([(1,)], "doc_id long"),
+        1, band, delr, tot, out, reb, 0.8, min_toks=4, budget=10, source_cap=2,
+    )
+    # slot released: doc 3 admitted, offsets rebuilt from zero
+    assert _c2s_rows(spark, out, reb, delr) == [
+        ("s", 2, 12, 0), ("s", 3, 12, 12)
+    ]
+    # and the released totals drive the NEXT insert's cap correctly:
+    # source s is full again (2 kept), so doc 4 is capped out
+    _c2s_rt_insert_epoch(
+        _mk_src(spark, [(4, _uniq_text("d"), "s")]),
+        2, band, delr, tot, out,
+        0.8, 64, 16, min_toks=4, budget=10, source_cap=2,
+    )
+    assert _c2s_rows(spark, out, reb, delr) == [
+        ("s", 2, 12, 0), ("s", 3, 12, 12)
+    ]
+
+
+def test_c2s_delete_resurrects_and_repacks(spark, tmp_path):
+    """A doc dropped as the near-dup of a retracted keeper RESURRECTS
+    into the pack, and the pack offsets of its source rebuild."""
+    from qaapi_spark.streaming.retraction import (
+        _c2s_rt_delete_epoch,
+        _c2s_rt_insert_epoch,
+    )
+
+    band, delr, tot, out, reb = _c2s_roots(tmp_path)
+    _c2s_rt_insert_epoch(
+        _mk_src(spark, [(1, _A, "s"), (2, _A, "s"), (3, _uniq_text("z"), "s")]),
+        0, band, delr, tot, out,
+        0.8, 64, 16, min_toks=4, budget=10, source_cap=None,
+    )
+    n_a = len(_A.split())
+    before = _c2s_rows(spark, out, reb, delr)
+    assert before == [("s", 1, n_a, 0), ("s", 3, 12, n_a)]  # 2 dropped
+    _c2s_rt_delete_epoch(
+        spark.createDataFrame([(1,)], "doc_id long"),
+        1, band, delr, tot, out, reb, 0.8, min_toks=4, budget=10,
+        source_cap=None,
+    )
+    assert _c2s_rows(spark, out, reb, delr) == [
+        ("s", 2, n_a, 0), ("s", 3, 12, n_a)
+    ]
+
+
+def test_c2s_delete_epoch_retry_idempotent(spark, tmp_path):
+    """A replayed delete epoch (and a post-delete insert) reproduces the
+    identical relation — reads filter epoch < N, writes are epoch-keyed
+    overwrite."""
+    from qaapi_spark.streaming.retraction import (
+        _c2s_rt_delete_epoch,
+        _c2s_rt_insert_epoch,
+    )
+
+    band, delr, tot, out, reb = _c2s_roots(tmp_path)
+    _c2s_rt_insert_epoch(
+        _mk_src(spark, [(1, _uniq_text("a"), "s"), (2, _uniq_text("b"), "t")]),
+        0, band, delr, tot, out,
+        0.8, 64, 16, min_toks=4, budget=10, source_cap=None,
+    )
+    args = (1, band, delr, tot, out, reb, 0.8)
+    _c2s_rt_delete_epoch(
+        spark.createDataFrame([(1,)], "doc_id long"), *args,
+        min_toks=4, budget=10, source_cap=None,
+    )
+    once = _c2s_rows(spark, out, reb, delr)
+    _c2s_rt_delete_epoch(
+        spark.createDataFrame([(1,)], "doc_id long"), *args,
+        min_toks=4, budget=10, source_cap=None,
+    )
+    assert _c2s_rows(spark, out, reb, delr) == once
+    _c2s_rt_insert_epoch(
+        _mk_src(spark, [(5, _uniq_text("e"), "s")]),
+        2, band, delr, tot, out,
+        0.8, 64, 16, min_toks=4, budget=10, source_cap=None,
+    )
+    after = _c2s_rows(spark, out, reb, delr)
+    assert after == sorted(once + [("s", 5, 12, 0)])
+    # untouched source t keeps its original row throughout
+    assert ("t", 2, 12, 0) in after
