@@ -456,6 +456,13 @@ _DEL_MID = (
     " FROM documents)"
 )
 _DEL_WHERE = f"NOT (doc_id % {_DEL_MOD} = {_DEL_REM} AND doc_id < {_DEL_MID})"
+# the REVERSE-staged variant (r13, unordered x deletes): slices arrive
+# high-half-first, so the mid-stream retraction batch tombstones the
+# predicate docs ALREADY ingested = the HIGH half — same mid boundary,
+# flipped comparison.
+_DEL_WHERE_HI = (
+    f"NOT (doc_id % {_DEL_MOD} = {_DEL_REM} AND doc_id >= {_DEL_MID})"
+)
 
 
 @query(
@@ -1472,6 +1479,45 @@ def stream_exsub_apply_unordered_q(spark, sf_dir):
 
     return stream_exact_substring_apply_unordered(
         spark, f"{sf_dir}/documents.parquet", min_len=_SUBSTR_L
+    ).orderBy("doc_id")
+
+
+@query(
+    "stream_exsub_unordered_with_deletes",
+    # batch apply relation on the POST-DELETE corpus under the
+    # REVERSE-staged retraction contract (live = _DEL_WHERE_HI: the
+    # mid-stream batch tombstones predicate docs of the already-
+    # ingested HIGH half).
+    oracle=_EXSUB_APPLY_ORACLE.replace(
+        "FROM documents", f"FROM documents WHERE {_DEL_WHERE_HI}"
+    ),
+    doc="ORDER-INDEPENDENT streaming ExactSubstr COMPOSED with "
+    "retraction (VERDICT r12 next #3: r12 shipped arbitrary arrival "
+    "order and deletes separately; a real deployment needs both at "
+    "once): documents arrive in REVERSE doc_id order — every insert "
+    "epoch demotes standing canonicals — with a retraction batch "
+    "mid-stream, so post-delete arrivals must demote through the "
+    "tombstone-filtered index and re-canonicalize digests whose every "
+    "occurrence was retracted.  The composition is one parameter, not "
+    "new machinery: the demotion groupBy reads live occurrences only, "
+    "the delete epoch's first_all/first_live re-election was already "
+    "arrival-order-independent (pure lexicographic mins), and the "
+    "tombstone guard replaces the frontier the unordered stream "
+    "doesn't have.  Equals dedup_exact_substring_apply on the live "
+    "corpus (extension, SURVEY §2.9; streaming/retraction."
+    "stream_exact_substring_apply_unordered_with_deletes)",
+)
+def stream_exsub_unordered_with_deletes_q(spark, sf_dir):
+    from qaapi_spark.streaming.retraction import (
+        stream_exact_substring_apply_unordered_with_deletes,
+    )
+
+    return stream_exact_substring_apply_unordered_with_deletes(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        min_len=_SUBSTR_L,
+        del_mod=_DEL_MOD,
+        del_rem=_DEL_REM,
     ).orderBy("doc_id")
 
 

@@ -87,6 +87,7 @@ def _stage_ops_with_deletes(
     del_rem: int,
     n_splits: int = 2,
     extra_cols: tuple = (),
+    reverse: bool = False,
 ) -> str:
     """Stage the corpus as an op-tagged ordered ingest with an
     INTERLEAVED retraction batch: insert slices 0..mid-1 (low doc_id
@@ -111,15 +112,27 @@ def _stage_ops_with_deletes(
     Uniform slice schema (doc_id, text, *extra_cols, op): op='i'
     inserts carry text (plus any ``extra_cols`` a pipeline consumer
     needs, e.g. ``source`` for the shard pipeline), op='d' tombstones
-    carry only the id (text='', extra cols ride along unused)."""
+    carry only the id (text='', extra cols ride along unused).
+
+    ``reverse=True`` (r13, the unordered x deletes composition) stages
+    the insert slices in REVERSE doc_id order — the adversarial
+    permutation for canonical election — with the retraction batch
+    still mid-stream, so it tombstones the predicate docs ingested so
+    far = the HIGH half: the live set becomes ``NOT (doc_id % del_mod
+    = del_rem AND doc_id >= mid_bound)`` (same mid_bound arithmetic;
+    the oracle lift flips the comparison)."""
     lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
     mid_i = max(1, n_splits // 2)
     mid_bound = int(lo) + mid_i * step
     pred = (F.col("doc_id") % int(del_mod)) == int(del_rem)
+    del_scope = (
+        F.col("doc_id") >= mid_bound if reverse else F.col("doc_id") < mid_bound
+    )
     stage_dir = _scratch(prefix="docs_rt_stream_")
     slices: list[DataFrame] = []
-    for i in range(n_splits):
+    order = reversed(range(n_splits)) if reverse else range(n_splits)
+    for k, i in enumerate(order):
         hi_pad = (1 << 60) if i == n_splits - 1 else 0
         slices.append(
             raw.filter(
@@ -127,9 +140,9 @@ def _stage_ops_with_deletes(
                 & (F.col("doc_id") < int(lo) + (i + 1) * step + hi_pad)
             ).select("doc_id", "text", *extra_cols, F.lit("i").alias("op"))
         )
-        if i == mid_i - 1:
+        if k == mid_i - 1:
             slices.append(
-                raw.filter(pred & (F.col("doc_id") < mid_bound)).select(
+                raw.filter(pred & del_scope).select(
                     "doc_id",
                     F.lit("").alias("text"),
                     *extra_cols,
@@ -706,7 +719,12 @@ def _stage_reversed_slices(
 
 
 def _exsub_uo_epoch(
-    bdf, epoch_id: int, occ_root: str, out_root: str, min_len: int
+    bdf,
+    epoch_id: int,
+    occ_root: str,
+    out_root: str,
+    min_len: int,
+    del_root: str | None = None,
 ) -> None:
     """One insert epoch of the ORDER-INDEPENDENT streaming ExactSubstr
     apply: no arrival-order assumption at all — the batch may bring
@@ -729,11 +747,21 @@ def _exsub_uo_epoch(
     doc_id is a data-integrity violation, exactly as it would be for
     the batch kernel — there is no frontier here to catch it).
     Retry-idempotent: reads filter epoch < N, writes epoch-keyed
-    overwrite."""
+    overwrite.
+
+    ``del_root`` (r13, VERDICT r12 next #3 — unordered x deletes): when
+    set, the standing occurrence index is read through the tombstones
+    (a retracted doc cannot hold a standing canonical, so the demotion
+    comparison sees only live occurrences, and a digest whose every
+    occurrence was retracted treats the batch arrival as canonical
+    again), and — since there is no frontier here — the explicit
+    tombstone semi-join guard rejects re-inserted retracted ids."""
     from qaapi_spark.operators.dedup import _all_window_positions, _apply_trim
     from qaapi_spark.operators.textstats import ws_tokens
 
     spark = bdf.sparkSession
+    if del_root is not None:
+        _reject_tombstoned_reinsert(bdf, del_root, epoch_id)
     bdf = bdf.repartition(8)
     wins = _all_window_positions(bdf, min_len, "text", "doc_id").persist()
     g_b = wins.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("fb"))
@@ -745,6 +773,10 @@ def _exsub_uo_epoch(
             .filter(F.col("epoch") < int(epoch_id))
             .select("doc_id", "pos", "h")
         )
+        if del_root is not None:
+            prior = _read_deleted(spark, del_root, epoch_id)
+            if prior is not None:
+                occ_old = occ_old.join(prior, "doc_id", "left_anti")
         g_old = (
             occ_old.join(g_b.select("h"), "h", "left_semi")
             .groupBy("h")
@@ -875,6 +907,69 @@ def stream_exact_substring_apply_unordered(
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_toks", "n_kept", "text_dedup")
     )
+
+
+def stream_exact_substring_apply_unordered_with_deletes(
+    spark: SparkSession,
+    docs_path: str,
+    min_len: int = 10,
+    n_splits: int = 2,
+    del_mod: int = 10,
+    del_rem: int = 3,
+) -> DataFrame:
+    """Order-independent streaming ExactSubstr COMPOSED with retraction
+    (VERDICT r12 next #3): a real deployment needs both at once —
+    documents arrive in any order AND any already-ingested doc can be
+    retracted.  The two r12 capabilities compose cleanly because they
+    meet in the same per-occurrence store: the unordered insert epoch's
+    demotion comparison now reads the standing index through the
+    tombstones (a retracted doc can't hold a canonical), the delete
+    epoch's first_all/first_live re-election is arrival-order-
+    independent by construction (pure lexicographic mins over the
+    occurrence store), and — with no doc_id frontier to lean on — the
+    explicit tombstone guard rejects re-inserted retracted ids.
+
+    The staged ingest is doubly adversarial: REVERSE doc_id order
+    (every insert epoch demotes standing canonicals) with the
+    retraction batch mid-stream (so post-delete arrivals both demote
+    live canonicals and re-canonicalize fully-retracted digests).
+    Final relation = dedup_exact_substring_apply on the live corpus."""
+    from pyspark.sql import Window
+
+    raw = spark.read.parquet(docs_path)
+    stage_dir = _stage_ops_with_deletes(
+        spark, raw, del_mod, del_rem, n_splits, reverse=True
+    )
+    occ_root = _scratch(prefix="exuod_occ_")
+    out_root = _scratch(prefix="exuod_out_")
+    del_root = _scratch(prefix="exuod_deleted_")
+
+    def merge(bdf, epoch_id: int) -> None:
+        _route_op_batch(
+            bdf,
+            epoch_id,
+            ins_fn=lambda b, e: _exsub_uo_epoch(
+                b, e, occ_root, out_root, min_len, del_root=del_root
+            ),
+            del_fn=lambda d, e: _exsub_rt_delete_epoch(
+                d, e, occ_root, out_root, del_root, min_len
+            ),
+        )
+
+    schema = spark.read.parquet(stage_dir + "/slice=0").schema
+    _run_ordered_stream(spark, schema, stage_dir, merge, "exuod_ckpt_")
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("epoch"))
+    out = (
+        spark.read.parquet(out_root)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_toks", "n_kept", "text_dedup")
+    )
+    dels = _read_deleted(spark, del_root)
+    if dels is not None:
+        out = out.join(dels, "doc_id", "left_anti")
+    return out
 
 
 # --- Greedy near-dup keep/drop under retraction ----------------------

@@ -419,6 +419,12 @@ def test_delete_oracle_lift_is_well_defined():
     assert cc.count("FROM documents") == 4
     assert ex.count(live) == 1
     assert ex.count("FROM documents") == 2
+    # the r13 reverse-staged lift (unordered x deletes)
+    from qaapi_spark.plans.llm_dedup import _DEL_WHERE_HI
+
+    un = CATALOG["stream_exsub_unordered_with_deletes"].oracle
+    assert un.count(f"FROM documents WHERE {_DEL_WHERE_HI}") == 1
+    assert un.count("FROM documents") == 2
 
 
 # --- order-independent (unordered) ExactSubstr ----------------------
@@ -867,3 +873,108 @@ def test_c2s_delete_epoch_retry_idempotent(spark, tmp_path):
     assert after == sorted(once + [("s", 5, 12, 0)])
     # untouched source t keeps its original row throughout
     assert ("t", 2, 12, 0) in after
+
+
+# --- Unordered x deletes composition ----------------------------------
+
+
+def test_uo_deletes_recanonicalize_after_full_retraction(spark, tmp_path):
+    """Unordered x deletes (VERDICT r12 next #3): doc 10 holds the
+    passage's canonical; retracting it empties the digest's live set,
+    so a LATER arrival of the same text (doc 5 — also earlier-id, the
+    demotion path) is canonical again and keeps its full text."""
+    from qaapi_spark.streaming.retraction import (
+        _exsub_rt_delete_epoch,
+        _exsub_uo_epoch,
+    )
+
+    occ = str(tmp_path / "occ")
+    out = str(tmp_path / "out")
+    delr = str(tmp_path / "deleted")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    _exsub_uo_epoch(mk([(10, _PASSAGE)]), 0, occ, out, 10, del_root=delr)
+    _exsub_rt_delete_epoch(
+        spark.createDataFrame([(10,)], "doc_id long"), 1, occ, out, delr, 10
+    )
+    _exsub_uo_epoch(mk([(5, _PASSAGE)]), 2, occ, out, 10, del_root=delr)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("epoch"))
+    dels = spark.read.parquet(delr).select("doc_id")
+    got = sorted(
+        (r["doc_id"], r["n_kept"])
+        for r in (
+            spark.read.parquet(out)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .join(dels, "doc_id", "left_anti")
+            .select("doc_id", "n_kept")
+        ).collect()
+    )
+    assert got == [(5, 12)]  # full text — canonical again, not cut
+
+
+def test_uo_deletes_promote_then_demote(spark, tmp_path):
+    """Promotion and demotion compose: 11 is cut by 10's canonical;
+    retracting 10 PROMOTES 11 (row restored); a later-arriving earlier
+    occurrence (doc 5) then DEMOTES 11 again through the tombstone-
+    filtered index."""
+    from qaapi_spark.streaming.retraction import (
+        _exsub_rt_delete_epoch,
+        _exsub_uo_epoch,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    occ = str(tmp_path / "occ")
+    out = str(tmp_path / "out")
+    delr = str(tmp_path / "deleted")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+    def final():
+        w = Window.partitionBy("doc_id").orderBy(F.desc("epoch"))
+        dels = spark.read.parquet(delr).select("doc_id")
+        return sorted(
+            (r["doc_id"], r["n_kept"])
+            for r in (
+                spark.read.parquet(out)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .join(dels, "doc_id", "left_anti")
+                .select("doc_id", "n_kept")
+            ).collect()
+        )
+
+    _exsub_uo_epoch(mk([(10, _PASSAGE), (11, _PASSAGE)]), 0, occ, out, 10,
+                    del_root=delr)
+    _exsub_rt_delete_epoch(
+        spark.createDataFrame([(10,)], "doc_id long"), 1, occ, out, delr, 10
+    )
+    assert final() == [(11, 12)]  # promoted: 11 restored
+    _exsub_uo_epoch(mk([(5, _PASSAGE)]), 2, occ, out, 10, del_root=delr)
+    assert final() == [(5, 12), (11, 0)]  # 5 canonical, 11 re-cut
+
+
+def test_uo_rejects_reinsert_of_tombstoned_id(spark, tmp_path):
+    """The unordered stream has no frontier, so the explicit tombstone
+    guard carries the retracted-ids-are-permanent contract; any OTHER
+    id (earlier or later) still inserts fine."""
+    from qaapi_spark.streaming.retraction import (
+        _exsub_rt_delete_epoch,
+        _exsub_uo_epoch,
+    )
+
+    occ = str(tmp_path / "occ")
+    out = str(tmp_path / "out")
+    delr = str(tmp_path / "deleted")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    _exsub_uo_epoch(mk([(10, _PASSAGE)]), 0, occ, out, 10, del_root=delr)
+    _exsub_rt_delete_epoch(
+        spark.createDataFrame([(10,)], "doc_id long"), 1, occ, out, delr, 10
+    )
+    with pytest.raises(ValueError, match="re-insert of tombstoned"):
+        _exsub_uo_epoch(mk([(10, _PASSAGE)]), 2, occ, out, 10, del_root=delr)
+    _exsub_uo_epoch(mk([(3, _FILLER)]), 2, occ, out, 10, del_root=delr)
+    # replay of the pre-delete epoch: tombstones at epoch < 0 — no trip
+    _exsub_uo_epoch(mk([(10, _PASSAGE)]), 0, occ, out, 10, del_root=delr)
