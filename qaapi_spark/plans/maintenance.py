@@ -159,6 +159,81 @@ def mv_incremental_daily_revenue(spark, sf_dir):
 
 
 @query(
+    "mv_incremental_revenue_with_deletes",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders,
+           ROUND(MAX(o_totalprice), 2) AS max_order
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-06-01'
+      AND o_orderdate < TIMESTAMP '2000-02-01'
+      AND NOT (o_orderkey % 10 = 3)
+    GROUP BY day ORDER BY day
+    """,
+    doc="RETRACTION-aware incremental MV maintenance (VERDICT r12 next "
+    "#6 — the reference's J5 delete-then-reconcile, 'Update Calabrio "
+    "Tables from Staging Tables (D_POST_INSTALL).sql':85-92, applied "
+    "to aggregate state): a GDPR-style delete batch's per-day partial "
+    "aggregates fold OUT of the daily-revenue MV via operators/"
+    "maintain.retract_partial_aggregates — SUM/COUNT subtract exactly "
+    "(DECIMAL partials, no float drift), MAX is not invertible so "
+    "only the days whose retracted max EQUALS the standing max "
+    "recompute from their own (partition-prunable) base slice, and a "
+    "day whose count reaches zero leaves the view.  The oracle proves "
+    "retract(MV(base), agg(deleted)) == MV(base MINUS deleted) "
+    "(extension: IVM under deletion, completing the retraction story "
+    "from dedup state to aggregate state)",
+)
+def mv_incremental_revenue_with_deletes(spark, sf_dir):
+    from qaapi_spark.operators.maintain import retract_partial_aggregates
+
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-06-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-02-01").cast("timestamp"))
+    )
+    pred = F.col("o_orderkey") % 10 == 3
+    deleted = o.filter(pred)
+
+    def daily_partial(df):
+        return (
+            df.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+                F.count("*").alias("n_orders"),
+                F.round(F.max("o_totalprice"), 2).alias("max_order"),
+            )
+        )
+
+    mv = daily_partial(o)  # the stored MV, built before the takedown
+
+    def recompute(days):
+        # per-day recompute over the LIVE base slice of the affected
+        # days only (at scale: partition-pruned by the date key)
+        live = o.filter(~pred).withColumn(
+            "day", F.col("o_orderdate").cast("date")
+        )
+        return daily_partial(
+            live.join(F.broadcast(days), "day", "left_semi").drop("day")
+        )
+
+    refreshed = retract_partial_aggregates(
+        mv,
+        daily_partial(deleted),
+        keys=["day"],
+        merges={"rev": "sum", "n_orders": "sum", "max_order": "max"},
+        count_col="n_orders",
+        recompute=recompute,
+    )
+    return refreshed.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        "n_orders",
+        "max_order",
+    ).orderBy("day")
+
+
+@query(
     "mv_incremental_join_enrichment",
     oracle="""
     SELECT c.c_mktsegment AS segment,
