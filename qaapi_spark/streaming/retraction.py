@@ -1193,11 +1193,27 @@ def _nd_rt_delete_epoch(
 
 def _nd_rt_component_recompute(dels, rows, threshold: float, pin):
     """The shared heart of the near-dup delete epochs (extracted r13
-    for the composed shard pipeline): band-join BFS from the
-    tombstones to component closure (verified edges accumulate as we
-    go — an edge is discovered the first time either endpoint enters
-    the frontier), then the layered greedy formula replayed per
+    for the composed shard pipeline): BFS from the tombstones to
+    component closure, then the layered greedy formula replayed per
     arrival epoch over the affected components' LIVE docs.
+
+    The BFS walks BAND adjacency (docs sharing any (band, bsig)
+    bucket), not verified edges — r13, the VERDICT r12 #3 hop-cost
+    item: each hop is now one equi-join + anti-join + count (the
+    per-hop shingle-verify is gone), and exact Jaccard verification
+    runs ONCE over the closure's candidate pairs.  Correct because
+    band adjacency is a SUPERSET of the verified edge set, so the
+    closure is a union of WHOLE true components (if a doc is in, every
+    true neighbor shares a band with it and is in too): components
+    containing a tombstone are recomputed scoped-and-exact as before,
+    and any extra component dragged in by an LSH false-positive
+    collision (~2e-4/pair) recomputes to its standing values — the
+    formula is a pure function of the component's live docs and
+    arrival layers, so its delta rows are value-identical no-ops.
+    Hop count is the band-graph diameter, <= the true-edge diameter
+    (collisions only shortcut paths); still sequential wall-time at
+    100 TB, bounded by component diameter (small for 0.8-Jaccard
+    graphs).
 
     ``rows`` is the live store view (any column superset of id, bands,
     sh, kept, arrival), ``pin`` the caller's persist-tracking helper.
@@ -1214,26 +1230,16 @@ def _nd_rt_component_recompute(dels, rows, threshold: float, pin):
 
     explored = pin(dels.select(F.col("doc_id").alias("id")))
     frontier = explored
-    edges = None
     while True:
         fkeys = (
             rows.join(frontier, "id", "left_semi")
             .select("id", F.explode("bands").alias("bk"))
             .select("id", "bk.band", "bk.bsig")
         )
-        cand = (
+        new = pin(
             fkeys.join(all_keys, ["band", "bsig"])
             .filter(F.col("id") != F.col("other"))
-            .select("id", "other")
-            .distinct()
-        )
-        ve = pin(_verified_jaccard_pairs(cand, lsets, lsets, threshold))
-        edges = (
-            ve if edges is None
-            else pin(edges.unionByName(ve).distinct())
-        )
-        new = pin(
-            ve.select(F.col("other").alias("id"))
+            .select(F.col("other").alias("id"))
             .distinct()
             .join(explored, "id", "left_anti")
         )
@@ -1241,6 +1247,25 @@ def _nd_rt_component_recompute(dels, rows, threshold: float, pin):
             break
         explored = pin(explored.unionByName(new).distinct())
         frontier = new
+
+    # ONE batched verify over the closure's candidate pairs
+    ckeys = (
+        rows.join(explored, "id", "left_semi")
+        .select("id", F.explode("bands").alias("bk"))
+        .select("id", "bk.band", "bk.bsig")
+    )
+    a, b = ckeys.alias("a"), ckeys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") > F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("other"))
+        .distinct()
+    )
+    edges = pin(_verified_jaccard_pairs(cand, lsets, lsets, threshold))
 
     comp = pin(
         explored.join(
@@ -1351,13 +1376,17 @@ def stream_neardup_with_deletes(
 # --- Composed shard pipeline under retraction -------------------------
 
 
-def _totals_before(spark, totals_root: str, epoch_id: int):
+def _totals_before(spark, totals_root: str, epoch_id: int | None = None):
     """The newest totals+counts snapshot strictly before ``epoch_id``
-    (|sources| rows: source, total_toks, n_kept), or an empty relation
-    when none exists.  Unlike the insert-only pipeline's ``epoch - 1``
-    read, epochs here interleave inserts and deletes and a delete that
-    touches nothing writes no snapshot — so the latest-earlier dir is
-    the correct predecessor."""
+    (|sources| rows: source, total_toks, n_kept, rebuilt_epoch), or an
+    empty relation when none exists; ``epoch_id=None`` reads the newest
+    overall (the final-read path).  Unlike the insert-only pipeline's
+    ``epoch - 1`` read, epochs here interleave inserts and deletes and
+    a delete that touches nothing writes no snapshot — so the
+    latest-earlier dir is the correct predecessor.  ``rebuilt_epoch``
+    rides in the snapshot (r13: it was its own epoch store + write
+    job): the epoch of the source's newest pack REBUILD, -1 if never —
+    the final read keeps only out rows with epoch >= it."""
     es: list[int] = []
     if os.path.isdir(totals_root):
         for d in os.listdir(totals_root):
@@ -1366,11 +1395,11 @@ def _totals_before(spark, totals_root: str, epoch_id: int):
                     e = int(d.split("=", 1)[1])
                 except ValueError:
                     continue
-                if e < int(epoch_id):
+                if epoch_id is None or e < int(epoch_id):
                     es.append(e)
     if not es:
         return spark.createDataFrame(
-            [], "source string, total_toks long, n_kept long"
+            [], "source string, total_toks long, n_kept long, rebuilt_epoch long"
         )
     return spark.read.parquet(os.path.join(totals_root, f"epoch={max(es)}"))
 
@@ -1501,6 +1530,8 @@ def _c2s_rt_insert_epoch(
                 F.coalesce(F.col("n_kept"), F.lit(0))
                 + F.coalesce(F.col("b_kept"), F.lit(0))
             ).cast("long").alias("n_kept"),
+            F.coalesce(F.col("rebuilt_epoch"), F.lit(-1))
+            .cast("long").alias("rebuilt_epoch"),
         )
         totals.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(totals_root, f"epoch={int(epoch_id)}")
@@ -1517,7 +1548,6 @@ def _c2s_rt_delete_epoch(
     del_root: str,
     totals_root: str,
     out_root: str,
-    rebuilt_root: str,
     threshold: float,
     min_toks: int,
     budget: int,
@@ -1543,8 +1573,10 @@ def _c2s_rt_delete_epoch(
     the batch formula).
 
     Out-store contract: the rebuild writes the affected sources' FULL
-    pack at this epoch and records them in ``rebuilt_root``; the final
-    read keeps, per source, only rows from epochs >= its newest rebuild
+    pack at this epoch and stamps ``rebuilt_epoch`` in the totals
+    snapshot (r13: the marker rode its own epoch store — one write job
+    and one final-read store more than needed); the final read keeps,
+    per source, only out rows from epochs >= its newest rebuild
     (insert epochs after a rebuild append disjoint doc_ids, so no
     per-doc reconciliation is needed).
 
@@ -1611,12 +1643,10 @@ def _c2s_rt_delete_epoch(
                 _pack_tail(gated, empty_prev, source_cap, budget).coalesce(
                     1
                 ).write.mode("overwrite").parquet(out_epoch)
-                aff_src.coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(rebuilt_root, f"epoch={int(epoch_id)}")
-                )
                 # totals: affected sources from their rebuilt pack
                 # (left join so a fully-emptied source resets to 0,0 —
-                # its quota is fully released), others carried forward
+                # its quota is fully released) with rebuilt_epoch
+                # stamped to THIS epoch; others carried forward
                 prev = _totals_before(spark, totals_root, epoch_id)
                 bsum = (
                     spark.read.parquet(out_epoch)
@@ -1632,6 +1662,7 @@ def _c2s_rt_delete_epoch(
                     .alias("total_toks"),
                     F.coalesce(F.col("b_kept"), F.lit(0)).cast("long")
                     .alias("n_kept"),
+                    F.lit(int(epoch_id)).cast("long").alias("rebuilt_epoch"),
                 )
                 totals = prev.join(aff_src, "source", "left_anti").unionByName(
                     reb_tot
@@ -1685,7 +1716,6 @@ def stream_pipeline_corpus_to_shards_with_deletes(
     del_root = _scratch(prefix="c2srt_deleted_")
     totals_root = _scratch(prefix="c2srt_totals_")
     out_root = _scratch(prefix="c2srt_out_")
-    rebuilt_root = _scratch(prefix="c2srt_rebuilt_")
 
     def merge(bdf, epoch_id: int) -> None:
         _route_op_batch(
@@ -1697,35 +1727,33 @@ def stream_pipeline_corpus_to_shards_with_deletes(
             ),
             del_fn=lambda d, e: _c2s_rt_delete_epoch(
                 d, e, band_root, del_root, totals_root, out_root,
-                rebuilt_root, threshold, min_toks, budget, source_cap,
+                threshold, min_toks, budget, source_cap,
             ),
         )
 
     schema = spark.read.parquet(stage_dir + "/slice=0").schema
     _run_ordered_stream(spark, schema, stage_dir, merge, "c2srt_ckpt_")
-    return _c2s_final_rows(spark, out_root, rebuilt_root, del_root)
+    return _c2s_final_rows(spark, out_root, totals_root, del_root)
 
 
 def _c2s_final_rows(
-    spark: SparkSession, out_root: str, rebuilt_root: str, del_root: str
+    spark: SparkSession, out_root: str, totals_root: str, del_root: str
 ) -> DataFrame:
     """The maintained shard relation: per source, only rows from epochs
     >= its newest rebuild (a rebuild supersedes every earlier row of
     that source; insert epochs after it append disjoint doc_ids), minus
     any tombstoned doc (belt-and-braces — rebuilds already exclude
-    them)."""
+    them).  The per-source rebuild epoch comes from the newest totals
+    snapshot's ``rebuilt_epoch`` column."""
     out = spark.read.parquet(out_root)
-    if _store_recover(rebuilt_root) and _has_epochs(rebuilt_root):
-        reb = (
-            spark.read.parquet(rebuilt_root)
-            .groupBy("source")
-            .agg(F.max("epoch").alias("r"))
-        )
-        out = (
-            out.join(reb, "source", "left")
-            .filter(F.col("epoch") >= F.coalesce(F.col("r"), F.lit(-1)))
-            .drop("r")
-        )
+    reb = _totals_before(spark, totals_root).select(
+        "source", F.col("rebuilt_epoch").alias("r")
+    )
+    out = (
+        out.join(F.broadcast(reb), "source", "left")
+        .filter(F.col("epoch") >= F.coalesce(F.col("r"), F.lit(-1)))
+        .drop("r")
+    )
     out = out.select(
         "source", "doc_id", "n_toks", "start_tok",
         "first_chunk", "last_chunk", "n_chunks",

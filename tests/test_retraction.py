@@ -753,12 +753,12 @@ def _mk_src(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string, source string")
 
 
-def _c2s_rows(spark, out, reb, delr):
+def _c2s_rows(spark, out, tot, delr):
     from qaapi_spark.streaming.retraction import _c2s_final_rows
 
     return sorted(
         (r["source"], r["doc_id"], r["n_toks"], r["start_tok"])
-        for r in _c2s_final_rows(spark, out, reb, delr).collect()
+        for r in _c2s_final_rows(spark, out, tot, delr).collect()
     )
 
 
@@ -768,7 +768,7 @@ def _uniq_text(prefix, n=12):
 
 def _c2s_roots(tmp_path):
     return tuple(
-        str(tmp_path / d) for d in ("bands", "deleted", "totals", "out", "reb")
+        str(tmp_path / d) for d in ("bands", "deleted", "totals", "out")
     )
 
 
@@ -781,22 +781,22 @@ def test_c2s_delete_releases_quota_slot(spark, tmp_path):
         _c2s_rt_insert_epoch,
     )
 
-    band, delr, tot, out, reb = _c2s_roots(tmp_path)
+    band, delr, tot, out = _c2s_roots(tmp_path)
     t1, t2, t3 = (_uniq_text(p) for p in ("a", "b", "c"))
     _c2s_rt_insert_epoch(
         _mk_src(spark, [(1, t1, "s"), (2, t2, "s"), (3, t3, "s")]),
         0, band, delr, tot, out,
         0.8, 64, 16, min_toks=4, budget=10, source_cap=2,
     )
-    assert _c2s_rows(spark, out, reb, delr) == [
+    assert _c2s_rows(spark, out, tot, delr) == [
         ("s", 1, 12, 0), ("s", 2, 12, 12)
     ]  # doc 3 capped out
     _c2s_rt_delete_epoch(
         spark.createDataFrame([(1,)], "doc_id long"),
-        1, band, delr, tot, out, reb, 0.8, min_toks=4, budget=10, source_cap=2,
+        1, band, delr, tot, out, 0.8, min_toks=4, budget=10, source_cap=2,
     )
     # slot released: doc 3 admitted, offsets rebuilt from zero
-    assert _c2s_rows(spark, out, reb, delr) == [
+    assert _c2s_rows(spark, out, tot, delr) == [
         ("s", 2, 12, 0), ("s", 3, 12, 12)
     ]
     # and the released totals drive the NEXT insert's cap correctly:
@@ -806,7 +806,7 @@ def test_c2s_delete_releases_quota_slot(spark, tmp_path):
         2, band, delr, tot, out,
         0.8, 64, 16, min_toks=4, budget=10, source_cap=2,
     )
-    assert _c2s_rows(spark, out, reb, delr) == [
+    assert _c2s_rows(spark, out, tot, delr) == [
         ("s", 2, 12, 0), ("s", 3, 12, 12)
     ]
 
@@ -819,21 +819,21 @@ def test_c2s_delete_resurrects_and_repacks(spark, tmp_path):
         _c2s_rt_insert_epoch,
     )
 
-    band, delr, tot, out, reb = _c2s_roots(tmp_path)
+    band, delr, tot, out = _c2s_roots(tmp_path)
     _c2s_rt_insert_epoch(
         _mk_src(spark, [(1, _A, "s"), (2, _A, "s"), (3, _uniq_text("z"), "s")]),
         0, band, delr, tot, out,
         0.8, 64, 16, min_toks=4, budget=10, source_cap=None,
     )
     n_a = len(_A.split())
-    before = _c2s_rows(spark, out, reb, delr)
+    before = _c2s_rows(spark, out, tot, delr)
     assert before == [("s", 1, n_a, 0), ("s", 3, 12, n_a)]  # 2 dropped
     _c2s_rt_delete_epoch(
         spark.createDataFrame([(1,)], "doc_id long"),
-        1, band, delr, tot, out, reb, 0.8, min_toks=4, budget=10,
+        1, band, delr, tot, out, 0.8, min_toks=4, budget=10,
         source_cap=None,
     )
-    assert _c2s_rows(spark, out, reb, delr) == [
+    assert _c2s_rows(spark, out, tot, delr) == [
         ("s", 2, n_a, 0), ("s", 3, 12, n_a)
     ]
 
@@ -847,29 +847,29 @@ def test_c2s_delete_epoch_retry_idempotent(spark, tmp_path):
         _c2s_rt_insert_epoch,
     )
 
-    band, delr, tot, out, reb = _c2s_roots(tmp_path)
+    band, delr, tot, out = _c2s_roots(tmp_path)
     _c2s_rt_insert_epoch(
         _mk_src(spark, [(1, _uniq_text("a"), "s"), (2, _uniq_text("b"), "t")]),
         0, band, delr, tot, out,
         0.8, 64, 16, min_toks=4, budget=10, source_cap=None,
     )
-    args = (1, band, delr, tot, out, reb, 0.8)
+    args = (1, band, delr, tot, out, 0.8)
     _c2s_rt_delete_epoch(
         spark.createDataFrame([(1,)], "doc_id long"), *args,
         min_toks=4, budget=10, source_cap=None,
     )
-    once = _c2s_rows(spark, out, reb, delr)
+    once = _c2s_rows(spark, out, tot, delr)
     _c2s_rt_delete_epoch(
         spark.createDataFrame([(1,)], "doc_id long"), *args,
         min_toks=4, budget=10, source_cap=None,
     )
-    assert _c2s_rows(spark, out, reb, delr) == once
+    assert _c2s_rows(spark, out, tot, delr) == once
     _c2s_rt_insert_epoch(
         _mk_src(spark, [(5, _uniq_text("e"), "s")]),
         2, band, delr, tot, out,
         0.8, 64, 16, min_toks=4, budget=10, source_cap=None,
     )
-    after = _c2s_rows(spark, out, reb, delr)
+    after = _c2s_rows(spark, out, tot, delr)
     assert after == sorted(once + [("s", 5, 12, 0)])
     # untouched source t keeps its original row throughout
     assert ("t", 2, 12, 0) in after
