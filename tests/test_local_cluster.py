@@ -60,6 +60,10 @@ QUERIES = [
     # (rank-init Lloyd fit + broadcast codebook assignment)
     "dedup_exact_substring_apply",
     "pairs_mine_contrastive_ivf",
+    # r13 addition: retraction-aware MV maintenance (broadcast negative
+    # partials + the scoped MAX-recompute join across executor
+    # boundaries)
+    "mv_incremental_revenue_with_deletes",
 ]
 
 _RUNNER = r"""
