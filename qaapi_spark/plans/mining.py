@@ -562,6 +562,51 @@ def stream_scd2_history_q(spark, sf_dir):
     )
 
 
+# live predicate for the SCD2 subject-erasure stream: the staged
+# retraction batch erases user_id % 10 == 3 among events BEFORE the
+# first of the three time-slice boundaries (mid_us = lo + step, step =
+# GREATEST(1, (hi - lo + 3) // 3) over epoch microseconds) — the same
+# scalar-subquery lift pattern as the dedup *_with_deletes oracles.
+_SCD2_DEL_WHERE = (
+    "NOT (user_id % 10 = 3 AND epoch_us(CAST(ts AS TIMESTAMP)) < "
+    "(SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) + GREATEST(1, "
+    "(MAX(epoch_us(CAST(ts AS TIMESTAMP))) "
+    "- MIN(epoch_us(CAST(ts AS TIMESTAMP))) + 3) // 3) FROM events))"
+)
+
+
+@query(
+    "stream_scd2_with_deletes",
+    # the batch SCD2 relation over the LIVE events: the shared
+    # lag/lead oracle with the erased events filtered out (the one
+    # corpus scan lives in the ev CTE).
+    oracle=_SCD2_ORACLE.replace(
+        "FROM events", f"FROM events WHERE {_SCD2_DEL_WHERE}"
+    ),
+    doc="SCD2 history under CDC inserts AND SUBJECT ERASURE (GDPR "
+    "right-to-be-forgotten applied to dimension history — the "
+    "reference's J5 delete-then-reconcile, 'Update Calabrio Tables "
+    "from Staging Tables (D_POST_INSTALL).sql':85-92, on the history "
+    "artifact): a mid-stream retraction batch erases the named users' "
+    "ingested data — emitted history rows leave the relation (epoch-"
+    "scoped tombstone filter: only rows from epochs BEFORE the "
+    "erasure drop), open intervals vanish from state, and a LATER "
+    "event for the same user legitimately re-opens a fresh history "
+    "(re-subscription — the one retraction contract where the subject "
+    "key returning is normal, which the cleansed state yields for "
+    "free).  Equals the batch SCD2 build on the live events "
+    "(extension, SURVEY §2.9; "
+    "streaming/retraction.stream_scd2_with_deletes)",
+)
+def stream_scd2_with_deletes_q(spark, sf_dir):
+    from qaapi_spark.streaming.retraction import stream_scd2_with_deletes
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return stream_scd2_with_deletes(
+        spark, f"{sf_dir}/events.parquet", del_mod=10, del_rem=3
+    ).orderBy("user_id", "valid_from_us")
+
+
 @query(
     "timeseries_gapfill_hourly",
     # hour keys are exact integer floor divisions of epoch

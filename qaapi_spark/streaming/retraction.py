@@ -153,7 +153,9 @@ def _stage_ops_with_deletes(
     return stage_dir
 
 
-def _write_slices(stage_dir: str, slices: list[DataFrame]) -> None:
+def _write_slices(
+    stage_dir: str, slices: list[DataFrame], sort_cols: tuple = ("doc_id",)
+) -> None:
     """Stage every slice in ONE partitionBy write (r12: the per-slice
     write loop cost one job per slice): slices union with their index,
     repartition by it (one shuffle partition per slice -> one file per
@@ -165,7 +167,7 @@ def _write_slices(stage_dir: str, slices: list[DataFrame]) -> None:
         u = tagged if u is None else u.unionByName(tagged)
     (
         u.repartition("slice")
-        .sortWithinPartitions("slice", "doc_id")
+        .sortWithinPartitions("slice", *sort_cols)
         .write.mode("overwrite")
         .partitionBy("slice")
         .parquet(stage_dir)
@@ -173,13 +175,14 @@ def _write_slices(stage_dir: str, slices: list[DataFrame]) -> None:
     _stage_monotonic_mtimes(stage_dir)
 
 
-def _route_op_batch(bdf, epoch_id: int, ins_fn, del_fn) -> None:
+def _route_op_batch(bdf, epoch_id: int, ins_fn, del_fn, key_col: str = "doc_id") -> None:
     """Dispatch one op-tagged micro-batch: all-'i' batches run the
     insert epoch (op dropped), all-'d' batches run the delete epoch
-    (tombstone ids only).  Mixed batches raise — delete-vs-insert
-    ordering within one epoch would be ambiguous, and the stagers only
-    emit homogeneous files; empty batches (a predicate that matched
-    nothing) are a no-op."""
+    (tombstone ids only — ``key_col`` names the subject key: doc_id
+    for the corpus streams, user_id for SCD2 erasure).  Mixed batches
+    raise — delete-vs-insert ordering within one epoch would be
+    ambiguous, and the stagers only emit homogeneous files; empty
+    batches (a predicate that matched nothing) are a no-op."""
     ops = sorted(r[0] for r in bdf.select("op").distinct().collect())
     if not ops:
         return
@@ -189,7 +192,7 @@ def _route_op_batch(bdf, epoch_id: int, ins_fn, del_fn) -> None:
             f"retraction batches as their own files (got ops={ops})"
         )
     if ops[0] == "d":
-        del_fn(bdf.select("doc_id"), int(epoch_id))
+        del_fn(bdf.select(key_col), int(epoch_id))
     elif ops[0] == "i":
         ins_fn(bdf.drop("op"), int(epoch_id))
     else:
@@ -1762,6 +1765,213 @@ def _c2s_final_rows(
     if dels is not None:
         out = out.join(dels, "doc_id", "left_anti")
     return out
+
+
+# --- SCD2 history under subject erasure --------------------------------
+
+
+def _scd2_state_before(spark, store_root: str, epoch_id: int | None = None):
+    """The newest full open-row state snapshot strictly before
+    ``epoch_id`` (None = newest overall, the final-read path), or an
+    empty relation.  The insert-only stream read ``epoch - 1``; here
+    delete epochs interleave, so latest-earlier is the predecessor."""
+    schema = "user_id long, status string, event_id long, valid_from_us long"
+    es: list[int] = []
+    if os.path.isdir(store_root):
+        for d in os.listdir(store_root):
+            if d.startswith("epoch="):
+                try:
+                    e = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if epoch_id is None or e < int(epoch_id):
+                    es.append(e)
+    if not es:
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(os.path.join(store_root, f"epoch={max(es)}"))
+
+
+def _scd2_rt_insert_epoch(bdf, epoch_id: int, store_root: str, out_root: str) -> None:
+    """One insert epoch of the retraction-capable SCD2 stream — the
+    `stream_scd2_history` merge verbatim (close intervals append-only,
+    carry one open row per user), reading the latest-earlier state
+    snapshot instead of epoch-1 (delete epochs interleave).  A user
+    erased by an earlier delete epoch has NO open row, so their next
+    event legitimately re-opens a fresh history — re-subscription after
+    erasure is the one retraction contract where the subject key
+    returning is normal, not a violation (unlike the dedup streams'
+    permanent doc_ids).  Retry-idempotent: reads the latest snapshot
+    strictly before N, writes epoch-keyed overwrite."""
+    from pyspark.sql import Window
+
+    ss = bdf.sparkSession
+    prev = _scd2_state_before(ss, store_root, epoch_id)
+    combined = prev.select(
+        "user_id", "status", "event_id",
+        F.col("valid_from_us").alias("us"), F.lit(True).alias("is_state"),
+    ).unionByName(
+        bdf.select(
+            "user_id", "status", "event_id", "us", F.lit(False).alias("is_state")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    changes = combined.withColumn("prev", F.lag("status").over(w)).filter(
+        F.col("prev").isNull() | (F.col("status") != F.col("prev"))
+    )
+    marked = changes.withColumn("valid_to_us", F.lead("us").over(w))
+    marked.filter(F.col("valid_to_us").isNotNull()).select(
+        "user_id", "status",
+        F.col("us").alias("valid_from_us"), "valid_to_us",
+    ).write.mode("overwrite").parquet(
+        os.path.join(out_root, f"epoch={int(epoch_id)}")
+    )
+    marked.filter(F.col("valid_to_us").isNull()).select(
+        "user_id", "status", "event_id", F.col("us").alias("valid_from_us")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(store_root, f"epoch={int(epoch_id)}")
+    )
+
+
+def _scd2_rt_delete_epoch(
+    ddf, epoch_id: int, store_root: str, del_root: str
+) -> None:
+    """Subject-erasure epoch: every tombstoned user's OPEN row leaves
+    the state snapshot (their never-closed current interval vanishes —
+    the events backing it are erased, so the interval never existed in
+    the live relation), and the tombstone records the delete epoch so
+    the final read drops the user's already-emitted history rows from
+    EARLIER epochs only — rows a post-erasure re-subscription emits
+    later survive.  Already-written out-store files stay on disk
+    (immutable, logically filtered); `purge_tombstoned(..., key_col=
+    'user_id')` is the physical-erasure companion.  Retry-idempotent:
+    reads the latest snapshot strictly before N, epoch-keyed writes."""
+    spark = ddf.sparkSession
+    dels = ddf.select("user_id").distinct().persist()
+    try:
+        prev = _scd2_state_before(spark, store_root, epoch_id)
+        prev.join(dels, "user_id", "left_anti").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(store_root, f"epoch={int(epoch_id)}"))
+        dels.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(del_root, f"epoch={int(epoch_id)}")
+        )
+    finally:
+        dels.unpersist()
+
+
+def stream_scd2_with_deletes(
+    spark: SparkSession,
+    events_path: str,
+    n_splits: int = 3,
+    del_mod: int = 10,
+    del_rem: int = 3,
+) -> DataFrame:
+    """SCD2 history maintenance under CDC inserts AND subject erasure
+    (GDPR right-to-be-forgotten applied to dimension history — the
+    reference's J5 delete-then-reconcile on the history artifact): a
+    mid-stream retraction batch erases the named users' data ingested
+    so far — their emitted history rows leave the relation, their open
+    intervals vanish from state, and their quota of the truth resets:
+    a LATER event for the same user legitimately re-opens a fresh
+    history (re-subscription), which the cleansed state produces for
+    free (no standing open row -> the next event is a change).  The
+    staged ingest erases ``user_id % del_mod == del_rem`` among events
+    before the first time-slice boundary, then delivers two more
+    event-time slices (revival material).  Final relation = the batch
+    SCD2 build over the LIVE events (erased events filtered out) —
+    hash-checked against the same lag/lead oracle with the live
+    predicate lifted in."""
+    from qaapi_spark.sources.tables import events_stream_spec
+
+    raw_schema, normalize_ts = events_stream_spec(spark, events_path)
+    raw = normalize_ts(spark.read.schema(raw_schema).parquet(events_path))
+    narrow = raw.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    lo, hi = narrow.agg(F.min("us"), F.max("us")).collect()[0]
+    step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
+    mid_us = int(lo) + step
+    pred = (F.col("user_id") % int(del_mod)) == int(del_rem)
+    stage_dir = _scratch(prefix="events_scd2rt_stream_")
+    slices: list[DataFrame] = []
+    for i in range(n_splits):
+        hi_pad = (1 << 60) if i == n_splits - 1 else 0
+        slices.append(
+            narrow.filter(
+                (F.col("us") >= int(lo) + i * step)
+                & (F.col("us") < int(lo) + (i + 1) * step + hi_pad)
+            ).select("user_id", "status", "event_id", "us",
+                     F.lit("i").alias("op"))
+        )
+        if i == 0:
+            slices.append(
+                narrow.filter(pred & (F.col("us") < mid_us))
+                .select("user_id")
+                .distinct()
+                .select(
+                    "user_id",
+                    F.lit("").alias("status"),
+                    F.lit(-1).cast("long").alias("event_id"),
+                    F.lit(0).cast("long").alias("us"),
+                    F.lit("d").alias("op"),
+                )
+            )
+    _write_slices(stage_dir, slices, sort_cols=("user_id", "us", "event_id"))
+    store_root = _scratch(prefix="scd2rt_store_")
+    out_root = _scratch(prefix="scd2rt_out_")
+    del_root = _scratch(prefix="scd2rt_deleted_")
+
+    def merge(bdf, epoch_id: int) -> None:
+        _route_op_batch(
+            bdf,
+            epoch_id,
+            ins_fn=lambda b, e: _scd2_rt_insert_epoch(b, e, store_root, out_root),
+            del_fn=lambda d, e: _scd2_rt_delete_epoch(d, e, store_root, del_root),
+            key_col="user_id",
+        )
+
+    schema = spark.read.parquet(stage_dir + "/slice=0").schema
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage_dir + "/slice=*")
+            .writeStream.foreachBatch(merge)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _scratch(prefix="scd2rt_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    # per-user newest erasure epoch: history rows from EARLIER epochs
+    # are the erased ones; re-subscription rows land later and survive
+    hist = spark.read.parquet(out_root)
+    if _store_recover(del_root) and _has_epochs(del_root):
+        tomb = (
+            spark.read.parquet(del_root)
+            .groupBy("user_id")
+            .agg(F.max("epoch").alias("d"))
+        )
+        hist = (
+            hist.join(F.broadcast(tomb), "user_id", "left")
+            .filter(F.col("epoch") > F.coalesce(F.col("d"), F.lit(-1)))
+            .drop("d")
+        )
+    hist = hist.select("user_id", "status", "valid_from_us", "valid_to_us")
+    final_open = _scd2_state_before(spark, store_root).select(
+        "user_id", "status", "valid_from_us",
+        F.lit(None).cast("long").alias("valid_to_us"),
+    )
+    return hist.unionByName(final_open).withColumn(
+        "is_current", F.col("valid_to_us").isNull()
+    )
 
 
 # --- Physical erasure -------------------------------------------------

@@ -425,6 +425,13 @@ def test_delete_oracle_lift_is_well_defined():
     un = CATALOG["stream_exsub_unordered_with_deletes"].oracle
     assert un.count(f"FROM documents WHERE {_DEL_WHERE_HI}") == 1
     assert un.count("FROM documents") == 2
+    # the r13 SCD2 subject-erasure lift (events table)
+    from qaapi_spark.plans.mining import _SCD2_DEL_WHERE, _SCD2_ORACLE
+
+    assert _SCD2_ORACLE.count("FROM events") == 1
+    sc = CATALOG["stream_scd2_with_deletes"].oracle
+    assert sc.count(f"FROM events WHERE {_SCD2_DEL_WHERE}") == 1
+    assert sc.count("FROM events") == 2
 
 
 # --- order-independent (unordered) ExactSubstr ----------------------
@@ -978,3 +985,122 @@ def test_uo_rejects_reinsert_of_tombstoned_id(spark, tmp_path):
     _exsub_uo_epoch(mk([(3, _FILLER)]), 2, occ, out, 10, del_root=delr)
     # replay of the pre-delete epoch: tombstones at epoch < 0 — no trip
     _exsub_uo_epoch(mk([(10, _PASSAGE)]), 0, occ, out, 10, del_root=delr)
+
+
+# --- SCD2 history under subject erasure --------------------------------
+
+
+def _scd2_final(spark, out, store, delr):
+    from pyspark.sql import functions as F
+    from qaapi_spark.streaming.incremental import _has_epochs, _store_recover
+    from qaapi_spark.streaming.retraction import _scd2_state_before
+
+    hist = spark.read.parquet(out)
+    if _store_recover(delr) and _has_epochs(delr):
+        tomb = (
+            spark.read.parquet(delr)
+            .groupBy("user_id")
+            .agg(F.max("epoch").alias("d"))
+        )
+        hist = (
+            hist.join(tomb, "user_id", "left")
+            .filter(F.col("epoch") > F.coalesce(F.col("d"), F.lit(-1)))
+            .drop("d")
+        )
+    rows = [
+        (r["user_id"], r["status"], r["valid_from_us"], r["valid_to_us"])
+        for r in hist.select(
+            "user_id", "status", "valid_from_us", "valid_to_us"
+        ).collect()
+    ]
+    rows += [
+        (r["user_id"], r["status"], r["valid_from_us"], None)
+        for r in _scd2_state_before(spark, store).collect()
+    ]
+    return sorted(rows, key=lambda t: (t[0], t[2]))
+
+
+def _mk_ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, status string, event_id long, us long"
+    )
+
+
+def test_scd2_erasure_drops_history_and_enables_resubscription(spark, tmp_path):
+    """Erasing user 3 removes their emitted history rows AND their open
+    interval; a later event for user 3 re-opens a FRESH history (the
+    cleansed state makes the next event a change), while user 1's
+    history is untouched throughout."""
+    from qaapi_spark.streaming.retraction import (
+        _scd2_rt_delete_epoch,
+        _scd2_rt_insert_epoch,
+    )
+
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    delr = str(tmp_path / "deleted")
+    _scd2_rt_insert_epoch(
+        _mk_ev(spark, [(1, "a", 10, 100), (3, "a", 11, 100), (3, "b", 12, 200)]),
+        0, store, out,
+    )
+    assert _scd2_final(spark, out, store, delr) == [
+        (1, "a", 100, None), (3, "a", 100, 200), (3, "b", 200, None)
+    ]
+    _scd2_rt_delete_epoch(
+        spark.createDataFrame([(3,)], "user_id long"), 1, store, delr
+    )
+    assert _scd2_final(spark, out, store, delr) == [(1, "a", 100, None)]
+    # re-subscription: user 3 returns with the SAME status their erased
+    # open row had — still a change (no standing row), fresh interval
+    _scd2_rt_insert_epoch(_mk_ev(spark, [(3, "b", 13, 300)]), 2, store, out)
+    assert _scd2_final(spark, out, store, delr) == [
+        (1, "a", 100, None), (3, "b", 300, None)
+    ]
+
+
+def test_scd2_second_erasure_drops_revived_rows_too(spark, tmp_path):
+    """Epoch-scoped tombstones: a SECOND erasure of the re-subscribed
+    user drops the revived rows (epochs before the newest erasure) but
+    a third incarnation survives it."""
+    from qaapi_spark.streaming.retraction import (
+        _scd2_rt_delete_epoch,
+        _scd2_rt_insert_epoch,
+    )
+
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    delr = str(tmp_path / "deleted")
+    _scd2_rt_insert_epoch(_mk_ev(spark, [(3, "a", 1, 100)]), 0, store, out)
+    _scd2_rt_delete_epoch(
+        spark.createDataFrame([(3,)], "user_id long"), 1, store, delr
+    )
+    _scd2_rt_insert_epoch(
+        _mk_ev(spark, [(3, "b", 2, 300), (3, "c", 3, 400)]), 2, store, out
+    )
+    _scd2_rt_delete_epoch(
+        spark.createDataFrame([(3,)], "user_id long"), 3, store, delr
+    )
+    assert _scd2_final(spark, out, store, delr) == []
+    _scd2_rt_insert_epoch(_mk_ev(spark, [(3, "d", 4, 500)]), 4, store, out)
+    assert _scd2_final(spark, out, store, delr) == [(3, "d", 500, None)]
+
+
+def test_scd2_delete_epoch_retry_idempotent(spark, tmp_path):
+    """A replayed erasure epoch reproduces identical state + tombstone
+    bytes (reads the latest snapshot strictly before N)."""
+    from qaapi_spark.streaming.retraction import (
+        _scd2_rt_delete_epoch,
+        _scd2_rt_insert_epoch,
+    )
+
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    delr = str(tmp_path / "deleted")
+    _scd2_rt_insert_epoch(
+        _mk_ev(spark, [(1, "a", 1, 100), (3, "a", 2, 100)]), 0, store, out
+    )
+    ddf = spark.createDataFrame([(3,)], "user_id long")
+    _scd2_rt_delete_epoch(ddf, 1, store, delr)
+    once = _scd2_final(spark, out, store, delr)
+    _scd2_rt_delete_epoch(ddf, 1, store, delr)  # replay
+    assert _scd2_final(spark, out, store, delr) == once == [(1, "a", 100, None)]
