@@ -2049,8 +2049,11 @@ def _frontier_max_doc_id(spark, root: str, epoch_lt: int):
         )
 
 
-def _read_deleted(spark, del_root: str, epoch_id: int | None = None):
-    """The retracted doc_ids recorded so far (one ``doc_id`` column),
+def _read_deleted(
+    spark, del_root: str, epoch_id: int | None = None, key_col: str = "doc_id"
+):
+    """The retracted subject keys recorded so far (one ``key_col``
+    column — doc_id for the corpus streams, user_id for SCD2 erasure),
     or None when no delete epoch has written yet.  ``epoch_id`` filters
     to strictly earlier epochs (retry-idempotence: a replayed epoch
     never meets its own tombstones); None reads every epoch (the
@@ -2061,7 +2064,7 @@ def _read_deleted(spark, del_root: str, epoch_id: int | None = None):
     df = spark.read.parquet(del_root)
     if epoch_id is not None:
         df = df.filter(F.col("epoch") < int(epoch_id))
-    return df.select("doc_id")
+    return df.select(key_col)
 
 
 def _reject_tombstoned_reinsert(bdf, del_root: str | None, epoch_id: int) -> None:

@@ -2011,11 +2011,11 @@ def purge_tombstoned(
     outstanding DataFrames over the store before purging."""
     import shutil
 
-    dels = _read_deleted(spark, del_root)
+    dels = _read_deleted(spark, del_root, key_col=key_col)
     if dels is None or not (_store_recover(root) and _has_epochs(root)):
         return 0
     df = spark.read.parquet(root)
-    dk = dels.select(F.col("doc_id").alias(key_col)).distinct()
+    dk = dels.distinct()
     n_total, n_del = df.join(
         F.broadcast(dk.withColumn("__del", F.lit(True))), key_col, "left"
     ).agg(F.count(F.lit(1)), F.count("__del")).collect()[0]

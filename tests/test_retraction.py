@@ -1104,3 +1104,38 @@ def test_scd2_delete_epoch_retry_idempotent(spark, tmp_path):
     once = _scd2_final(spark, out, store, delr)
     _scd2_rt_delete_epoch(ddf, 1, store, delr)  # replay
     assert _scd2_final(spark, out, store, delr) == once == [(1, "a", 100, None)]
+
+
+def test_purge_tombstoned_user_key_on_scd2_store(spark, tmp_path):
+    """purge_tombstoned generalizes to the SCD2 stores via
+    key_col='user_id': the erased user's rows leave the out store ON
+    DISK, the maintained relation is unchanged, and the tombstones
+    survive for the read-side epoch filter."""
+    from pyspark.sql import functions as F
+    from qaapi_spark.streaming.retraction import (
+        _scd2_rt_delete_epoch,
+        _scd2_rt_insert_epoch,
+        purge_tombstoned,
+    )
+
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    delr = str(tmp_path / "deleted")
+    _scd2_rt_insert_epoch(
+        _mk_ev(
+            spark,
+            [(1, "a", 1, 100), (1, "b", 2, 300),
+             (3, "a", 3, 100), (3, "b", 4, 200)],
+        ),
+        0, store, out,
+    )
+    _scd2_rt_delete_epoch(
+        spark.createDataFrame([(3,)], "user_id long"), 1, store, delr
+    )
+    before = _scd2_final(spark, out, store, delr)
+    assert purge_tombstoned(spark, out, delr, key_col="user_id") == 1
+    assert spark.read.parquet(out).filter(F.col("user_id") == 3).count() == 0
+    assert spark.read.parquet(out).filter(F.col("user_id") == 1).count() == 1
+    assert _scd2_final(spark, out, store, delr) == before == [
+        (1, "a", 100, 300), (1, "b", 300, None)
+    ]
