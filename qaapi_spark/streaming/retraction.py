@@ -1200,23 +1200,16 @@ def _nd_rt_component_recompute(dels, rows, threshold: float, pin):
     component closure, then the layered greedy formula replayed per
     arrival epoch over the affected components' LIVE docs.
 
-    The BFS walks BAND adjacency (docs sharing any (band, bsig)
-    bucket), not verified edges — r13, the VERDICT r12 #3 hop-cost
-    item: each hop is now one equi-join + anti-join + count (the
-    per-hop shingle-verify is gone), and exact Jaccard verification
-    runs ONCE over the closure's candidate pairs.  Correct because
-    band adjacency is a SUPERSET of the verified edge set, so the
-    closure is a union of WHOLE true components (if a doc is in, every
-    true neighbor shares a band with it and is in too): components
-    containing a tombstone are recomputed scoped-and-exact as before,
-    and any extra component dragged in by an LSH false-positive
-    collision (~2e-4/pair) recomputes to its standing values — the
-    formula is a pure function of the component's live docs and
-    arrival layers, so its delta rows are value-identical no-ops.
-    Hop count is the band-graph diameter, <= the true-edge diameter
-    (collisions only shortcut paths); still sequential wall-time at
-    100 TB, bounded by component diameter (small for 0.8-Jaccard
-    graphs).
+    The BFS walks VERIFIED edges, accumulating them per hop (an edge
+    is discovered the first time either endpoint enters the frontier).
+    An alternative was MEASURED AND REJECTED r13 (VERDICT r12 #3's
+    hop-cost item): walking band adjacency with ONE batched verify
+    over the closure's candidate pairs makes each hop cheaper, but on
+    the near-dup corpus (dense cliques) the within-closure candidate
+    self-join costs more than the per-hop frontier verifies it
+    replaces — A/B at sf0.1: 8.8 s (this strategy) vs 10.1 s warm.
+    The hop loop stays sequential (one count() per hop), bounded by
+    component diameter — small for 0.8-Jaccard graphs.
 
     ``rows`` is the live store view (any column superset of id, bands,
     sh, kept, arrival), ``pin`` the caller's persist-tracking helper.
@@ -1233,16 +1226,26 @@ def _nd_rt_component_recompute(dels, rows, threshold: float, pin):
 
     explored = pin(dels.select(F.col("doc_id").alias("id")))
     frontier = explored
+    edges = None
     while True:
         fkeys = (
             rows.join(frontier, "id", "left_semi")
             .select("id", F.explode("bands").alias("bk"))
             .select("id", "bk.band", "bk.bsig")
         )
-        new = pin(
+        cand = (
             fkeys.join(all_keys, ["band", "bsig"])
             .filter(F.col("id") != F.col("other"))
-            .select(F.col("other").alias("id"))
+            .select("id", "other")
+            .distinct()
+        )
+        ve = pin(_verified_jaccard_pairs(cand, lsets, lsets, threshold))
+        edges = (
+            ve if edges is None
+            else pin(edges.unionByName(ve).distinct())
+        )
+        new = pin(
+            ve.select(F.col("other").alias("id"))
             .distinct()
             .join(explored, "id", "left_anti")
         )
@@ -1250,25 +1253,6 @@ def _nd_rt_component_recompute(dels, rows, threshold: float, pin):
             break
         explored = pin(explored.unionByName(new).distinct())
         frontier = new
-
-    # ONE batched verify over the closure's candidate pairs
-    ckeys = (
-        rows.join(explored, "id", "left_semi")
-        .select("id", F.explode("bands").alias("bk"))
-        .select("id", "bk.band", "bk.bsig")
-    )
-    a, b = ckeys.alias("a"), ckeys.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.id") > F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id"), F.col("b.id").alias("other"))
-        .distinct()
-    )
-    edges = pin(_verified_jaccard_pairs(cand, lsets, lsets, threshold))
 
     comp = pin(
         explored.join(
