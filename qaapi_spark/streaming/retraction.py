@@ -182,15 +182,20 @@ def _route_op_batch(bdf, epoch_id: int, ins_fn, del_fn, key_col: str = "doc_id")
     for the corpus streams, user_id for SCD2 erasure).  Mixed batches
     raise — delete-vs-insert ordering within one epoch would be
     ambiguous, and the stagers only emit homogeneous files; empty
-    batches (a predicate that matched nothing) are a no-op."""
-    ops = sorted(r[0] for r in bdf.select("op").distinct().collect())
-    if not ops:
+    batches (a predicate that matched nothing) are a no-op.  The probe
+    is ONE min/max aggregate (r13: distinct().collect() paid a distinct
+    exchange per epoch across every retraction stream; min == max
+    proves homogeneity just as well)."""
+    lo_op, hi_op = bdf.agg(F.min("op"), F.max("op")).collect()[0]
+    if lo_op is None:
         return
-    if len(ops) > 1:
+    if lo_op != hi_op:
         raise ValueError(
             "mixed insert+delete micro-batch is not supported: stage "
-            f"retraction batches as their own files (got ops={ops})"
+            "retraction batches as their own files "
+            f"(got ops={sorted({lo_op, hi_op})})"
         )
+    ops = [lo_op]
     if ops[0] == "d":
         del_fn(bdf.select(key_col), int(epoch_id))
     elif ops[0] == "i":
