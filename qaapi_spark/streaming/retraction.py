@@ -119,15 +119,26 @@ def _stage_ops_with_deletes(
     permutation for canonical election — with the retraction batch
     still mid-stream, so it tombstones the predicate docs ingested so
     far = the HIGH half: the live set becomes ``NOT (doc_id % del_mod
-    = del_rem AND doc_id >= mid_bound)`` (same mid_bound arithmetic;
-    the oracle lift flips the comparison)."""
+    = del_rem AND doc_id >= lo + (n_splits - n_splits//2)*step)``; for
+    even n_splits that bound IS mid_bound (the oracle lift flips the
+    comparison), and for odd n_splits it is one slice higher — the
+    ingested boundary, not the midpoint (ADVICE r13 #2)."""
     lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
     mid_i = max(1, n_splits // 2)
     mid_bound = int(lo) + mid_i * step
     pred = (F.col("doc_id") % int(del_mod)) == int(del_rem)
+    # The retraction batch may only tombstone ALREADY-ingested ids (a
+    # not-yet-ingested tombstone trips _reject_tombstoned_reinsert on
+    # the later insert slice and kills the stream).  Forward order has
+    # ingested slices 0..mid_i-1 = doc_id < mid_bound.  Reverse order
+    # has ingested slices n-1..n-mid_i = doc_id >= lo + (n-mid_i)*step,
+    # which equals mid_bound only for EVEN n_splits (ADVICE r13 #2: the
+    # r13 code used mid_bound for both, so odd n_splits + reverse
+    # tombstoned the un-ingested middle slice).
+    rev_bound = int(lo) + (n_splits - mid_i) * step
     del_scope = (
-        F.col("doc_id") >= mid_bound if reverse else F.col("doc_id") < mid_bound
+        F.col("doc_id") >= rev_bound if reverse else F.col("doc_id") < mid_bound
     )
     stage_dir = _scratch(prefix="docs_rt_stream_")
     slices: list[DataFrame] = []
@@ -1967,7 +1978,11 @@ def stream_scd2_with_deletes(
 
 
 def purge_tombstoned(
-    spark: SparkSession, root: str, del_root: str, key_col: str = "doc_id"
+    spark: SparkSession,
+    root: str,
+    del_root: str,
+    key_col: str = "doc_id",
+    del_key_col: str | None = None,
 ) -> int:
     """PHYSICAL erasure of tombstoned docs from an epoch-keyed store —
     the second half of a GDPR takedown: the retraction epochs remove a
@@ -1996,15 +2011,24 @@ def purge_tombstoned(
     store IS "no epochs", the state every reader already guards on via
     ``_has_epochs``).
 
+    ``key_col`` names the STORE's key column; ``del_key_col`` names the
+    tombstone store's (default: same as key_col).  They differ for the
+    band/fused stores, which key rows ``id`` while their tombstones are
+    recorded as ``doc_id`` (ADVICE r13 #1: r13 passed key_col into the
+    tombstone read too, so an 'id'-keyed store silently lost its
+    physical-erasure path — _read_deleted would select a column the del
+    store does not have).
+
     Same reader-invalidation caveat as compact_epoch_store: collect
     outstanding DataFrames over the store before purging."""
     import shutil
 
-    dels = _read_deleted(spark, del_root, key_col=key_col)
+    dkc = del_key_col if del_key_col is not None else key_col
+    dels = _read_deleted(spark, del_root, key_col=dkc)
     if dels is None or not (_store_recover(root) and _has_epochs(root)):
         return 0
     df = spark.read.parquet(root)
-    dk = dels.distinct()
+    dk = dels.select(F.col(dkc).alias(key_col)).distinct()
     n_total, n_del = df.join(
         F.broadcast(dk.withColumn("__del", F.lit(True))), key_col, "left"
     ).agg(F.count(F.lit(1)), F.count("__del")).collect()[0]

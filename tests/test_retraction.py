@@ -1139,3 +1139,108 @@ def test_purge_tombstoned_user_key_on_scd2_store(spark, tmp_path):
     assert _scd2_final(spark, out, store, delr) == before == [
         (1, "a", 100, 300), (1, "b", 300, None)
     ]
+
+
+def test_purge_tombstoned_id_keyed_band_store(spark, tmp_path):
+    """ADVICE r13 #1: the band/fused stores key rows ``id`` while their
+    tombstones are recorded as ``doc_id`` — purge_tombstoned must still
+    physically erase them (key_col names the store column, del_key_col
+    the tombstone column).  r13's single-key signature selected 'id'
+    from the del store, which has no such column, so the GDPR
+    physical-erasure path silently failed for every band store."""
+    from pyspark.sql import functions as F
+    from qaapi_spark.streaming.retraction import (
+        _nd_rt_delete_epoch,
+        _nd_rt_insert_epoch,
+        purge_tombstoned,
+    )
+
+    bands = str(tmp_path / "bands")
+    delr = str(tmp_path / "deleted")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    _nd_rt_insert_epoch(
+        mk([(1, _A), (3, _B), (4, _C)]), 0, bands, delr, 0.8, 64, 16
+    )
+    _nd_rt_delete_epoch(
+        spark.createDataFrame([(3,)], "doc_id long"), 1, bands, delr, 0.8
+    )
+
+    def live():
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(F.desc("epoch"))
+        dels = spark.read.parquet(delr).select(F.col("doc_id").alias("id"))
+        return sorted(
+            (r["id"], r["kept"])
+            for r in spark.read.parquet(bands)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .join(dels, "id", "left_anti")
+            .select("id", "kept")
+            .collect()
+        )
+
+    before = live()
+    assert before == [(1, True), (4, True)]  # 4 resurrected by the delete
+    assert (
+        purge_tombstoned(
+            spark, bands, delr, key_col="id", del_key_col="doc_id"
+        )
+        > 0
+    )
+    # doc 3's rows are GONE from disk (both its insert row and the
+    # delete epoch's decision-delta row), not merely filtered
+    assert spark.read.parquet(bands).filter(F.col("id") == 3).count() == 0
+    assert live() == before
+
+
+def test_stage_ops_reverse_odd_splits_tombstones_only_ingested(spark):
+    """ADVICE r13 #2: with reverse=True the retraction batch may only
+    tombstone ids from the slices staged BEFORE it.  For odd n_splits
+    the r13 bound (mid_bound) reached into the un-ingested middle
+    slice, so the later insert slice tripped
+    _reject_tombstoned_reinsert and killed the stream."""
+    from pyspark.sql import functions as F
+    from qaapi_spark.streaming.retraction import _stage_ops_with_deletes
+
+    raw = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], "doc_id long, text string"
+    )
+    for n_splits in (2, 3, 5):
+        stage = _stage_ops_with_deletes(spark, raw, 3, 1, n_splits, reverse=True)
+        staged = spark.read.parquet(stage)
+        slices = sorted(
+            r["slice"] for r in staged.select("slice").distinct().collect()
+        )
+        del_slice = [
+            r["slice"]
+            for r in staged.filter(F.col("op") == "d")
+            .select("slice")
+            .distinct()
+            .collect()
+        ]
+        assert len(del_slice) == 1
+        ingested_before = {
+            r["doc_id"]
+            for r in staged.filter(
+                (F.col("op") == "i") & (F.col("slice") < del_slice[0])
+            ).collect()
+        }
+        tombstoned = {
+            r["doc_id"]
+            for r in staged.filter(F.col("op") == "d").collect()
+        }
+        assert tombstoned, f"n_splits={n_splits}: empty retraction batch"
+        assert tombstoned <= ingested_before, (
+            f"n_splits={n_splits}: tombstones reach un-ingested ids "
+            f"{sorted(tombstoned - ingested_before)}"
+        )
+        # every insert slice AFTER the delete batch is disjoint from the
+        # tombstones (no _reject_tombstoned_reinsert trip)
+        after = {
+            r["doc_id"]
+            for r in staged.filter(
+                (F.col("op") == "i") & (F.col("slice") > del_slice[0])
+            ).collect()
+        }
+        assert not (after & tombstoned)

@@ -86,6 +86,8 @@ def main() -> None:
     since = None
     if "--since" in argv:
         i = argv.index("--since")
+        if i + 1 >= len(argv):
+            sys.exit("--since requires a value (epoch seconds or ISO datetime)")
         since = _ts_key(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
     paths = argv
@@ -97,7 +99,16 @@ def main() -> None:
             with open(p) as f:
                 for i, ln in enumerate(ln for ln in f if ln.strip()):
                     d = json.loads(ln)
-                    if since is not None and _ts_key(d.get("ts") or 0) < since:
+                    if since is not None and "ts" not in d:
+                        # keep, loudly: a ts-less line predates the ts
+                        # field; silently dropping it would bias the
+                        # best-of composite (ADVICE r13 #3)
+                        print(
+                            f"warn: {os.path.basename(p)}#{i} has no ts; "
+                            "kept despite --since",
+                            file=sys.stderr,
+                        )
+                    elif since is not None and _ts_key(d.get("ts") or 0) < since:
                         continue
                     runs.append(
                         (
