@@ -76,29 +76,22 @@ def _driver_state() -> tuple[set[str], set[str], int, dict[str, int]]:
 # passthrough), and the Hamming screen's query collect (limit + bound),
 # so their r7 rows certify retired code.  All four re-verified locally
 # (check_oracle sf0.001 + sf0.01); the force makes the driver confirm.
-_FORCE_RECHECK_ROUND = 12
+_FORCE_RECHECK_ROUND = 13
 _FORCE_RECHECK = frozenset(
     {
-        # Round 13 (VERDICT r12 next #1): the 13 queries whose most
-        # recent green row is r7 — 5 rounds stale, the catalog's
-        # oldest verification debt.  The 235-query catalog cycles a
-        # 50-slot window in ~5 rounds, so without pins the LRU
-        # rotation would reach only part of this tail; pinning clears
-        # the whole r7 cohort in one window.  The pins self-expire on
-        # their r13 green rows.
-        "ann_topk_pq",
-        "bm25_search_topk",
-        "cdc_diff_order_snapshots",
-        "curation_source_mixture_weights",
-        "curation_training_order",
-        "dedup_keep_representatives",
-        "event_type_cooccurrence_lift",
-        "pmi_collocations",
-        "profile_orders_columns",
-        "skew_profile_orders_custkey",
-        "sliding_window_event_counts",
-        "tfidf_top_terms",
-        "user_interevent_stats",
+        # Round 14: the shards-with-deletes delete/insert epochs were
+        # rebuilt for the twin-gap fix (pack persisted instead of
+        # re-read, kept_all pinned, emptiness guard dropped,
+        # window-skip on undeleted stores) — its r13 green row
+        # certifies the retired kernel, so the driver must re-hash it.
+        # The r14 window otherwise carries the LRU rotation: 7 r8- and
+        # 42 r9-stale queries (VERDICT r13 next #1) fill the remaining
+        # slots minus one — this pin plus the new join-MV retraction
+        # query displace exactly one r9 query
+        # (timeseries_gapfill_hourly, the last by catalog order),
+        # which was replayed green locally at sf0.01 this round and is
+        # first in line for r15.
+        "stream_pipeline_shards_with_deletes",
     }
 )
 

@@ -221,6 +221,58 @@ def retract_partial_aggregates(
     return survivors.select(*mv.columns)
 
 
+def retract_join_view(
+    spark,
+    view_root: str,
+    del_root: str,
+    deleted_keys: DataFrame,
+    key_col: str,
+    epoch: int,
+) -> DataFrame:
+    """Delete path for a JOIN-view MV maintained as an epoch-keyed
+    parquet store (VERDICT r13 next #3 — the IVM-for-joins analogue of
+    `retract_partial_aggregates`, completing the MV retraction arc:
+    aggregates landed r13, this is the join half).  Reference
+    precedent: the same J5 DELETE-then-reconcile ('Update Calabrio
+    Tables from Staging Tables (D_POST_INSTALL).sql':85-92) applied to
+    a joined artifact.
+
+    Why deletion is KEY-LOCAL for an enrichment view: with a static
+    dimension, an enriched row exists iff its base fact row exists, so
+    retracting base keys is exactly an anti-join of the view by key —
+    no join re-derivation, no other row's enrichment can change
+    (contrast the aggregate MV, where a retracted extreme forces a
+    group recompute).
+
+    Mechanics mirror the streaming stores: the delete batch's keys
+    land as an epoch-keyed tombstone write (O(|batch|), retry-
+    idempotent overwrite — a replayed epoch rewrites identical bytes),
+    and every read filters them.  The view files are NOT rewritten
+    here: physical erasure is the compaction moment —
+    `streaming.retraction.purge_tombstoned(spark, view_root, del_root,
+    key_col=...)` rewrites the store without the keys crash-safely
+    (rename-trash-rename) while reads stay correct before, during
+    (logical filter), and after (anti-join hits nothing).
+
+    At 100 TB: the tombstone side is broadcast (delete batches are
+    takedown-sized); the anti-join streams the view without shuffle.
+    Tombstone debt grows until a purge visits the store — schedule
+    purges on the same cadence as file compaction.  Returns the live
+    view."""
+    import os
+
+    (
+        deleted_keys.select(key_col)
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(del_root, f"epoch={int(epoch)}"))
+    )
+    view = spark.read.parquet(view_root)
+    dels = spark.read.parquet(del_root).select(key_col).distinct()
+    return view.join(F.broadcast(dels), key_col, "left_anti")
+
+
 def list_parquet_files(spark, path: str) -> list[tuple[str, int]]:
     """(path, bytes) of every parquet data file under ``path`` — the
     listing a compaction planner consults."""

@@ -284,3 +284,73 @@ def mv_incremental_join_enrichment(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "mv_incremental_join_enrichment_with_deletes",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE NOT (o.o_orderkey % 10 = 3)
+    GROUP BY segment ORDER BY segment
+    """,
+    doc="RETRACTION-aware JOIN-view maintenance (VERDICT r13 next #3 — "
+    "the join half of the MV retraction arc; the aggregate half landed "
+    "r13 as retract_partial_aggregates): the enriched-orders MV is "
+    "materialized as an epoch-keyed store (base epoch 0, delta append "
+    "epoch 1), then a takedown batch of base keys is retracted via "
+    "operators/maintain.retract_join_view — an O(|batch|) epoch-keyed "
+    "tombstone write plus a read-side broadcast anti-join, key-local "
+    "because an enriched row exists iff its base fact row exists (dim "
+    "static).  The base is never rescanned and the view files are not "
+    "rewritten on the delete path; physical erasure is deferred to "
+    "purge_tombstoned (exercised in tests — a purge mid-query would "
+    "invalidate this lazy plan's file listing).  Reference precedent: "
+    "J5 delete-then-reconcile 'Update Calabrio Tables from Staging "
+    "Tables (D_POST_INSTALL).sql':85-92 on a joined artifact.  The "
+    "oracle proves retract(MV(base JOIN dim), keys) == (base MINUS "
+    "keys) JOIN dim",
+)
+def mv_incremental_join_enrichment_with_deletes(spark, sf_dir):
+    from qaapi_spark.operators.maintain import retract_join_view
+    from qaapi_spark.session import scratch_dir
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+
+    def enrich(df):
+        return df.join(F.broadcast(c), "o_custkey").select(
+            "o_orderkey", "o_totalprice", "c_mktsegment"
+        )
+
+    root = scratch_dir("mv_join_rt_")
+    path = root + "/enriched_orders"
+    del_root = root + "/deleted"
+    # epoch-keyed store: base materialization, then the delta append
+    enrich(o.filter(F.col("o_orderdate") < cutoff)).write.mode(
+        "overwrite"
+    ).parquet(path + "/epoch=0")
+    enrich(o.filter(F.col("o_orderdate") >= cutoff)).write.mode(
+        "overwrite"
+    ).parquet(path + "/epoch=1")
+    deleted = o.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey")
+    live = retract_join_view(
+        spark, path, del_root, deleted, "o_orderkey", epoch=2
+    )
+    return (
+        live.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("segment")
+    )

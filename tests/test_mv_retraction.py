@@ -112,3 +112,74 @@ def test_retract_min_variant(spark):
         ).collect()
     }
     assert got == {"a": (2, 9.0), "b": (2, 2.5)}
+
+
+# ---- join-view retraction (r14, VERDICT r13 next #3) ----
+
+
+def _join_view(spark, tmp_path):
+    """Epoch-keyed enriched view: epoch 0 = base, epoch 1 = delta."""
+    path = str(tmp_path / "view")
+    spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "A")],
+        "k long, price double, seg string",
+    ).write.mode("overwrite").parquet(path + "/epoch=0")
+    spark.createDataFrame(
+        [(4, 40.0, "B")], "k long, price double, seg string"
+    ).write.mode("overwrite").parquet(path + "/epoch=1")
+    return path, str(tmp_path / "deleted")
+
+
+def _rows(df):
+    return sorted((r["k"], r["price"], r["seg"]) for r in df.collect())
+
+
+def test_retract_join_view_anti_joins_and_is_retry_idempotent(spark, tmp_path):
+    from qaapi_spark.operators.maintain import retract_join_view
+
+    path, delr = _join_view(spark, tmp_path)
+    dele = spark.createDataFrame([(2,), (3,)], "k long")
+    live = retract_join_view(spark, path, delr, dele, "k", epoch=2)
+    want = [(1, 10.0, "A"), (4, 40.0, "B")]
+    assert _rows(live.select("k", "price", "seg")) == want
+    # replayed epoch: identical tombstone bytes, identical relation
+    live2 = retract_join_view(spark, path, delr, dele, "k", epoch=2)
+    assert _rows(live2.select("k", "price", "seg")) == want
+
+
+def test_retract_join_view_second_epoch_composes(spark, tmp_path):
+    from qaapi_spark.operators.maintain import retract_join_view
+
+    path, delr = _join_view(spark, tmp_path)
+    retract_join_view(
+        spark, path, delr, spark.createDataFrame([(2,)], "k long"), "k", 2
+    )
+    live = retract_join_view(
+        spark, path, delr, spark.createDataFrame([(4,)], "k long"), "k", 3
+    )
+    assert _rows(live.select("k", "price", "seg")) == [
+        (1, 10.0, "A"),
+        (3, 30.0, "A"),
+    ]
+
+
+def test_retract_join_view_purge_physically_erases(spark, tmp_path):
+    """The compaction moment: purge_tombstoned rewrites the view store
+    without the retracted keys; the live relation is unchanged before
+    vs after, and the keys are GONE from disk, not merely filtered."""
+    from qaapi_spark.operators.maintain import retract_join_view
+    from qaapi_spark.streaming.retraction import purge_tombstoned
+
+    path, delr = _join_view(spark, tmp_path)
+    dele = spark.createDataFrame([(2,), (3,)], "k long")
+    before = _rows(
+        retract_join_view(spark, path, delr, dele, "k", 2)
+        .select("k", "price", "seg")
+    )
+    assert purge_tombstoned(spark, path, delr, key_col="k") == 2
+    assert spark.read.parquet(path).filter(F.col("k").isin(2, 3)).count() == 0
+    # read-side anti-join still applied (now a no-op) — same relation
+    after = retract_join_view(spark, path, delr, dele, "k", 2)
+    assert _rows(after.select("k", "price", "seg")) == before
+    # the epoch layout survived the purge (epoch 1 untouched)
+    assert spark.read.parquet(path + "/epoch=1").count() == 1
