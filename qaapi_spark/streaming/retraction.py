@@ -428,6 +428,49 @@ def stream_cc_labels_with_deletes(
 # --- ExactSubstr apply under retraction -----------------------------
 
 
+def _occ_delta(wins, occ_k: int | None):
+    """The occurrence-index delta an ExactSubstr epoch writes for its
+    batch windows (VERDICT r13 next #4 — the per-digest state bound).
+
+    ``occ_k=None`` (default, certified paths): every (h, doc_id, pos)
+    — O(total windows) state, unbounded per digest for boilerplate.
+
+    ``occ_k=k``: per digest, only the batch's k LEXICOGRAPHICALLY
+    SMALLEST (doc_id, pos) — min-k is mergeable across epochs (the
+    union's min-k equals the corpus min-k because every retained set
+    contains its local minima), so read-side mins stay exact — plus
+    ONE overflow marker row (doc_id=-1, pos=-1) when the batch held
+    more than k occurrences of the digest.  The marker is what makes
+    exhaustion DETECTABLE: when a delete retracts every retained
+    occurrence of a digest, a surviving marker says unretained
+    occurrences may exist in live docs and the delete epoch must
+    re-derive that digest's occurrences from the archived corpus text
+    (the scoped recompute); no marker proves the digest is dead.
+    Markers are metadata — every consumer of real occurrences filters
+    ``pos >= 0`` (a -1 doc_id can never be tombstoned away, so a
+    marker survives exactly as long as its epoch's rows do)."""
+    if occ_k is None:
+        return wins
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    ranked = wins.withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("rn") <= int(occ_k)).drop("rn")
+    ovf = ranked.filter(F.col("rn") == int(occ_k) + 1).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit(-1).cast("int").alias("pos"),
+        "h",
+    )
+    return kept.select("doc_id", "pos", "h").unionByName(ovf)
+
+
+def _occ_real(occ, occ_k: int | None):
+    """Strip overflow markers from an occurrence-store read when the
+    bound is on; a no-op (plan-identical) on certified unbounded
+    paths."""
+    return occ if occ_k is None else occ.filter(F.col("pos") >= 0)
+
+
 def _exsub_rt_insert_epoch(
     bdf,
     epoch_id: int,
@@ -435,6 +478,7 @@ def _exsub_rt_insert_epoch(
     out_root: str,
     del_root: str,
     min_len: int,
+    occ_k: int | None = None,
 ) -> None:
     """Insert epoch of the retraction-capable streaming ExactSubstr
     apply: same trim semantics as `_exsub_epoch` (a batch occurrence is
@@ -492,11 +536,18 @@ def _exsub_rt_insert_epoch(
 
     seen = None
     if _store_recover(occ_root) and _has_epochs(occ_root):
-        occ = spark.read.parquet(occ_root).filter(F.col("epoch") < int(epoch_id))
+        occ = _occ_real(
+            spark.read.parquet(occ_root).filter(F.col("epoch") < int(epoch_id)),
+            occ_k,
+        )
         prior = _read_deleted(spark, del_root, epoch_id)
         if prior is not None:
             # a digest whose every occurrence was retracted is NOT
             # "seen": the next arrival of that text is canonical again
+            # (bounded mode relies on the same invariant: the delete
+            # epoch's scoped recompute refreshes retained rows, so a
+            # live digest ALWAYS has a live retained row — markers are
+            # never consulted for seen-ness)
             occ = occ.join(prior, "doc_id", "left_anti")
         seen = wins.join(occ.select("h"), "h", "left_semi").select(
             "doc_id", "pos"
@@ -521,7 +572,7 @@ def _exsub_rt_insert_epoch(
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_root, f"epoch={int(epoch_id)}")
         )
-        wins.coalesce(1).write.mode("overwrite").parquet(
+        _occ_delta(wins, occ_k).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(occ_root, f"epoch={int(epoch_id)}")
         )
     finally:
@@ -535,6 +586,7 @@ def _exsub_rt_delete_epoch(
     out_root: str,
     del_root: str,
     min_len: int,
+    occ_k: int | None = None,
 ) -> None:
     """Retraction epoch: tombstone the batch's docs and RE-ELECT
     canonical occurrences they owned.
@@ -554,9 +606,28 @@ def _exsub_rt_delete_epoch(
          emitted as a delta (latest epoch wins — retraction is the one
          event that revokes row immutability).
 
+    ``occ_k`` (r14, VERDICT r13 next #4): when the occurrence index is
+    min-k bounded, two things change here.  (1) EXHAUSTION RECOVERY: a
+    digest whose every retained occurrence is now tombstoned but which
+    carries an overflow marker may still live in unretained windows —
+    its occurrences are re-derived from the archived corpus text
+    (windowing the LIVE docs, filtered to the exhausted digests), its
+    true first_live promoted, and its refreshed min-k rows (+ marker)
+    written into this epoch's occurrence delta so later reads are
+    accurate again.  This is the scoped recompute the bound trades
+    for: a live-corpus text scan, paid ONLY on delete epochs that
+    exhaust some digest's retained set, never on inserts.  (2) the
+    re-trim of an affected owner derives the doc's window list from
+    its archived text instead of the occurrence store (the store no
+    longer holds a doc's unretained windows, and an under-cut row
+    would be silently wrong).  Exactness is preserved because min-k
+    retention always contains the true minimum of any subset it
+    retains from, and every unretained occurrence implies a marker
+    for its digest (rank > k in its batch forces rank k+1 to exist).
+
     Retry-idempotent: reads filter epoch < N, writes epoch-keyed
     overwrite."""
-    from qaapi_spark.operators.dedup import _apply_trim
+    from qaapi_spark.operators.dedup import _all_window_positions, _apply_trim
     from qaapi_spark.operators.textstats import ws_tokens
 
     spark = ddf.sparkSession
@@ -564,11 +635,12 @@ def _exsub_rt_delete_epoch(
     try:
         if _store_recover(occ_root) and _has_epochs(occ_root):
             prior = _read_deleted(spark, del_root, epoch_id)
-            occ_all = (
+            occ_store = (
                 spark.read.parquet(occ_root)
                 .filter(F.col("epoch") < int(epoch_id))
                 .select("doc_id", "pos", "h")
             )
+            occ_all = _occ_real(occ_store, occ_k)
             if prior is not None:
                 occ_all = occ_all.join(prior, "doc_id", "left_anti")
             marked = occ_all.join(
@@ -599,22 +671,93 @@ def _exsub_rt_delete_epoch(
             affected_docs = affected.select(
                 F.col("first_live.doc_id").alias("doc_id")
             ).distinct()
-            try:
-                # written UNCONDITIONALLY (r12 shave: the emptiness
-                # probe was its own full-plan job; an empty affected
-                # set just writes an empty delta, which the latest-wins
-                # final read ignores)
-                aw = occ_all.join(dels, "doc_id", "left_anti").join(
-                    affected_docs, "doc_id", "left_semi"
+
+            rec_wins = None
+            if occ_k is not None:
+                # exhaustion recovery: digests with no retained live
+                # occurrence but a standing overflow marker
+                exhausted = (
+                    g.filter(F.col("first_live").isNull())
+                    .select("h")
+                    .join(
+                        occ_store.filter(F.col("pos") < 0).select("h"),
+                        "h",
+                        "left_semi",
+                    )
                 )
-                # the live canonical of every digest aw touches is its
+                live_texts = (
+                    spark.read.parquet(out_root)
+                    .filter(F.col("epoch") < int(epoch_id))
+                    .groupBy("doc_id")
+                    .agg(F.max("text").alias("text"))
+                )
+                if prior is not None:
+                    live_texts = live_texts.join(prior, "doc_id", "left_anti")
+                live_texts = live_texts.join(dels, "doc_id", "left_anti")
+                rec_wins = _all_window_positions(
+                    live_texts, min_len, "text", "doc_id"
+                ).join(F.broadcast(exhausted), "h", "left_semi").persist()
+                rec_first = rec_wins.groupBy("h").agg(
+                    F.min(F.struct("doc_id", "pos")).alias("first_live")
+                )
+                # recovered canonical owners re-trim too (their rows
+                # currently cut the promoted window)
+                affected_docs = affected_docs.unionByName(
+                    rec_first.select(
+                        F.col("first_live.doc_id").alias("doc_id")
+                    )
+                ).distinct()
+            try:
+                # original text from the fused out store: a doc may
+                # hold several versions (insert row + prior
+                # re-emissions) but they all carry the IDENTICAL
+                # original text, so max() is a deterministic dedupe
+                texts = (
+                    spark.read.parquet(out_root)
+                    .filter(F.col("epoch") < int(epoch_id))
+                    .join(affected_docs, "doc_id", "left_semi")
+                    .groupBy("doc_id")
+                    .agg(F.max("text").alias("text"))
+                )
+                if occ_k is None:
+                    aw = occ_all.join(dels, "doc_id", "left_anti").join(
+                        affected_docs, "doc_id", "left_semi"
+                    )
+                else:
+                    # bounded store: a doc's unretained windows are not
+                    # in the index — re-derive the full window list
+                    # from the archived text (bounded by the affected
+                    # owners, never the corpus)
+                    aw = _all_window_positions(texts, min_len, "text", "doc_id")
+                # the live canonical of every digest aw touches: its
                 # first_live (aw rows are live, so first_live is never
-                # null on a matching h)
-                canon = g.select(
+                # null on a matching h) — plus, under the bound, the
+                # recovered canonicals of digests this batch exhausted
+                # (bounded mode must ALSO drop null-first_live digests
+                # explicitly: text-derived aw can touch an exhausted
+                # digest, whose canonical comes from the recovery arm)
+                gc = g if occ_k is None else g.filter(
+                    F.col("first_live").isNotNull()
+                )
+                canon = gc.select(
                     "h",
                     F.col("first_live.doc_id").alias("cdoc"),
                     F.col("first_live.pos").alias("cpos"),
                 )
+                if rec_wins is not None:
+                    canon = canon.unionByName(
+                        rec_wins.groupBy("h")
+                        .agg(F.min(F.struct("doc_id", "pos")).alias("fl"))
+                        .select(
+                            "h",
+                            F.col("fl.doc_id").alias("cdoc"),
+                            F.col("fl.pos").alias("cpos"),
+                        )
+                    )
+                # written UNCONDITIONALLY (r12 shave: the emptiness
+                # probe was its own full-plan job; an empty affected
+                # set just writes an empty delta, which the latest-wins
+                # final read ignores)
                 cut = (
                     aw.join(canon, "h")
                     .filter(
@@ -629,17 +772,6 @@ def _exsub_rt_delete_epoch(
                     )
                     .distinct()
                 )
-                # original text from the fused out store: a doc may
-                # hold several versions (insert row + prior
-                # re-emissions) but they all carry the IDENTICAL
-                # original text, so max() is a deterministic dedupe
-                texts = (
-                    spark.read.parquet(out_root)
-                    .filter(F.col("epoch") < int(epoch_id))
-                    .join(affected_docs, "doc_id", "left_semi")
-                    .groupBy("doc_id")
-                    .agg(F.max("text").alias("text"))
-                )
                 base = texts.select(
                     "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
                 )
@@ -648,8 +780,17 @@ def _exsub_rt_delete_epoch(
                 ).coalesce(1).write.mode("overwrite").parquet(
                     os.path.join(out_root, f"epoch={int(epoch_id)}")
                 )
+                if rec_wins is not None:
+                    # refresh the exhausted digests' retained rows so
+                    # later reads see their live min-k again (the
+                    # insert-path seen-ness invariant)
+                    _occ_delta(rec_wins, occ_k).coalesce(1).write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(occ_root, f"epoch={int(epoch_id)}"))
             finally:
                 g.unpersist()
+                if rec_wins is not None:
+                    rec_wins.unpersist()
         dels.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(del_root, f"epoch={int(epoch_id)}")
         )
@@ -664,6 +805,7 @@ def stream_exact_substring_apply_with_deletes(
     n_splits: int = 2,
     del_mod: int = 10,
     del_rem: int = 3,
+    occ_k: int | None = None,
 ) -> DataFrame:
     """Streaming ExactSubstr dedup with RETRACTION: the trimmed corpus
     maintained under interleaved inserts and deletes.  Inserts follow
@@ -687,10 +829,10 @@ def stream_exact_substring_apply_with_deletes(
             bdf,
             epoch_id,
             ins_fn=lambda b, e: _exsub_rt_insert_epoch(
-                b, e, occ_root, out_root, del_root, min_len
+                b, e, occ_root, out_root, del_root, min_len, occ_k=occ_k
             ),
             del_fn=lambda d, e: _exsub_rt_delete_epoch(
-                d, e, occ_root, out_root, del_root, min_len
+                d, e, occ_root, out_root, del_root, min_len, occ_k=occ_k
             ),
         )
 
@@ -744,6 +886,7 @@ def _exsub_uo_epoch(
     out_root: str,
     min_len: int,
     del_root: str | None = None,
+    occ_k: int | None = None,
 ) -> None:
     """One insert epoch of the ORDER-INDEPENDENT streaming ExactSubstr
     apply: no arrival-order assumption at all — the batch may bring
@@ -787,10 +930,11 @@ def _exsub_uo_epoch(
 
     have = _store_recover(occ_root) and _has_epochs(occ_root)
     if have:
-        occ_old = (
+        occ_old = _occ_real(
             spark.read.parquet(occ_root)
             .filter(F.col("epoch") < int(epoch_id))
-            .select("doc_id", "pos", "h")
+            .select("doc_id", "pos", "h"),
+            occ_k,
         )
         if del_root is not None:
             prior = _read_deleted(spark, del_root, epoch_id)
@@ -840,7 +984,20 @@ def _exsub_uo_epoch(
                 .select(F.col("fo.doc_id").alias("doc_id"))
                 .distinct()
             )
-            awd = occ_old.join(aff, "doc_id", "left_semi")
+            texts = (
+                spark.read.parquet(out_root)
+                .filter(F.col("epoch") < int(epoch_id))
+                .join(aff, "doc_id", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.max("text").alias("text"))
+            )
+            if occ_k is None:
+                awd = occ_old.join(aff, "doc_id", "left_semi")
+            else:
+                # bounded store: the demoted owner's unretained windows
+                # are not in the index — re-derive from archived text
+                # (bounded by the demoted owners, never the corpus)
+                awd = _all_window_positions(texts, min_len, "text", "doc_id")
             hs = awd.select("h").distinct()
             canon_d = (
                 occ_old.unionByName(wins)
@@ -862,13 +1019,6 @@ def _exsub_uo_epoch(
                 )
                 .distinct()
             )
-            texts = (
-                spark.read.parquet(out_root)
-                .filter(F.col("epoch") < int(epoch_id))
-                .join(aff, "doc_id", "left_semi")
-                .groupBy("doc_id")
-                .agg(F.max("text").alias("text"))
-            )
             base_d = texts.select(
                 "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
             )
@@ -879,7 +1029,7 @@ def _exsub_uo_epoch(
         rows.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_root, f"epoch={int(epoch_id)}")
         )
-        wins.coalesce(1).write.mode("overwrite").parquet(
+        _occ_delta(wins, occ_k).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(occ_root, f"epoch={int(epoch_id)}")
         )
     finally:
@@ -892,6 +1042,7 @@ def stream_exact_substring_apply_unordered(
     docs_path: str,
     min_len: int = 10,
     n_splits: int = 2,
+    occ_k: int | None = None,
 ) -> DataFrame:
     """ORDER-INDEPENDENT streaming ExactSubstr dedup (the bounded-
     lateness arm of VERDICT r11 next #6, taken all the way): documents
@@ -914,7 +1065,9 @@ def stream_exact_substring_apply_unordered(
     out_root = _scratch(prefix="exuo_out_")
 
     def merge(bdf, epoch_id: int) -> None:
-        _exsub_uo_epoch(bdf, int(epoch_id), occ_root, out_root, min_len)
+        _exsub_uo_epoch(
+            bdf, int(epoch_id), occ_root, out_root, min_len, occ_k=occ_k
+        )
 
     schema = spark.read.parquet(stage_dir + "/slice=0").schema
     _run_ordered_stream(spark, schema, stage_dir, merge, "exuo_ckpt_")
@@ -935,6 +1088,7 @@ def stream_exact_substring_apply_unordered_with_deletes(
     n_splits: int = 2,
     del_mod: int = 10,
     del_rem: int = 3,
+    occ_k: int | None = None,
 ) -> DataFrame:
     """Order-independent streaming ExactSubstr COMPOSED with retraction
     (VERDICT r12 next #3): a real deployment needs both at once —
@@ -968,10 +1122,11 @@ def stream_exact_substring_apply_unordered_with_deletes(
             bdf,
             epoch_id,
             ins_fn=lambda b, e: _exsub_uo_epoch(
-                b, e, occ_root, out_root, min_len, del_root=del_root
+                b, e, occ_root, out_root, min_len, del_root=del_root,
+                occ_k=occ_k,
             ),
             del_fn=lambda d, e: _exsub_rt_delete_epoch(
-                d, e, occ_root, out_root, del_root, min_len
+                d, e, occ_root, out_root, del_root, min_len, occ_k=occ_k
             ),
         )
 

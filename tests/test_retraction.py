@@ -1244,3 +1244,162 @@ def test_stage_ops_reverse_odd_splits_tombstones_only_ingested(spark):
             ).collect()
         }
         assert not (after & tombstoned)
+
+
+# ---- bounded per-digest occurrence state (r14, VERDICT r13 next #4) ----
+
+
+def _exsub_final(spark, out, delr):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("epoch"))
+    res = (
+        spark.read.parquet(out)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    if os.path.isdir(delr) and any(
+        n.startswith("epoch=") for n in os.listdir(delr)
+    ):
+        dels = spark.read.parquet(delr).select("doc_id")
+        res = res.join(dels, "doc_id", "left_anti")
+    return sorted(
+        (r["doc_id"], r["n_toks"], r["n_kept"], r["text_dedup"])
+        for r in res.select("doc_id", "n_toks", "n_kept", "text_dedup").collect()
+    )
+
+
+def _occ_state_bound_holds(spark, occ_root, k):
+    """Per (h, epoch): at most k real occurrence rows + 1 marker."""
+    from pyspark.sql import functions as F
+
+    bad_real = (
+        spark.read.parquet(occ_root)
+        .filter(F.col("pos") >= 0)
+        .groupBy("h", "epoch")
+        .count()
+        .filter(F.col("count") > k)
+        .count()
+    )
+    bad_marker = (
+        spark.read.parquet(occ_root)
+        .filter(F.col("pos") < 0)
+        .groupBy("h", "epoch")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    return bad_real == 0 and bad_marker == 0
+
+
+def _run_boilerplate_ordered(spark, tmp_path, tag, occ_k):
+    """Boilerplate trio shares every _PASSAGE window; k=2 retains only
+    docs 0 and 1 per shared digest, so deleting both EXHAUSTS the
+    retained set and forces the marker-triggered scoped recompute."""
+    from qaapi_spark.streaming.retraction import (
+        _exsub_rt_delete_epoch,
+        _exsub_rt_insert_epoch,
+    )
+
+    occ = str(tmp_path / f"occ_{tag}")
+    out = str(tmp_path / f"out_{tag}")
+    delr = str(tmp_path / f"del_{tag}")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    _exsub_rt_insert_epoch(
+        mk(
+            [
+                (0, _PASSAGE),
+                (1, "x " + _PASSAGE),
+                (2, "y z " + _PASSAGE),
+                (3, _FILLER),
+            ]
+        ),
+        0, occ, out, delr, 10, occ_k=occ_k,
+    )
+    _exsub_rt_delete_epoch(
+        spark.createDataFrame([(0,), (1,)], "doc_id long"),
+        1, occ, out, delr, 10, occ_k=occ_k,
+    )
+    # post-recovery seen-ness: the passage still lives in doc 2, so a
+    # new arrival must be cut, exactly as with the unbounded index
+    _exsub_rt_insert_epoch(
+        mk([(4, "q " + _PASSAGE)]), 2, occ, out, delr, 10, occ_k=occ_k
+    )
+    return occ, out, delr
+
+
+def test_occ_bound_ordered_exhaustion_recovery_matches_unbounded(
+    spark, tmp_path
+):
+    bocc, bout, bdel = _run_boilerplate_ordered(spark, tmp_path, "b", occ_k=2)
+    uocc, uout, udel = _run_boilerplate_ordered(spark, tmp_path, "u", occ_k=None)
+    got = _exsub_final(spark, bout, bdel)
+    assert got == _exsub_final(spark, uout, udel)
+    by_id = {r[0]: r for r in got}
+    # doc 2 recovered canonical ownership: its row is fully restored
+    assert by_id[2][1] == by_id[2][2]  # n_kept == n_toks
+    # doc 4 arrived after the recovery and is still cut (seen-ness
+    # survives exhaustion: the refreshed retained rows carry doc 2)
+    assert by_id[4][2] < by_id[4][1]
+    # the bound held on disk throughout
+    assert _occ_state_bound_holds(spark, bocc, 2)
+    # and the unbounded store genuinely exceeds it (the fixture is
+    # boilerplate-heavy enough to prove the bound bites)
+    assert not _occ_state_bound_holds(spark, uocc, 2)
+
+
+def test_occ_bound_unordered_demotion_matches_unbounded(spark, tmp_path):
+    """Reverse arrival under the bound: the demoted owner re-trims from
+    its ARCHIVED TEXT (the store no longer holds its unretained
+    windows) and the final relation matches the unbounded run."""
+    from qaapi_spark.streaming.retraction import _exsub_uo_epoch
+
+    def run(tag, occ_k):
+        occ = str(tmp_path / f"occ_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "doc_id long, text string"
+        )
+        # high ids first — each later epoch demotes standing canonicals
+        _exsub_uo_epoch(
+            mk([(10, _PASSAGE), (11, "x " + _PASSAGE), (12, "y z " + _PASSAGE)]),
+            0, occ, out, 10, occ_k=occ_k,
+        )
+        _exsub_uo_epoch(
+            mk([(1, "q r " + _PASSAGE)]), 1, occ, out, 10, occ_k=occ_k
+        )
+        return occ, out
+
+    bocc, bout = run("duo_b", 2)
+    _, uout = run("duo_u", None)
+    got = _exsub_final(spark, bout, str(tmp_path / "nodel"))
+    assert got == _exsub_final(spark, uout, str(tmp_path / "nodel"))
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][1] == by_id[1][2]  # late-but-earliest doc owns all
+    assert by_id[10][2] < by_id[10][1]  # demoted owner re-trimmed
+    assert _occ_state_bound_holds(spark, bocc, 2)
+
+
+def test_occ_bound_stream_end_to_end_matches_unbounded(spark):
+    """The full unordered x deletes stream at sf0.001 with occ_k=4
+    equals the certified unbounded run row for row."""
+    from qaapi_spark.streaming.retraction import (
+        stream_exact_substring_apply_unordered_with_deletes,
+    )
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    rows = lambda df: sorted(
+        tuple(r) for r in df.select(
+            "doc_id", "n_toks", "n_kept", "text_dedup"
+        ).collect()
+    )
+    bounded = rows(
+        stream_exact_substring_apply_unordered_with_deletes(
+            spark, docs, occ_k=4
+        )
+    )
+    unbounded = rows(
+        stream_exact_substring_apply_unordered_with_deletes(spark, docs)
+    )
+    assert bounded == unbounded
