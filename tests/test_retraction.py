@@ -1403,3 +1403,89 @@ def test_occ_bound_stream_end_to_end_matches_unbounded(spark):
         stream_exact_substring_apply_unordered_with_deletes(spark, docs)
     )
     assert bounded == unbounded
+
+
+# ---- parameterized epoch-store write width (r14, VERDICT r13 wrong #2) ----
+
+
+def test_scd2_snapshot_write_width_gt1(spark, tmp_path):
+    """rows_per_file opts the SCD2 state snapshot out of coalesce(1):
+    with 6 open users and rows_per_file=2 the next snapshot lands in
+    ceil(6/2)=3 files, and the maintained relation is unchanged."""
+    import glob
+
+    from qaapi_spark.streaming.retraction import (
+        _scd2_rt_delete_epoch,
+        _scd2_rt_insert_epoch,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    delr = str(tmp_path / "deleted")
+    ev = _mk_ev(
+        spark, [(u, "a", u * 10 + 1, 100) for u in range(1, 7)]
+    )
+    _scd2_rt_insert_epoch(ev, 0, store, out)  # default: one file
+    assert len(glob.glob(store + "/epoch=0/*.parquet")) == 1
+    ev2 = _mk_ev(
+        spark, [(u, "b", u * 10 + 2, 300) for u in range(1, 7)]
+    )
+    _scd2_rt_insert_epoch(ev2, 1, store, out, rows_per_file=2)
+    assert len(glob.glob(store + "/epoch=1/*.parquet")) == 3
+    # delete epoch honors the width too
+    _scd2_rt_delete_epoch(
+        spark.createDataFrame([(1,)], "user_id long"), 2, store, delr,
+        rows_per_file=2,
+    )
+    assert len(glob.glob(store + "/epoch=2/*.parquet")) == 3
+    assert _scd2_final(spark, out, store, delr) == [
+        (u, s, t, e)
+        for u in range(2, 7)
+        for s, t, e in [("a", 100, 300), ("b", 300, None)]
+    ]
+
+
+def test_c2s_pack_rebuild_write_width_gt1(spark, tmp_path):
+    """The whole-source pack rebuild width derives from the affected
+    sources' kept counts in the totals snapshot; rows_per_file=1 with
+    3 kept docs rebuilds into 3 files, same relation as width 1."""
+    import glob
+
+    from qaapi_spark.streaming.retraction import (
+        _c2s_rt_delete_epoch,
+        _c2s_rt_insert_epoch,
+    )
+
+    def run(tag, rpf):
+        band = str(tmp_path / f"band_{tag}")
+        delr = str(tmp_path / f"del_{tag}")
+        tot = str(tmp_path / f"tot_{tag}")
+        outr = str(tmp_path / f"out_{tag}")
+        docs = spark.createDataFrame(
+            [
+                (1, "s1", " ".join(f"a{i}" for i in range(20))),
+                (2, "s1", " ".join(f"b{i}" for i in range(20))),
+                (3, "s1", " ".join(f"c{i}" for i in range(20))),
+                (4, "s1", " ".join(f"d{i}" for i in range(20))),
+            ],
+            "doc_id long, source string, text string",
+        )
+        _c2s_rt_insert_epoch(
+            docs, 0, band, delr, tot, outr, 0.8, 64, 16, 16, 128, None
+        )
+        _c2s_rt_delete_epoch(
+            spark.createDataFrame([(4,)], "doc_id long"),
+            1, band, delr, tot, outr, 0.8, 16, 128, None,
+            rows_per_file=rpf,
+        )
+        rows = sorted(
+            (r["doc_id"], r["start_tok"])
+            for r in spark.read.parquet(outr + "/epoch=1").collect()
+        )
+        return rows, len(glob.glob(outr + "/epoch=1/*.parquet"))
+
+    rows_w, nf_w = run("w", 1)
+    rows_1, nf_1 = run("one", None)
+    assert rows_w == rows_1
+    assert nf_1 == 1
+    assert nf_w == 3  # ceil(3 kept docs / 1 row per file)
