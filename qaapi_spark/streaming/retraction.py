@@ -448,7 +448,12 @@ def _occ_delta(wins, occ_k: int | None):
     (the scoped recompute); no marker proves the digest is dead.
     Markers are metadata — every consumer of real occurrences filters
     ``pos >= 0`` (a -1 doc_id can never be tombstoned away, so a
-    marker survives exactly as long as its epoch's rows do)."""
+    marker survives exactly as long as its epoch's rows do).  A third
+    metadata row kind exists on recovery deltas only: the
+    refresh-boundary (doc_id=-1, pos=-2), written by
+    `_exsub_rt_delete_epoch`'s recovery arm to void older epochs'
+    markers for a recovered digest (the delta carries the then-global
+    live min-k, superseding them)."""
     if occ_k is None:
         return wins
     from pyspark.sql import Window
@@ -646,23 +651,34 @@ def _exsub_rt_delete_epoch(
          event that revokes row immutability).
 
     ``occ_k`` (r14, VERDICT r13 next #4): when the occurrence index is
-    min-k bounded, two things change here.  (1) EXHAUSTION RECOVERY: a
-    digest whose every retained occurrence is now tombstoned but which
-    carries an overflow marker may still live in unretained windows —
-    its occurrences are re-derived from the archived corpus text
-    (windowing the LIVE docs, filtered to the exhausted digests), its
-    true first_live promoted, and its refreshed min-k rows (+ marker)
-    written into this epoch's occurrence delta so later reads are
-    accurate again.  This is the scoped recompute the bound trades
-    for: a live-corpus text scan, paid ONLY on delete epochs that
-    exhaust some digest's retained set, never on inserts.  (2) the
-    re-trim of an affected owner derives the doc's window list from
-    its archived text instead of the occurrence store (the store no
-    longer holds a doc's unretained windows, and an under-cut row
-    would be silently wrong).  Exactness is preserved because min-k
-    retention always contains the true minimum of any subset it
-    retains from, and every unretained occurrence implies a marker
-    for its digest (rank > k in its batch forces rank k+1 to exist).
+    min-k bounded, two things change here.  (1) EXHAUSTION RECOVERY,
+    triggered PER (h, epoch) (ADVICE r14 high — retention is
+    per-batch, so the trigger must be too): an epoch whose retained
+    rows for a digest are ALL tombstoned but which carries a live
+    overflow marker may hide live-but-unretained occurrences — even
+    when a LATER epoch still holds live retained rows of the same
+    digest, because any surviving retained row of an epoch is
+    lexicographically smaller than all of that epoch's unretained
+    rows (per-epoch full-deletion-of-retained is the exact trigger).
+    Such digests' occurrences are re-derived from the archived corpus
+    text (windowing the LIVE docs, filtered to the exhausted
+    digests), the true first_live promoted, and the refreshed GLOBAL
+    live min-k rows (+ marker + a refresh-boundary row voiding older
+    epochs' markers) written into this epoch's occurrence delta so
+    later reads are accurate again.  This is the scoped recompute the
+    bound trades for: a live-corpus text scan, paid ONLY on delete
+    epochs whose exhausted set is nonempty (an emptiness probe gates
+    the scan — ADVICE r14 low #2).  (2) the re-trim of an affected
+    owner derives the doc's window list from its archived text
+    instead of the occurrence store (the store no longer holds a
+    doc's unretained windows, and an under-cut row would be silently
+    wrong).  Exactness is preserved because min-k retention always
+    contains the true minimum of any subset it retains from, every
+    unretained occurrence implies a marker for its digest (rank > k
+    in its batch forces rank k+1 to exist), and a refresh delta
+    supersedes older markers soundly (it holds the then-global live
+    min-k, so every older epoch's live unretained occurrence was
+    either retained by it or is covered by ITS marker).
 
     Retry-idempotent: reads filter epoch < N, writes epoch-keyed
     overwrite."""
@@ -677,9 +693,9 @@ def _exsub_rt_delete_epoch(
             occ_store = (
                 spark.read.parquet(occ_root)
                 .filter(F.col("epoch") < int(epoch_id))
-                .select("doc_id", "pos", "h")
+                .select("doc_id", "pos", "h", "epoch")
             )
-            occ_all = _occ_real(occ_store, occ_k)
+            occ_all = _occ_real(occ_store, occ_k).select("doc_id", "pos", "h")
             if prior is not None:
                 occ_all = occ_all.join(prior, "doc_id", "left_anti")
             marked = occ_all.join(
@@ -712,18 +728,63 @@ def _exsub_rt_delete_epoch(
             ).distinct()
 
             rec_wins = None
+            exhausted = None
             if occ_k is not None:
-                # exhaustion recovery: digests with no retained live
-                # occurrence but a standing overflow marker
-                exhausted = (
-                    g.filter(F.col("first_live").isNull())
-                    .select("h")
-                    .join(
-                        occ_store.filter(F.col("pos") < 0).select("h"),
-                        "h",
-                        "left_semi",
-                    )
+                # Exhaustion trigger is PER (h, epoch), not global
+                # (ADVICE r14 high): min-k retention is per-batch, so
+                # an epoch whose retained rows for h are ALL dead may
+                # hide live-but-unretained occurrences even while a
+                # LATER epoch still holds live retained rows of h —
+                # and any surviving retained row of an epoch is
+                # lexicographically smaller than all of that epoch's
+                # unretained rows, so per-epoch full-deletion-of-
+                # retained is the EXACT trigger.  A digest is
+                # exhausted iff some epoch has a live marker and zero
+                # live retained rows.  Markers superseded by a newer
+                # refresh boundary (pos=-2, written by a previous
+                # recovery — its delta holds the then-global live
+                # min-k, covering every older epoch's unretained
+                # occurrences) are void, so a recovered digest does
+                # not re-pay the corpus scan on later deletes
+                # (VERDICT r14 wrong #3).
+                live_rows = occ_store.filter(F.col("pos") >= 0)
+                if prior is not None:
+                    live_rows = live_rows.join(prior, "doc_id", "left_anti")
+                live_pe = (
+                    live_rows.join(F.broadcast(dels), "doc_id", "left_anti")
+                    .select("h", "epoch")
+                    .distinct()
                 )
+                meta = occ_store.filter(F.col("pos") < 0)
+                bmax = (
+                    meta.filter(F.col("pos") == -2)
+                    .groupBy("h")
+                    .agg(F.max("epoch").alias("bep"))
+                )
+                markers = (
+                    meta.filter(F.col("pos") == -1)
+                    .join(bmax, "h", "left")
+                    .filter(
+                        F.col("bep").isNull()
+                        | (F.col("epoch") >= F.col("bep"))
+                    )
+                    .select("h", "epoch")
+                )
+                exhausted = (
+                    markers.join(live_pe, ["h", "epoch"], "left_anti")
+                    .select("h")
+                    .distinct()
+                    .persist()
+                )
+                # the archived-text scan is gated on a cheap emptiness
+                # probe (ADVICE r14 low #2: a left-semi against a
+                # runtime-empty set does not prune the probe side —
+                # unconditionally building rec_wins tokenized every
+                # live doc on every bounded delete epoch)
+                if exhausted.limit(1).count() == 0:
+                    exhausted.unpersist()
+                    exhausted = None
+            if exhausted is not None:
                 live_texts = (
                     spark.read.parquet(out_root)
                     .filter(F.col("epoch") < int(epoch_id))
@@ -778,6 +839,16 @@ def _exsub_rt_delete_epoch(
                 gc = g if occ_k is None else g.filter(
                     F.col("first_live").isNotNull()
                 )
+                if exhausted is not None:
+                    # per-epoch exhaustion means a digest can be
+                    # exhausted WITH surviving retained rows in other
+                    # epochs (the partial-orphan case): its retained
+                    # first_live may be LARGER than the true live
+                    # minimum the recovery arm just re-derived, so the
+                    # recovery canon is the sole source — keeping the
+                    # g row would emit two canon rows for h and cut
+                    # the true canonical's window
+                    gc = gc.join(exhausted, "h", "left_anti")
                 canon = gc.select(
                     "h",
                     F.col("first_live.doc_id").alias("cdoc"),
@@ -822,14 +893,34 @@ def _exsub_rt_delete_epoch(
                 if rec_wins is not None:
                     # refresh the exhausted digests' retained rows so
                     # later reads see their live min-k again (the
-                    # insert-path seen-ness invariant)
-                    _occ_delta(rec_wins, occ_k).coalesce(1).write.mode(
-                        "overwrite"
-                    ).parquet(os.path.join(occ_root, f"epoch={int(epoch_id)}"))
+                    # insert-path seen-ness invariant), PLUS one
+                    # refresh-boundary row (doc_id=-1, pos=-2) per
+                    # exhausted digest: the delta holds the digest's
+                    # live GLOBAL min-k as of this epoch, so every
+                    # older epoch's marker is superseded — the
+                    # boundary is what stops a later delete from
+                    # re-paying the archived-text scan for an already-
+                    # recovered (or genuinely dead) digest (VERDICT
+                    # r14 wrong #3).  Dead digests get ONLY the
+                    # boundary row; their orphaned markers would
+                    # otherwise re-trigger the scan on every
+                    # subsequent delete epoch forever.
+                    bound_rows = exhausted.select(
+                        F.lit(-1).cast("long").alias("doc_id"),
+                        F.lit(-2).cast("int").alias("pos"),
+                        "h",
+                    )
+                    _occ_delta(rec_wins, occ_k).unionByName(
+                        bound_rows
+                    ).coalesce(1).write.mode("overwrite").parquet(
+                        os.path.join(occ_root, f"epoch={int(epoch_id)}")
+                    )
             finally:
                 g.unpersist()
                 if rec_wins is not None:
                     rec_wins.unpersist()
+                if exhausted is not None:
+                    exhausted.unpersist()
         dels.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(del_root, f"epoch={int(epoch_id)}")
         )

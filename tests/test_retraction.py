@@ -1271,7 +1271,8 @@ def _exsub_final(spark, out, delr):
 
 
 def _occ_state_bound_holds(spark, occ_root, k):
-    """Per (h, epoch): at most k real occurrence rows + 1 marker."""
+    """Per (h, epoch): at most k real occurrence rows + 1 marker
+    (pos=-1) + 1 refresh boundary (pos=-2, recovery deltas only)."""
     from pyspark.sql import functions as F
 
     bad_real = (
@@ -1282,15 +1283,15 @@ def _occ_state_bound_holds(spark, occ_root, k):
         .filter(F.col("count") > k)
         .count()
     )
-    bad_marker = (
+    bad_meta = (
         spark.read.parquet(occ_root)
         .filter(F.col("pos") < 0)
-        .groupBy("h", "epoch")
+        .groupBy("h", "epoch", "pos")
         .count()
         .filter(F.col("count") > 1)
         .count()
     )
-    return bad_real == 0 and bad_marker == 0
+    return bad_real == 0 and bad_meta == 0
 
 
 def _run_boilerplate_ordered(spark, tmp_path, tag, occ_k):
@@ -1347,6 +1348,171 @@ def test_occ_bound_ordered_exhaustion_recovery_matches_unbounded(
     # and the unbounded store genuinely exceeds it (the fixture is
     # boilerplate-heavy enough to prove the bound bites)
     assert not _occ_state_bound_holds(spark, uocc, 2)
+
+
+def _occ_epochs(occ_root):
+    return sorted(
+        n for n in os.listdir(occ_root) if n.startswith("epoch=")
+    ) if os.path.isdir(occ_root) else []
+
+
+def test_occ_bound_partial_orphan_elects_true_canonical(spark, tmp_path):
+    """ADVICE r14 high: retention is per-batch, so exhaustion must
+    trigger per (h, epoch).  Epoch 0 inserts docs 0-3 sharing the
+    passage (k=2 retains 0,1 + marker); epoch 1 inserts doc 4 (its own
+    retained row, no marker).  Deleting {0,1} kills ALL of epoch 0's
+    retained rows while epoch 1's survives — a global null-first_live
+    trigger would silently promote doc 4; the true earliest live
+    occurrence is doc 2's."""
+    from qaapi_spark.streaming.retraction import (
+        _exsub_rt_delete_epoch,
+        _exsub_rt_insert_epoch,
+    )
+
+    def run(tag, occ_k):
+        occ = str(tmp_path / f"po_occ_{tag}")
+        out = str(tmp_path / f"po_out_{tag}")
+        delr = str(tmp_path / f"po_del_{tag}")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "doc_id long, text string"
+        )
+        _exsub_rt_insert_epoch(
+            mk(
+                [
+                    (0, _PASSAGE),
+                    (1, "x " + _PASSAGE),
+                    (2, "y z " + _PASSAGE),
+                    (3, "y z w " + _PASSAGE),
+                ]
+            ),
+            0, occ, out, delr, 10, occ_k=occ_k,
+        )
+        _exsub_rt_insert_epoch(
+            mk([(4, "a b c " + _PASSAGE)]), 1, occ, out, delr, 10,
+            occ_k=occ_k,
+        )
+        _exsub_rt_delete_epoch(
+            spark.createDataFrame([(0,), (1,)], "doc_id long"),
+            2, occ, out, delr, 10, occ_k=occ_k,
+        )
+        return occ, out, delr
+
+    bocc, bout, bdel = run("b", 2)
+    _, uout, udel = run("u", None)
+    got = _exsub_final(spark, bout, bdel)
+    assert got == _exsub_final(spark, uout, udel)
+    by_id = {r[0]: r for r in got}
+    # doc 2 (epoch 0's first live-but-unretained occurrence) owns the
+    # passage — the partial-orphan recovery elected it, not doc 4
+    assert by_id[2][1] == by_id[2][2]
+    assert by_id[4][2] < by_id[4][1]
+    assert _occ_state_bound_holds(spark, bocc, 2)
+
+
+def test_occ_bound_refresh_boundary_voids_stale_markers(spark, tmp_path):
+    """VERDICT r14 wrong #3 + ADVICE r14 low #2: a recovery refresh
+    supersedes older epochs' markers (boundary row), and a delete
+    epoch with an empty exhausted set skips the archived-text scan
+    entirely — proven by the ABSENCE of an occurrence delta for that
+    epoch (bounded mode writes one iff the recovery arm ran)."""
+    from qaapi_spark.streaming.retraction import (
+        _exsub_rt_delete_epoch,
+        _exsub_rt_insert_epoch,
+    )
+
+    def run(tag, occ_k):
+        occ = str(tmp_path / f"rb_occ_{tag}")
+        out = str(tmp_path / f"rb_out_{tag}")
+        delr = str(tmp_path / f"rb_del_{tag}")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "doc_id long, text string"
+        )
+        _exsub_rt_insert_epoch(
+            mk(
+                [
+                    (0, _PASSAGE),
+                    (1, "x " + _PASSAGE),
+                    (2, "y z " + _PASSAGE),
+                    (3, "y z w " + _PASSAGE),
+                ]
+            ),
+            0, occ, out, delr, 10, occ_k=occ_k,
+        )
+        # exhausts epoch 0's retained set -> recovery refresh at epoch 1
+        # (global live min-k {2,3} + marker + boundary voiding epoch 0)
+        _exsub_rt_delete_epoch(
+            spark.createDataFrame([(0,), (1,)], "doc_id long"),
+            1, occ, out, delr, 10, occ_k=occ_k,
+        )
+        # non-exhausting delete: doc 3 dies but the refresh epoch's
+        # retained doc 2 survives, and epoch 0's marker is void
+        _exsub_rt_delete_epoch(
+            spark.createDataFrame([(3,)], "doc_id long"),
+            2, occ, out, delr, 10, occ_k=occ_k,
+        )
+        return occ, out, delr
+
+    bocc, bout, bdel = run("b", 2)
+    _, uout, udel = run("u", None)
+    assert _exsub_final(spark, bout, bdel) == _exsub_final(spark, uout, udel)
+    # epoch 1 recovered (delta with refreshed rows + boundary); epoch 2
+    # did NOT rescan — no delta written, the stale-marker trap is shut
+    assert _occ_epochs(bocc) == ["epoch=0", "epoch=1"]
+    from pyspark.sql import functions as F
+
+    e1 = spark.read.parquet(os.path.join(bocc, "epoch=1"))
+    assert e1.filter(F.col("pos") == -2).count() > 0
+    assert _occ_state_bound_holds(spark, bocc, 2)
+
+
+def test_occ_bound_dead_digest_boundary_stops_rescans(spark, tmp_path):
+    """A digest whose EVERY occurrence is retracted gets only the
+    boundary row from recovery (nothing live to refresh); its orphaned
+    epoch-0 marker must not re-trigger the corpus scan on every later
+    delete, and the next arrival of that text is canonical again."""
+    from qaapi_spark.streaming.retraction import (
+        _exsub_rt_delete_epoch,
+        _exsub_rt_insert_epoch,
+    )
+
+    occ = str(tmp_path / "dd_occ")
+    out = str(tmp_path / "dd_out")
+    delr = str(tmp_path / "dd_del")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    _exsub_rt_insert_epoch(
+        mk(
+            [
+                (0, _PASSAGE),
+                (1, "x " + _PASSAGE),
+                (2, "y z " + _PASSAGE),
+                (3, _FILLER),
+            ]
+        ),
+        0, occ, out, delr, 10, occ_k=2,
+    )
+    # kill every passage holder: recovery fires once, finds nothing
+    # live, writes boundary-only delta
+    _exsub_rt_delete_epoch(
+        spark.createDataFrame([(0,), (1,), (2,)], "doc_id long"),
+        1, occ, out, delr, 10, occ_k=2,
+    )
+    e1 = spark.read.parquet(os.path.join(occ, "epoch=1"))
+    assert e1.filter("pos >= 0").count() == 0
+    assert e1.filter("pos = -2").count() > 0
+    # fully-retracted text is canonical again on re-arrival
+    _exsub_rt_insert_epoch(
+        mk([(4, "q " + _PASSAGE)]), 2, occ, out, delr, 10, occ_k=2
+    )
+    # a later unrelated delete: epoch 0's marker is void, epoch 2 has
+    # no marker -> exhausted empty -> no scan, no delta
+    _exsub_rt_delete_epoch(
+        spark.createDataFrame([(3,)], "doc_id long"),
+        3, occ, out, delr, 10, occ_k=2,
+    )
+    assert _occ_epochs(occ) == ["epoch=0", "epoch=1", "epoch=2"]
+    by_id = {r[0]: r for r in _exsub_final(spark, out, delr)}
+    assert set(by_id) == {4}
+    assert by_id[4][1] == by_id[4][2]  # doc 4 owns the passage whole
 
 
 def test_occ_bound_unordered_demotion_matches_unbounded(spark, tmp_path):
