@@ -76,22 +76,28 @@ def _driver_state() -> tuple[set[str], set[str], int, dict[str, int]]:
 # passthrough), and the Hamming screen's query collect (limit + bound),
 # so their r7 rows certify retired code.  All four re-verified locally
 # (check_oracle sf0.001 + sf0.01); the force makes the driver confirm.
-_FORCE_RECHECK_ROUND = 13
+_FORCE_RECHECK_ROUND = 14
 _FORCE_RECHECK = frozenset(
     {
-        # Round 14: the shards-with-deletes delete/insert epochs were
-        # rebuilt for the twin-gap fix (pack persisted instead of
-        # re-read, kept_all pinned, emptiness guard dropped,
-        # window-skip on undeleted stores) — its r13 green row
-        # certifies the retired kernel, so the driver must re-hash it.
-        # The r14 window otherwise carries the LRU rotation: 7 r8- and
-        # 42 r9-stale queries (VERDICT r13 next #1) fill the remaining
-        # slots minus one — this pin plus the new join-MV retraction
-        # query displace exactly one r9 query
-        # (timeseries_gapfill_hourly, the last by catalog order),
-        # which was replayed green locally at sf0.01 this round and is
-        # first in line for r15.
+        # Round 15 (VERDICT r14 next #1): the r14 scale-safety valves
+        # are now CERTIFIED DEFAULTS, so the five queries whose
+        # executed kernels changed must re-earn their hash rows on
+        # the new paths.  The three retraction-capable ExactSubstr
+        # streams run occ_k=8 (min-k bounded occurrence state, with
+        # the r15 per-(h,epoch) exhaustion trigger — ADVICE r14 high);
+        # the shard pipeline and SCD2 run rows_per_file (multi-task
+        # epoch-store writes; SCD2 snapshots land 3 files at sf0.01,
+        # the shards rebuild correctly sizes to 1 because the staged
+        # takedown empties both affected sources).  The remaining 45
+        # slots carry the LRU rotation: timeseries_gapfill_hourly
+        # (r9, displaced by the r14 window — VERDICT r14 next #2
+        # rotates it FIRST) + the 42 r10-stale + 2 r11 by catalog
+        # order.
+        "stream_exsub_apply_with_deletes",
+        "stream_exsub_apply_unordered",
+        "stream_exsub_unordered_with_deletes",
         "stream_pipeline_shards_with_deletes",
+        "stream_scd2_with_deletes",
     }
 )
 

@@ -1997,6 +1997,25 @@ def _c2s_rt_delete_epoch(
                     .agg(F.sum("n_kept"))
                     .collect()[0][0]
                 )
+                if est is not None:
+                    # the snapshot is PRE-delete: a mass takedown that
+                    # empties hot sources would otherwise repartition
+                    # the now-small rebuild to the old width (ADVICE
+                    # r14 low #4) — subtract the tombstoned kept rows
+                    # (one count over the pinned store rows, paid only
+                    # on this opt-in path; component flips and
+                    # resurrections keep it a heuristic, which sizing
+                    # tolerates)
+                    tomb_kept = (
+                        rows.join(
+                            dels.select(F.col("doc_id").alias("id")),
+                            "id",
+                            "left_semi",
+                        )
+                        .filter(F.col("kept"))
+                        .count()
+                    )
+                    est = max(0, int(est) - int(tomb_kept))
                 width = _write_width(est, rows_per_file)
             _at_width(packed, width).write.mode("overwrite").parquet(out_epoch)
             # totals: affected sources from their rebuilt pack
