@@ -228,6 +228,7 @@ def retract_join_view(
     deleted_keys: DataFrame,
     key_col: str,
     epoch: int,
+    purge_debt_ratio: float | None = 0.25,
 ) -> DataFrame:
     """Delete path for a JOIN-view MV maintained as an epoch-keyed
     parquet store (VERDICT r13 next #3 — the IVM-for-joins analogue of
@@ -254,11 +255,19 @@ def retract_join_view(
     (rename-trash-rename) while reads stay correct before, during
     (logical filter), and after (anti-join hits nothing).
 
-    At 100 TB: the tombstone side is broadcast (delete batches are
-    takedown-sized); the anti-join streams the view without shuffle.
-    Tombstone debt grows until a purge visits the store — schedule
-    purges on the same cadence as file compaction.  Returns the live
-    view."""
+    At 100 TB: per-epoch delete batches are takedown-sized, but the
+    read filters the UNION of all standing tombstone epochs, which
+    grows until a purge visits the store — unbounded, it would
+    eventually exceed broadcast limits (ADVICE r14 low #3; VERDICT r14
+    wrong #2).  Two guards bound it: (1) ``purge_debt_ratio`` (default
+    0.25) auto-compacts when the standing tombstone rows exceed that
+    fraction of the view rows — both counts from parquet FOOTER stats,
+    driver-side, no job — via :func:`compact_view` (physical erasure +
+    tombstone reset), BEFORE the returned plan is built, so the lazy
+    file listing is never invalidated; (2) the anti-join carries no
+    forced broadcast hint — AQE picks broadcast while the tombstone
+    side is actually small and falls back to a shuffled join if a
+    deployment lets debt accumulate anyway.  Returns the live view."""
     import os
 
     (
@@ -268,9 +277,76 @@ def retract_join_view(
         .write.mode("overwrite")
         .parquet(os.path.join(del_root, f"epoch={int(epoch)}"))
     )
+    if purge_debt_ratio is not None:
+        d = _store_rows(del_root)
+        v = _store_rows(view_root)
+        if d and v and d > float(purge_debt_ratio) * v:
+            compact_view(spark, view_root, del_root, key_col)
     view = spark.read.parquet(view_root)
+    if not _has_tombstones(del_root):
+        return view
     dels = spark.read.parquet(del_root).select(key_col).distinct()
-    return view.join(F.broadcast(dels), key_col, "left_anti")
+    return view.join(dels, key_col, "left_anti")
+
+
+def _has_tombstones(del_root: str) -> bool:
+    import os
+
+    return os.path.isdir(del_root) and any(
+        n.startswith("epoch=") for n in os.listdir(del_root)
+    )
+
+
+def _store_rows(root: str) -> int | None:
+    """Total row count of an epoch-keyed store from parquet FOOTER
+    metadata (driver-side pyarrow, no Spark job — the same trick as
+    streaming.retraction._dir_rows_estimate, summed over epochs);
+    None when unreadable."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(root, "epoch=*", "*.parquet"))
+    if not files:
+        return None
+    try:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
+def compact_view(spark, view_root: str, del_root: str, key_col: str) -> int:
+    """Tombstone-debt compaction for a retractable MV store: physical
+    erasure of the tombstoned keys (`purge_tombstoned`'s crash-safe
+    rename-trash-rename rewrite) followed by a RESET of the tombstone
+    store, so subsequent reads anti-join nothing (VERDICT r14 next #3
+    — without the reset, a purged view still pays the full accumulated
+    anti-join on every read, and the broadcast side never shrinks).
+
+    Contract: ``del_root`` must be DEDICATED to this view store.  The
+    streaming stores' del_roots are permanent by design (they filter
+    sibling stores the purge has not visited and hold the
+    ordered-ingest frontier); a join-view MV has neither concern — a
+    key re-appended after compaction is a NEW fact row and must be
+    visible, which the reset provides.
+
+    Crash-safe ordering: the store rewrite completes (swap) BEFORE any
+    tombstone epoch is removed — a crash between the two leaves
+    tombstones that filter already-erased rows (a no-op anti-join),
+    never unfiltered deleted rows; a rerun clears the rest.  Returns
+    rows physically erased."""
+    import os
+    import shutil
+
+    from qaapi_spark.streaming.retraction import purge_tombstoned
+
+    erased = purge_tombstoned(spark, view_root, del_root, key_col=key_col)
+    if os.path.isdir(del_root):
+        for name in os.listdir(del_root):
+            if name.startswith("epoch="):
+                shutil.rmtree(os.path.join(del_root, name))
+    return erased
 
 
 def list_parquet_files(spark, path: str) -> list[tuple[str, int]]:

@@ -139,11 +139,15 @@ def test_retract_join_view_anti_joins_and_is_retry_idempotent(spark, tmp_path):
 
     path, delr = _join_view(spark, tmp_path)
     dele = spark.createDataFrame([(2,), (3,)], "k long")
-    live = retract_join_view(spark, path, delr, dele, "k", epoch=2)
+    live = retract_join_view(
+        spark, path, delr, dele, "k", epoch=2, purge_debt_ratio=None
+    )
     want = [(1, 10.0, "A"), (4, 40.0, "B")]
     assert _rows(live.select("k", "price", "seg")) == want
     # replayed epoch: identical tombstone bytes, identical relation
-    live2 = retract_join_view(spark, path, delr, dele, "k", epoch=2)
+    live2 = retract_join_view(
+        spark, path, delr, dele, "k", epoch=2, purge_debt_ratio=None
+    )
     assert _rows(live2.select("k", "price", "seg")) == want
 
 
@@ -152,10 +156,12 @@ def test_retract_join_view_second_epoch_composes(spark, tmp_path):
 
     path, delr = _join_view(spark, tmp_path)
     retract_join_view(
-        spark, path, delr, spark.createDataFrame([(2,)], "k long"), "k", 2
+        spark, path, delr, spark.createDataFrame([(2,)], "k long"), "k", 2,
+        purge_debt_ratio=None,
     )
     live = retract_join_view(
-        spark, path, delr, spark.createDataFrame([(4,)], "k long"), "k", 3
+        spark, path, delr, spark.createDataFrame([(4,)], "k long"), "k", 3,
+        purge_debt_ratio=None,
     )
     assert _rows(live.select("k", "price", "seg")) == [
         (1, 10.0, "A"),
@@ -173,13 +179,85 @@ def test_retract_join_view_purge_physically_erases(spark, tmp_path):
     path, delr = _join_view(spark, tmp_path)
     dele = spark.createDataFrame([(2,), (3,)], "k long")
     before = _rows(
-        retract_join_view(spark, path, delr, dele, "k", 2)
+        retract_join_view(spark, path, delr, dele, "k", 2,
+                          purge_debt_ratio=None)
         .select("k", "price", "seg")
     )
     assert purge_tombstoned(spark, path, delr, key_col="k") == 2
     assert spark.read.parquet(path).filter(F.col("k").isin(2, 3)).count() == 0
     # read-side anti-join still applied (now a no-op) — same relation
-    after = retract_join_view(spark, path, delr, dele, "k", 2)
+    after = retract_join_view(spark, path, delr, dele, "k", 2,
+                              purge_debt_ratio=None)
     assert _rows(after.select("k", "price", "seg")) == before
     # the epoch layout survived the purge (epoch 1 untouched)
     assert spark.read.parquet(path + "/epoch=1").count() == 1
+
+
+def test_retract_join_view_debt_trigger_autocompacts(spark, tmp_path):
+    """VERDICT r14 next #3: repeated takedown epochs accumulate
+    tombstone debt; once standing tombstone rows exceed
+    purge_debt_ratio x view rows (both from footer stats, no job),
+    the next retract auto-runs compact_view — the live relation is
+    unchanged, the retracted keys are physically gone, and the
+    anti-join side SHRINKS to nothing (del_root reset)."""
+    import os
+
+    from qaapi_spark.operators.maintain import retract_join_view
+
+    path, delr = _join_view(spark, tmp_path)  # 4 rows
+    # epoch 2: 1 key -> debt 1/4 = 0.25, not > 0.25 -> no compaction
+    live = retract_join_view(
+        spark, path, delr, spark.createDataFrame([(2,)], "k long"), "k", 2
+    )
+    assert _rows(live.select("k", "price", "seg")) == [
+        (1, 10.0, "A"), (3, 30.0, "A"), (4, 40.0, "B"),
+    ]
+    assert any(n.startswith("epoch=") for n in os.listdir(delr))
+    assert spark.read.parquet(path).filter(F.col("k") == 2).count() == 1
+    # epoch 3: second key -> debt 2/4 > 0.25 -> trigger fires
+    live = retract_join_view(
+        spark, path, delr, spark.createDataFrame([(4,)], "k long"), "k", 3
+    )
+    assert _rows(live.select("k", "price", "seg")) == [
+        (1, 10.0, "A"), (3, 30.0, "A"),
+    ]
+    # physically erased, tombstone store reset (broadcast side empty)
+    assert spark.read.parquet(path).filter(F.col("k").isin(2, 4)).count() == 0
+    assert not any(n.startswith("epoch=") for n in os.listdir(delr))
+    # a later epoch keeps composing on the compacted store
+    live = retract_join_view(
+        spark, path, delr, spark.createDataFrame([(3,)], "k long"), "k", 4
+    )
+    assert _rows(live.select("k", "price", "seg")) == [(1, 10.0, "A")]
+
+
+def test_compact_view_rerun_after_partial_clear_is_safe(spark, tmp_path):
+    """Crash ordering: the store rewrite lands BEFORE tombstones are
+    cleared, so a tombstone epoch surviving a crash filters
+    already-erased rows (no-op) and a rerun clears it."""
+    from qaapi_spark.operators.maintain import compact_view, retract_join_view
+
+    path, delr = _join_view(spark, tmp_path)
+    dele = spark.createDataFrame([(2,), (3,)], "k long")
+    retract_join_view(
+        spark, path, delr, dele, "k", 2, purge_debt_ratio=None
+    )
+    from qaapi_spark.streaming.retraction import purge_tombstoned
+
+    # simulate the crash window: purge done, del_root NOT yet cleared
+    assert purge_tombstoned(spark, path, delr, key_col="k") == 2
+    live = retract_join_view(
+        spark, path, delr, spark.createDataFrame([], "k long"), "k", 3,
+        purge_debt_ratio=None,
+    )
+    assert _rows(live.select("k", "price", "seg")) == [
+        (1, 10.0, "A"), (4, 40.0, "B"),
+    ]
+    # rerun completes the clear; nothing else changes
+    assert compact_view(spark, path, delr, "k") == 0
+    import os
+
+    assert not any(n.startswith("epoch=") for n in os.listdir(delr))
+    assert _rows(
+        spark.read.parquet(path).select("k", "price", "seg")
+    ) == [(1, 10.0, "A"), (4, 40.0, "B")]
