@@ -289,6 +289,78 @@ def retract_join_view(
     return view.join(dels, key_col, "left_anti")
 
 
+def update_join_view_dim(
+    spark,
+    view_root: str,
+    dim_updates: DataFrame,
+    key_col: str,
+    join_key_col: str,
+    epoch: int,
+) -> DataFrame:
+    """Dimension-UPDATE path for a join-view MV maintained as an
+    epoch-keyed parquet store — the third leg of the join-MV arc
+    (inserts = file-level delta append, deletes = retract_join_view
+    tombstones, updates = this).  The reference's J3 MERGE-upsert
+    semantics ('Update Calabrio Tables from Staging Tables
+    (D_POST_INSTALL).sql' update-matched arm) applied to a derived
+    join artifact: when dimension rows change (an SCD1 overwrite —
+    e.g. a customer's segment is rebranded), every enriched row of an
+    affected join key must re-derive its dim columns; rows of
+    untouched keys cannot change.
+
+    KEY-LOCAL on the join key: affected view rows are exactly those
+    with ``join_key_col`` in the update batch — a broadcast semi-join
+    selects them, their CURRENT version (latest epoch per ``key_col``
+    — earlier updates may have re-emitted them already) drops the dim
+    columns and re-joins the new dim rows, and the patched rows land
+    as one epoch-keyed delta (retry-idempotent overwrite).  The view
+    is READ latest-wins per ``key_col``, the same discipline as the
+    streaming stores; un-affected files are never rewritten.
+
+    ``dim_updates`` carries the join key plus the REPLACEMENT dim
+    columns (its non-key columns define which view columns are
+    dim-derived); updates for keys with no view rows are no-ops.
+
+    At 100 TB: the update batch broadcasts (dim changes are
+    takedown-sized); finding the affected rows rides a full view scan
+    here — partition or bucket the store by ``join_key_col`` (or keep
+    zone maps over it) so the semi-join prunes to the affected files,
+    which is the same layout the enrichment join already wants.
+    Returns the live (latest-wins) view."""
+    import os
+
+    from pyspark.sql import Window
+
+    dim_cols = [c for c in dim_updates.columns if c != join_key_col]
+    store = spark.read.parquet(view_root).filter(F.col("epoch") < int(epoch))
+    w = Window.partitionBy(key_col).orderBy(F.desc("epoch"))
+    current = (
+        store.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    patched = (
+        current.join(
+            F.broadcast(dim_updates.select(join_key_col)),
+            join_key_col,
+            "left_semi",
+        )
+        .drop(*dim_cols)
+        .join(F.broadcast(dim_updates), join_key_col)
+        .select(*[c for c in current.columns if c != "epoch"])
+    )
+    patched.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(view_root, f"epoch={int(epoch)}")
+    )
+    live = spark.read.parquet(view_root)
+    w2 = Window.partitionBy(key_col).orderBy(F.desc("epoch"))
+    return (
+        live.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "epoch")
+    )
+
+
 def _has_tombstones(del_root: str) -> bool:
     import os
 

@@ -354,3 +354,152 @@ def mv_incremental_join_enrichment_with_deletes(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "mv_incremental_join_dim_update",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 2 THEN 'REBRANDED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+    )
+    SELECT d.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+    GROUP BY segment ORDER BY segment
+    """,
+    doc="dimension-UPDATE maintenance of a join-view MV (r15 — the "
+    "third leg of the join-MV arc: inserts r14, deletes r14, updates "
+    "here; the reference's J3 MERGE-upsert update-matched arm applied "
+    "to a derived join artifact): the enriched-orders store (epoch 0 "
+    "base + epoch 1 delta, join key RETAINED in the view schema) "
+    "absorbs an SCD1 dim overwrite — customers with c_custkey % 7 = 2 "
+    "are rebranded — via operators/maintain.update_join_view_dim: a "
+    "broadcast semi-join selects exactly the affected keys' rows, "
+    "their current version re-joins the replacement dim rows, and the "
+    "patched rows land as ONE epoch-keyed delta read latest-wins per "
+    "fact key; untouched keys' files are never rewritten.  The oracle "
+    "proves update(MV(base JOIN dim), dim') == base JOIN dim'",
+)
+def mv_incremental_join_dim_update(spark, sf_dir):
+    from qaapi_spark.operators.maintain import update_join_view_dim
+    from qaapi_spark.session import scratch_dir
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+
+    def enrich(df):
+        # join key kept in the view: dim updates need it to find rows
+        return df.join(F.broadcast(c), "o_custkey").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+        )
+
+    path = scratch_dir("mv_join_upd_") + "/enriched_orders"
+    enrich(o.filter(F.col("o_orderdate") < cutoff)).write.mode(
+        "overwrite"
+    ).parquet(path + "/epoch=0")
+    enrich(o.filter(F.col("o_orderdate") >= cutoff)).write.mode(
+        "overwrite"
+    ).parquet(path + "/epoch=1")
+    patch = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 2)
+        .select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.lit("REBRANDED").alias("c_mktsegment"),
+        )
+    )
+    live = update_join_view_dim(
+        spark, path, patch, key_col="o_orderkey",
+        join_key_col="o_custkey", epoch=2,
+    )
+    return (
+        live.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "mv_join_enrichment_autocompact",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE NOT (o.o_orderkey % 10 IN (1, 3, 7))
+    GROUP BY segment ORDER BY segment
+    """,
+    doc="tombstone-debt compaction under REPEATED takedowns (r15, "
+    "VERDICT r14 next #3 / wrong #2: retract_join_view's read "
+    "filtered the union of ALL standing tombstone epochs under a "
+    "forced broadcast, growing without bound until an out-of-band "
+    "purge nothing scheduled): three successive takedown batches "
+    "(keys % 10 in 3, 7, 1 — 10/20/30% cumulative debt) cross the "
+    "purge_debt_ratio=0.25 trigger on the third epoch, auto-running "
+    "maintain.compact_view — purge_tombstoned's crash-safe physical "
+    "erasure then a tombstone-store reset — BEFORE the returned plan "
+    "is built, so the final read anti-joins nothing and the swept "
+    "store plus empty tombstone set carry this query's value hash.  "
+    "Debt and view row counts come from parquet footer stats "
+    "(driver-side, no job).  The oracle proves the relation is "
+    "unchanged through the compaction: retract^3 then purge == base "
+    "MINUS all three key sets JOIN dim",
+)
+def mv_join_enrichment_autocompact(spark, sf_dir):
+    from qaapi_spark.operators.maintain import retract_join_view
+    from qaapi_spark.session import scratch_dir
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+
+    def enrich(df):
+        return df.join(F.broadcast(c), "o_custkey").select(
+            "o_orderkey", "o_totalprice", "c_mktsegment"
+        )
+
+    root = scratch_dir("mv_join_ac_")
+    path = root + "/enriched_orders"
+    del_root = root + "/deleted"
+    enrich(o.filter(F.col("o_orderdate") < cutoff)).write.mode(
+        "overwrite"
+    ).parquet(path + "/epoch=0")
+    enrich(o.filter(F.col("o_orderdate") >= cutoff)).write.mode(
+        "overwrite"
+    ).parquet(path + "/epoch=1")
+    live = None
+    for i, rem in enumerate((3, 7, 1)):
+        deleted = o.filter(F.col("o_orderkey") % 10 == rem).select(
+            "o_orderkey"
+        )
+        live = retract_join_view(
+            spark, path, del_root, deleted, "o_orderkey", epoch=2 + i
+        )
+    return (
+        live.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("segment")
+    )

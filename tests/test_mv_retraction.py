@@ -261,3 +261,99 @@ def test_compact_view_rerun_after_partial_clear_is_safe(spark, tmp_path):
     assert _rows(
         spark.read.parquet(path).select("k", "price", "seg")
     ) == [(1, 10.0, "A"), (4, 40.0, "B")]
+
+
+# ---- join-view dim updates (r15 — third leg of the join-MV arc) ----
+
+
+def _join_view_jk(spark, tmp_path):
+    """Epoch-keyed enriched view CARRYING the join key (dim updates
+    need it): fact key k, join key ck, dim-derived seg."""
+    path = str(tmp_path / "view_jk")
+    spark.createDataFrame(
+        [(1, 100, 10.0, "A"), (2, 200, 20.0, "B"), (3, 100, 30.0, "A")],
+        "k long, ck long, price double, seg string",
+    ).write.mode("overwrite").parquet(path + "/epoch=0")
+    spark.createDataFrame(
+        [(4, 300, 40.0, "C")], "k long, ck long, price double, seg string"
+    ).write.mode("overwrite").parquet(path + "/epoch=1")
+    return path
+
+
+def _rows_jk(df):
+    return sorted(
+        (r["k"], r["ck"], r["price"], r["seg"]) for r in df.collect()
+    )
+
+
+def test_update_join_view_dim_patches_affected_keys_only(spark, tmp_path):
+    import os
+
+    from qaapi_spark.operators.maintain import update_join_view_dim
+
+    path = _join_view_jk(spark, tmp_path)
+    patch = spark.createDataFrame([(100, "A2")], "ck long, seg string")
+    live = update_join_view_dim(
+        spark, path, patch, key_col="k", join_key_col="ck", epoch=2
+    )
+    want = [
+        (1, 100, 10.0, "A2"),
+        (2, 200, 20.0, "B"),
+        (3, 100, 30.0, "A2"),
+        (4, 300, 40.0, "C"),
+    ]
+    assert _rows_jk(live.select("k", "ck", "price", "seg")) == want
+    # only the delta epoch was added; base files untouched
+    assert sorted(
+        n for n in os.listdir(path) if n.startswith("epoch=")
+    ) == ["epoch=0", "epoch=1", "epoch=2"]
+    # the delta holds exactly the affected rows
+    assert spark.read.parquet(path + "/epoch=2").count() == 2
+    # retry-idempotent: replaying the epoch rewrites identical state
+    # (collect fresh plans only — the replay's overwrite invalidates
+    # the FIRST call's file listing, the documented store caveat)
+    live2 = update_join_view_dim(
+        spark, path, patch, key_col="k", join_key_col="ck", epoch=2
+    )
+    assert _rows_jk(live2.select("k", "ck", "price", "seg")) == want
+
+
+def test_update_join_view_dim_second_update_wins(spark, tmp_path):
+    from qaapi_spark.operators.maintain import update_join_view_dim
+
+    path = _join_view_jk(spark, tmp_path)
+    update_join_view_dim(
+        spark, path,
+        spark.createDataFrame([(100, "A2")], "ck long, seg string"),
+        key_col="k", join_key_col="ck", epoch=2,
+    )
+    live = update_join_view_dim(
+        spark, path,
+        spark.createDataFrame(
+            [(100, "A3"), (300, "C2")], "ck long, seg string"
+        ),
+        key_col="k", join_key_col="ck", epoch=3,
+    )
+    assert _rows_jk(live.select("k", "ck", "price", "seg")) == [
+        (1, 100, 10.0, "A3"),
+        (2, 200, 20.0, "B"),
+        (3, 100, 30.0, "A3"),
+        (4, 300, 40.0, "C2"),
+    ]
+
+
+def test_update_join_view_dim_unmatched_key_is_noop(spark, tmp_path):
+    from qaapi_spark.operators.maintain import update_join_view_dim
+
+    path = _join_view_jk(spark, tmp_path)
+    live = update_join_view_dim(
+        spark, path,
+        spark.createDataFrame([(999, "Z")], "ck long, seg string"),
+        key_col="k", join_key_col="ck", epoch=2,
+    )
+    assert _rows_jk(live.select("k", "ck", "price", "seg")) == [
+        (1, 100, 10.0, "A"),
+        (2, 200, 20.0, "B"),
+        (3, 100, 30.0, "A"),
+        (4, 300, 40.0, "C"),
+    ]
