@@ -458,15 +458,32 @@ def _occ_delta(wins, occ_k: int | None):
         return wins
     from pyspark.sql import Window
 
+    # ONE ranked pass: rows at rank <= k are the retained min-k, the
+    # rank-k+1 row (if any) becomes the marker in the same projection.
+    # The r14 two-branch form (kept filter + ovf filter unioned)
+    # recomputed the window — TWO full shuffles of the epoch's wins
+    # relation per insert epoch, the dominant cost of the bounded
+    # path (r15 A/B: ~+1 s per insert epoch at sf0.1).  The single
+    # rank <= k+1 filter compiles to WindowGroupLimit (partial top-k
+    # per map partition BEFORE the exchange), so the one remaining
+    # shuffle carries at most k+1 rows per (h, partition).
+    k = int(occ_k)
     w = Window.partitionBy("h").orderBy("doc_id", "pos")
-    ranked = wins.withColumn("rn", F.row_number().over(w))
-    kept = ranked.filter(F.col("rn") <= int(occ_k)).drop("rn")
-    ovf = ranked.filter(F.col("rn") == int(occ_k) + 1).select(
-        F.lit(-1).cast("long").alias("doc_id"),
-        F.lit(-1).cast("int").alias("pos"),
-        "h",
+    return (
+        wins.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k + 1)
+        .select(
+            F.when(F.col("rn") > k, F.lit(-1))
+            .otherwise(F.col("doc_id"))
+            .cast("long")
+            .alias("doc_id"),
+            F.when(F.col("rn") > k, F.lit(-1))
+            .otherwise(F.col("pos"))
+            .cast("int")
+            .alias("pos"),
+            "h",
+        )
     )
-    return kept.select("doc_id", "pos", "h").unionByName(ovf)
 
 
 def _occ_real(occ, occ_k: int | None):
