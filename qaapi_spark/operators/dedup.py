@@ -869,16 +869,26 @@ def simhash_fingerprints(
     Arrow kernel — per batch one (tokens x bits) matrix and a reduceat
     per document.  Map-only: no shuffle at all.
     """
-    from typing import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     toks = F.array_distinct(ws_tokens(F.lower(F.col(text_col))))
     hashed = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("id"),
         F.transform(toks, lambda w: F.xxhash64(w)).alias("hs"),
     )
+    return _simhash_pack(hashed, bits)
+
+
+def _simhash_pack(hashed: DataFrame, bits: int) -> DataFrame:
+    """(id, fp) from (id, hs: array<long>) — the per-bit majority vote
+    and bit-pack as one vectorized Arrow kernel: per batch a
+    (tokens x bits) sign matrix and a reduceat per document.  Map-only
+    (no shuffle); shared by the xxhash64 and md5-portable hash
+    families, which differ only in how ``hs`` is computed.  Documents
+    with an empty token array are dropped (no fingerprint), matching
+    the vote-aggregate semantics both families had."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         shifts = np.arange(bits, dtype=np.uint64)
@@ -909,49 +919,29 @@ def simhash_fingerprints_portable(
     DuckDB SQL, giving the simhash query an exact value-hash oracle
     (the md5-CMS/HLL trick; VERDICT r2 next #5).
 
-    Pure Catalyst: one explode + one hash-aggregate carrying ``bits``
-    per-bit majority votes (map-side combine on id), then a horizontal
-    bit-pack.  60 bits = 15 md5 hex chars, so the token hash is one
-    BIGINT-safe conv.  The xxhash64 variant (simhash_fingerprints)
-    remains the JVM-cheapest path.
+    Only the token HASH must be md5 (that is what the oracle
+    reproduces); the per-bit majority vote and bit-pack are hash-family-
+    independent, so they run through the same vectorized Arrow kernel
+    as the xxhash64 variant (`_simhash_pack`).  The r14 form kept the
+    vote in Catalyst — a ``bits``-way posexplode of every token hash
+    (60x row multiplication) through a two-level hash aggregate; the
+    kernel replaces that with one map-side (tokens x bits) matrix pass
+    per batch, no shuffle (measured r15: 5.7 -> ~2.5 s on the portable
+    query at sf0.1, identical fingerprints).  60 bits = 15 md5 hex
+    chars, so the token hash is one BIGINT-safe conv.
     """
     toks = F.array_distinct(ws_tokens(F.lower(F.col(text_col))))
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    # materialize the token hash ONCE per token in its own projection:
-    # inside the 60 per-bit aggregate expressions Spark's subexpression
-    # elimination is not guaranteed, and an un-eliminated `h` means 60
-    # md5+conv evaluations per token (observed 3-5x wall-clock on the
-    # portable simhash query); after this projection each bit vote is
-    # a bitwise shift on a ready long.
-    # spread the md5 hashing + vote explode across cores: single-file
-    # corpora otherwise run the whole pipeline on one task (r6)
+    # spread the md5 hashing across cores: single-file corpora
+    # otherwise run the whole pipeline on one task (r6)
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     hashed = spread.select(
-        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
-    ).select("id", h.alias("h"))
-    # per-bit votes as a narrow posexplode + two-level aggregate rather
-    # than one `bits`-wide aggregate: the wide form generated a Janino
-    # class whose one-time compile dominated the query (measured ~6.3 s
-    # cold vs ~5.6 s for this shape, and 2.0 s vs 0.1 s re-run); the
-    # (id, bit) relation map-side combines to id x bits rows per task,
-    # so the extra shuffle is tiny at any corpus size.
-    signs = F.expr(
-        f"transform(sequence(0, {bits - 1}), "
-        "j -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)"
+        F.col(id_col).alias("id"),
+        F.transform(
+            toks,
+            lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+        ).alias("hs"),
     )
-    votes = (
-        hashed.select("id", F.posexplode(signs))
-        .toDF("id", "j", "s")
-        .groupBy("id", "j")
-        .agg(F.sum("s").alias("v"))
-    )
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, j)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("fp")
-    )
+    return _simhash_pack(hashed, bits)
 
 
 def simhash_near_dup_pairs(
@@ -1382,26 +1372,19 @@ def exact_substring_apply(
     NORMALIZED text (lowercased, whitespace-split, space-rejoined) —
     the engine-independent form both sides of the oracle compute.
 
-    Scale shape: only documents that actually lose tokens pay the
-    posexplode + anti-join + rebuild (bounded by the duplicated
-    subset); clean documents pass through map-only with
-    ``array_join(tokens)``.  At 100 TB the rebuild shuffle is
-    proportional to duplicated text, not corpus size."""
+    Scale shape: the cut positions aggregate per doc (a shuffle over
+    duplicated-window rows only), attach to the corpus in one join
+    (broadcast when the dirty set is small), and the rebuild is
+    map-side array algebra; clean documents take the whole-array
+    branch of the same projection.  At 100 TB no token-level row ever
+    crosses an exchange — shuffles are proportional to duplicated
+    WINDOW counts, not corpus size."""
     dpos = (
         _dpos
         if _dpos is not None
         else _dup_window_positions(df, min_len, text_col, id_col)
     )
-    cut = (
-        _noncanonical_positions(dpos, min_len)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + min_len - 1)
-            ).alias("tok_pos"),
-        )
-        .distinct()
-    )
+    cut = _cut_sets(_noncanonical_positions(dpos, min_len), min_len)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         ws_tokens(F.lower(F.col(text_col))).alias("toks"),
@@ -1412,45 +1395,78 @@ def exact_substring_apply(
 def _apply_trim(base: DataFrame, cut: DataFrame) -> DataFrame:
     """(doc_id, n_toks, n_kept, text_dedup) for every row of ``base``
     (doc_id, toks) after removing the 1-based token positions in
-    ``cut`` (doc_id, tok_pos).  Shared by the batch apply and the
-    streaming epoch step, so their trim semantics are structurally
-    identical.  Only docs that lose tokens pay the posexplode +
-    anti-join + rebuild; clean docs pass through map-only."""
-    dirty_ids = cut.select("doc_id").distinct()
-    clean = base.join(dirty_ids, "doc_id", "left_anti").select(
-        "doc_id",
-        F.size("toks").cast("long").alias("n_toks"),
-        F.size("toks").cast("long").alias("n_kept"),
-        F.array_join("toks", " ").alias("text_dedup"),
-    )
-    dirty_base = base.join(dirty_ids, "doc_id", "left_semi")
-    dirty_toks = dirty_base.select(
-        "doc_id", F.posexplode("toks").alias("i", "tok")
-    ).withColumn("tok_pos", F.col("i") + 1)
-    kept = dirty_toks.join(cut, ["doc_id", "tok_pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept_r"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tok_pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("text_dedup_r"),
-    )
-    # left join: a dirty doc whose EVERY token is cut (fully duplicated
-    # non-canonically) still appears, with n_kept=0 and empty text
-    dirty = (
-        dirty_base.select("doc_id", F.size("toks").cast("long").alias("n_toks"))
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_toks",
-            F.coalesce(F.col("n_kept_r"), F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce(F.col("text_dedup_r"), F.lit("")).alias("text_dedup"),
+    ``cut`` — either exploded (doc_id, tok_pos) rows or pre-aggregated
+    (doc_id, cut_set: array<int>) rows (see :func:`_cut_sets`).  Shared
+    by the batch apply and the streaming epoch steps, so their trim
+    semantics are structurally identical.
+
+    r15 restructure (guide §2.3/§2.4 — same output, fewer/lighter
+    exchanges): the r14 form posexploded every dirty doc to one row
+    per TOKEN, anti-joined that against ``cut``, and rebuilt text via
+    groupBy + array_sort(collect_list(struct)) — three corpus-derived
+    shuffles (dirty_ids distinct, token-level anti-join, rebuild
+    aggregate) plus a clean/dirty union of two base scans.  Now the
+    cut positions aggregate once to a per-doc sorted array (shuffle of
+    CUT rows only — never tokens), one left join attaches them to
+    base, and the rebuild is map-side array algebra: array_except over
+    sequence(1, n_toks) gives the kept positions in order, element_at
+    gathers the kept tokens.  Clean docs (null cut_set) take the
+    whole-array branch of the same projection — one pass over base,
+    no union.  At 100 TB the only data-proportional shuffle left is
+    the base-side join exchange, and that disappears whenever the
+    dirty set broadcasts."""
+    if "cut_set" in cut.columns:
+        cutsets = cut
+    else:
+        cutsets = cut.groupBy("doc_id").agg(
+            F.array_sort(F.collect_set(F.col("tok_pos").cast("int"))).alias(
+                "cut_set"
+            )
         )
+    n = F.size("toks")
+    # sequence(1, n) DESCENDS for n < 1 — guard the empty-doc edge
+    all_pos = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
     )
-    return clean.unionByName(dirty)
+    # array_except preserves first-array order, so kept_pos is ascending
+    kept_pos = F.array_except(all_pos, F.col("cut_set"))
+    is_clean = F.col("cut_set").isNull()
+    return base.join(cutsets, "doc_id", "left").select(
+        "doc_id",
+        n.cast("long").alias("n_toks"),
+        F.when(is_clean, n).otherwise(F.size(kept_pos)).cast("long").alias("n_kept"),
+        F.when(is_clean, F.array_join("toks", " "))
+        .otherwise(
+            F.array_join(
+                F.transform(kept_pos, lambda p: F.element_at(F.col("toks"), p)),
+                " ",
+            )
+        )
+        .alias("text_dedup"),
+    )
+
+
+def _cut_sets(nc: DataFrame, min_len: int) -> DataFrame:
+    """(doc_id, cut_set) — the per-doc sorted distinct 1-based token
+    positions covered by the non-canonical window STARTS in ``nc``
+    (doc_id, pos).  The pre-aggregated form :func:`_apply_trim`
+    consumes directly: expanding each start to its ``min_len`` covered
+    positions happens map-side AFTER the per-doc aggregation, so the
+    exchange carries one row per duplicated window occurrence instead
+    of ``min_len`` exploded position rows (and the explode+distinct
+    exchange of the r14 form disappears entirely)."""
+    return nc.groupBy("doc_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.collect_list(F.col("pos").cast("int")),
+                        lambda p: F.sequence(p, p + int(min_len) - 1),
+                    )
+                )
+            )
+        ).alias("cut_set")
+    )
 
 
 def _all_window_positions(

@@ -2416,7 +2416,11 @@ def _exsub_epoch(
     """
     from pyspark.sql import Window
 
-    from qaapi_spark.operators.dedup import _all_window_positions, _apply_trim
+    from qaapi_spark.operators.dedup import (
+        _all_window_positions,
+        _apply_trim,
+        _cut_sets,
+    )
     from qaapi_spark.operators.textstats import ws_tokens
 
     spark = bdf.sparkSession
@@ -2468,13 +2472,8 @@ def _exsub_epoch(
         .filter(F.col("rn") >= 2)
         .select("doc_id", "pos")
     )
-    nc = later if seen is None else later.unionByName(seen).distinct()
-    cut = nc.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + min_len - 1)).alias(
-            "tok_pos"
-        ),
-    ).distinct()
+    nc = later if seen is None else later.unionByName(seen)
+    cut = _cut_sets(nc, min_len)
     base = bdf.select(
         "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
     )

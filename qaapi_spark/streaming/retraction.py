@@ -561,7 +561,11 @@ def _exsub_rt_insert_epoch(
     overwrite."""
     from pyspark.sql import Window
 
-    from qaapi_spark.operators.dedup import _all_window_positions, _apply_trim
+    from qaapi_spark.operators.dedup import (
+        _all_window_positions,
+        _apply_trim,
+        _cut_sets,
+    )
     from qaapi_spark.operators.textstats import ws_tokens
 
     spark = bdf.sparkSession
@@ -619,13 +623,8 @@ def _exsub_rt_insert_epoch(
         .filter(F.col("rn") >= 2)
         .select("doc_id", "pos")
     )
-    nc = later if seen is None else later.unionByName(seen).distinct()
-    cut = nc.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + min_len - 1)).alias(
-            "tok_pos"
-        ),
-    ).distinct()
+    nc = later if seen is None else later.unionByName(seen)
+    cut = _cut_sets(nc, min_len)
     base = bdf.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks"))
     try:
         _apply_trim(base, cut).join(
@@ -699,7 +698,11 @@ def _exsub_rt_delete_epoch(
 
     Retry-idempotent: reads filter epoch < N, writes epoch-keyed
     overwrite."""
-    from qaapi_spark.operators.dedup import _all_window_positions, _apply_trim
+    from qaapi_spark.operators.dedup import (
+        _all_window_positions,
+        _apply_trim,
+        _cut_sets,
+    )
     from qaapi_spark.operators.textstats import ws_tokens
 
     spark = ddf.sparkSession
@@ -885,19 +888,12 @@ def _exsub_rt_delete_epoch(
                 # probe was its own full-plan job; an empty affected
                 # set just writes an empty delta, which the latest-wins
                 # final read ignores)
-                cut = (
-                    aw.join(canon, "h")
-                    .filter(
+                cut = _cut_sets(
+                    aw.join(canon, "h").filter(
                         (F.col("doc_id") != F.col("cdoc"))
                         | (F.col("pos") != F.col("cpos"))
-                    )
-                    .select(
-                        "doc_id",
-                        F.explode(
-                            F.sequence(F.col("pos"), F.col("pos") + min_len - 1)
-                        ).alias("tok_pos"),
-                    )
-                    .distinct()
+                    ),
+                    min_len,
                 )
                 base = texts.select(
                     "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
@@ -1065,7 +1061,11 @@ def _exsub_uo_epoch(
     occurrence was retracted treats the batch arrival as canonical
     again), and — since there is no frontier here — the explicit
     tombstone semi-join guard rejects re-inserted retracted ids."""
-    from qaapi_spark.operators.dedup import _all_window_positions, _apply_trim
+    from qaapi_spark.operators.dedup import (
+        _all_window_positions,
+        _apply_trim,
+        _cut_sets,
+    )
     from qaapi_spark.operators.textstats import ws_tokens
 
     spark = bdf.sparkSession
@@ -1102,19 +1102,12 @@ def _exsub_uo_epoch(
     try:
         # batch rows: an occurrence is cut iff it is not the (new)
         # canonical of its digest
-        cut_b = (
-            wins.join(g.select("h", "c"), "h")
-            .filter(
+        cut_b = _cut_sets(
+            wins.join(g.select("h", "c"), "h").filter(
                 (F.col("doc_id") != F.col("c.doc_id"))
                 | (F.col("pos") != F.col("c.pos"))
-            )
-            .select(
-                "doc_id",
-                F.explode(
-                    F.sequence(F.col("pos"), F.col("pos") + min_len - 1)
-                ).alias("tok_pos"),
-            )
-            .distinct()
+            ),
+            min_len,
         )
         base_b = bdf.select(
             "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
@@ -1152,19 +1145,12 @@ def _exsub_uo_epoch(
                 .groupBy("h")
                 .agg(F.min(F.struct("doc_id", "pos")).alias("c"))
             )
-            cut_d = (
-                awd.join(canon_d, "h")
-                .filter(
+            cut_d = _cut_sets(
+                awd.join(canon_d, "h").filter(
                     (F.col("doc_id") != F.col("c.doc_id"))
                     | (F.col("pos") != F.col("c.pos"))
-                )
-                .select(
-                    "doc_id",
-                    F.explode(
-                        F.sequence(F.col("pos"), F.col("pos") + min_len - 1)
-                    ).alias("tok_pos"),
-                )
-                .distinct()
+                ),
+                min_len,
             )
             base_d = texts.select(
                 "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")

@@ -32,7 +32,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
     jvm_gc = sc._jvm.System.gc
-    tracker = sc._jsc.sc().statusTracker()
+    tracker = sc.statusTracker()
     for r in range(repeat):
         for name in args:
             group = f"prof_{name}_{r}"
@@ -48,11 +48,11 @@ def main() -> None:
                 ji = tracker.getJobInfo(jid)
                 if ji is None:
                     continue
-                for sid in ji.stageIds():
+                for sid in ji.stageIds:
                     si = tracker.getStageInfo(sid)
                     if si is not None:
                         n_stages += 1
-                        n_tasks += si.numTasks()
+                        n_tasks += si.numTasks
             print(
                 f"[{r}] {name}: {dt:.3f}s rows={n} jobs={len(job_ids)} "
                 f"stages={n_stages} tasks={n_tasks}",
