@@ -61,6 +61,18 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # fuller ones — the advisory size (64 MB default) still splits
     # genuinely large shuffles.
     conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    # File-commit overhead: the streaming/MV epoch stores write many
+    # tiny epoch-keyed parquet dirs per query (profiled r15: ~11 write
+    # jobs per retraction stream, ~0.15s floor each).  Committer v2
+    # renames task output straight into the destination (one rename per
+    # task instead of task->job-temp->dest, i.e. half the metadata ops)
+    # and _SUCCESS markers are pure overhead here (no reader consumes
+    # them — grep-verified).  Both are standard production settings;
+    # correctness is unaffected for our writes (epoch-keyed overwrite
+    # dirs, retry-idempotent; no speculative execution in local mode).
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    hc.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+    hc.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     return spark
 
 
