@@ -96,6 +96,37 @@ def _store_recover(store_dir: str) -> bool:
     return os.path.isdir(store_dir)
 
 
+def _par_writes(*thunks) -> None:
+    """Run an epoch's INDEPENDENT write jobs concurrently from driver
+    threads (optimization guide §2.6 — overlap jobs so one job's
+    single-task tail doesn't leave 31 cores idle).
+
+    The epoch stores' per-write cost is almost entirely fixed latency
+    (job scheduling + a 1-task coalesce(1) stage + commit, ~0.15-0.5 s
+    each on sf0.1-sized epoch relations — r15 profile_writes
+    decomposition), so N sequential writes cost the SUM of their
+    latencies while overlapped they cost roughly the MAX.
+
+    Safe because write order within an epoch is not load-bearing:
+    every store write is an epoch-keyed overwrite directory and every
+    reader filters ``epoch < N`` (or takes the latest-earlier
+    snapshot), so no consumer can observe a partially-ordered epoch;
+    a replayed epoch overwrites whatever subset landed.  Shared
+    persisted inputs are materialized once under the BlockManager's
+    per-block get-or-compute locks.  Exceptions propagate after all
+    writes settle, so a failed write still fails the stream (and the
+    engine's retry) exactly as the sequential form did."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+    for f in futures:
+        f.result()
+
+
 def events_windowed_counts(
     spark: SparkSession,
     events_path: str,
@@ -1792,7 +1823,17 @@ def _pipeline_shards_epoch(
     ).withColumn("n_chunks", F.col("last_chunk") - F.col("first_chunk") + 1)
     try:
         epoch_out = os.path.join(out_root, f"epoch={int(epoch_id)}")
-        out.coalesce(1).write.mode("overwrite").parquet(epoch_out)
+        # the shard write and the band-store write are independent —
+        # overlap them (_par_writes); the totals snapshot must wait for
+        # the shard write (it re-reads the just-written single file)
+        _par_writes(
+            lambda: out.coalesce(1).write.mode("overwrite").parquet(epoch_out),
+            lambda: bands_arr.join(kept_ids, "id", "left_semi")
+            .join(sets, "id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{store_dir}/data/epoch={int(epoch_id)}"),
+        )
         # totals derive from the epoch output JUST WRITTEN (one small
         # single-file scan) instead of re-deriving `placed` — the
         # unpersisted screen->gate->cap->pack chain used to run twice
@@ -1816,11 +1857,6 @@ def _pipeline_shards_epoch(
         )
         totals.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(totals_root, f"epoch={int(epoch_id)}")
-        )
-        bands_arr.join(kept_ids, "id", "left_semi").join(
-            sets, "id"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{store_dir}/data/epoch={int(epoch_id)}"
         )
     finally:
         kept_ids.unpersist()
@@ -2278,11 +2314,16 @@ def _cc_labels_epoch(
         )
         delta = batch_labels.unionByName(relabeled)
     try:
-        delta.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(label_root, f"epoch={int(epoch_id)}")
-        )
-        bands_arr.join(sets, "id").coalesce(1).write.mode("overwrite").parquet(
-            f"{store_dir}/data/epoch={int(epoch_id)}"
+        # label delta and band-store delta are independent consumers of
+        # pinned inputs — overlap their write jobs (_par_writes)
+        _par_writes(
+            lambda: delta.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(label_root, f"epoch={int(epoch_id)}")
+            ),
+            lambda: bands_arr.join(sets, "id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{store_dir}/data/epoch={int(epoch_id)}"),
         )
     finally:
         comp.unpersist()
@@ -2478,17 +2519,22 @@ def _exsub_epoch(
         "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
     )
     try:
-        _apply_trim(base, cut).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_root, f"epoch={int(epoch_id)}")
-        )
         # append only digests the store has NEVER seen, so the store is
         # truly O(distinct windows) x 16 bytes — a digest recurring in
         # every epoch would otherwise be stored once per epoch
         new_h = wins.select("h").distinct()
         if store is not None:
             new_h = new_h.join(store, "h", "left_anti")
-        new_h.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(digest_root, f"epoch={int(epoch_id)}")
+        # trimmed rows and digest delta both hang off pinned `wins` —
+        # overlap their write jobs (_par_writes)
+        _par_writes(
+            lambda: _apply_trim(base, cut)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_root, f"epoch={int(epoch_id)}")),
+            lambda: new_h.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(digest_root, f"epoch={int(epoch_id)}")
+            ),
         )
     finally:
         wins.unpersist()

@@ -69,6 +69,7 @@ from qaapi_spark.streaming.incremental import (
     _cc_labels_epoch,
     _frontier_max_doc_id,
     _has_epochs,
+    _par_writes,
     _propagate_min_labels,
     _read_deleted,
     _reject_tombstoned_reinsert,
@@ -88,7 +89,7 @@ def _stage_ops_with_deletes(
     n_splits: int = 2,
     extra_cols: tuple = (),
     reverse: bool = False,
-) -> str:
+) -> tuple:
     """Stage the corpus as an op-tagged ordered ingest with an
     INTERLEAVED retraction batch: insert slices 0..mid-1 (low doc_id
     half), a delete batch retracting the predicate docs ingested so
@@ -142,6 +143,7 @@ def _stage_ops_with_deletes(
     )
     stage_dir = _scratch(prefix="docs_rt_stream_")
     slices: list[DataFrame] = []
+    tags: list[str] = []
     order = reversed(range(n_splits)) if reverse else range(n_splits)
     for k, i in enumerate(order):
         hi_pad = (1 << 60) if i == n_splits - 1 else 0
@@ -151,6 +153,7 @@ def _stage_ops_with_deletes(
                 & (F.col("doc_id") < int(lo) + (i + 1) * step + hi_pad)
             ).select("doc_id", "text", *extra_cols, F.lit("i").alias("op"))
         )
+        tags.append("i")
         if k == mid_i - 1:
             slices.append(
                 raw.filter(pred & del_scope).select(
@@ -160,8 +163,9 @@ def _stage_ops_with_deletes(
                     F.lit("d").alias("op"),
                 )
             )
+            tags.append("d")
     _write_slices(stage_dir, slices)
-    return stage_dir
+    return stage_dir, _staged_slice_ops(stage_dir, tags)
 
 
 def _write_slices(
@@ -186,18 +190,51 @@ def _write_slices(
     _stage_monotonic_mtimes(stage_dir)
 
 
-def _route_op_batch(bdf, epoch_id: int, ins_fn, del_fn, key_col: str = "doc_id") -> None:
+def _staged_slice_ops(stage_dir: str, tags: list) -> list:
+    """Per-EPOCH op tags for a staged op-tagged stream, derived
+    driver-side with one os.listdir — zero Spark jobs (r15: the
+    per-epoch min/max(op) probe job this replaces cost ~0.15-0.35 s x
+    every epoch of every retraction stream).
+
+    Why the epoch->slice mapping is exact: `_write_slices` lands each
+    non-empty slice as ONE file under ``slice=j`` (one shuffle
+    partition per slice value; partitionBy splits by directory), an
+    EMPTY slice writes no directory at all (hence indexing by the dirs
+    that exist), `_stage_monotonic_mtimes` stamps strictly increasing
+    mtimes in slice-index order, FileStreamSource delivers files
+    oldest-mtime-first, and ``maxFilesPerTrigger=1`` makes epoch N
+    exactly the N-th staged file.  A replayed epoch keeps its epoch_id,
+    so retries resolve to the same op."""
+    present = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(stage_dir)
+        if e.startswith("slice=")
+    )
+    return [tags[j] for j in present]
+
+
+def _route_op_batch(
+    bdf, epoch_id: int, ins_fn, del_fn, key_col: str = "doc_id", ops=None
+) -> None:
     """Dispatch one op-tagged micro-batch: all-'i' batches run the
     insert epoch (op dropped), all-'d' batches run the delete epoch
     (tombstone ids only — ``key_col`` names the subject key: doc_id
     for the corpus streams, user_id for SCD2 erasure).  Mixed batches
     raise — delete-vs-insert ordering within one epoch would be
     ambiguous, and the stagers only emit homogeneous files; empty
-    batches (a predicate that matched nothing) are a no-op.  The probe
-    is ONE min/max aggregate (r13: distinct().collect() paid a distinct
-    exchange per epoch across every retraction stream; min == max
-    proves homogeneity just as well)."""
-    lo_op, hi_op = bdf.agg(F.min("op"), F.max("op")).collect()[0]
+    batches (a predicate that matched nothing) are a no-op.
+
+    ``ops`` (r15): the stager's per-epoch op tags from
+    `_staged_slice_ops` — resolving the op driver-side skips the probe
+    job entirely.  Without it the probe is ONE min/max aggregate (r13:
+    distinct().collect() paid a distinct exchange per epoch across
+    every retraction stream; min == max proves homogeneity just as
+    well); an epoch_id beyond the op list (never produced by the
+    stagers) falls back to the probe rather than guessing."""
+    if ops is not None and 0 <= int(epoch_id) < len(ops):
+        lo_op = hi_op = ops[int(epoch_id)]
+    else:
+        lo_op, hi_op = bdf.agg(F.min("op"), F.max("op")).collect()[0]
     if lo_op is None:
         return
     if lo_op != hi_op:
@@ -355,15 +392,23 @@ def _cc_rt_delete_epoch(
                         "doc_id", F.coalesce("comp", F.col("doc_id")).alias("comp")
                     )
                 )
-                delta.coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(label_root, f"epoch={int(epoch_id)}")
+                # label delta and tombstone writes are independent —
+                # overlap their jobs (_par_writes)
+                _par_writes(
+                    lambda: delta.coalesce(1).write.mode("overwrite").parquet(
+                        os.path.join(label_root, f"epoch={int(epoch_id)}")
+                    ),
+                    lambda: dels.coalesce(1).write.mode("overwrite").parquet(
+                        os.path.join(del_root, f"epoch={int(epoch_id)}")
+                    ),
                 )
             finally:
                 comp.unpersist()
                 survivors.unpersist()
-        dels.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(del_root, f"epoch={int(epoch_id)}")
-        )
+        else:
+            dels.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(del_root, f"epoch={int(epoch_id)}")
+            )
     finally:
         dels.unpersist()
 
@@ -391,7 +436,9 @@ def stream_cc_labels_with_deletes(
     from pyspark.sql import Window
 
     raw = spark.read.parquet(docs_path)
-    stage_dir = _stage_ops_with_deletes(spark, raw, del_mod, del_rem, n_splits)
+    stage_dir, ops = _stage_ops_with_deletes(
+        spark, raw, del_mod, del_rem, n_splits
+    )
     store_dir = _scratch(prefix="ccrt_store_")
     label_root = _scratch(prefix="ccrt_labels_")
     del_root = _scratch(prefix="ccrt_deleted_")
@@ -407,6 +454,7 @@ def stream_cc_labels_with_deletes(
             del_fn=lambda d, e: _cc_rt_delete_epoch(
                 d, e, store_dir, label_root, del_root, threshold
             ),
+            ops=ops,
         )
 
     schema = spark.read.parquet(stage_dir + "/slice=0").schema
@@ -627,13 +675,18 @@ def _exsub_rt_insert_epoch(
     cut = _cut_sets(nc, min_len)
     base = bdf.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks"))
     try:
-        _apply_trim(base, cut).join(
-            bdf.select("doc_id", "text"), "doc_id"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_root, f"epoch={int(epoch_id)}")
-        )
-        _occ_delta(wins, occ_k).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(occ_root, f"epoch={int(epoch_id)}")
+        # trimmed rows and occurrence delta both hang off pinned `wins`
+        # — overlap their write jobs (_par_writes)
+        _par_writes(
+            lambda: _apply_trim(base, cut)
+            .join(bdf.select("doc_id", "text"), "doc_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_root, f"epoch={int(epoch_id)}")),
+            lambda: _occ_delta(wins, occ_k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(occ_root, f"epoch={int(epoch_id)}")),
         )
     finally:
         wins.unpersist()
@@ -898,11 +951,19 @@ def _exsub_rt_delete_epoch(
                 base = texts.select(
                     "doc_id", ws_tokens(F.lower(F.col("text"))).alias("toks")
                 )
-                _apply_trim(base, cut).join(
-                    texts, "doc_id"
-                ).coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(out_root, f"epoch={int(epoch_id)}")
-                )
+                # re-trim delta, occurrence refresh (bounded mode) and
+                # tombstone write are mutually independent — overlap
+                # their jobs (_par_writes)
+                writes = [
+                    lambda: _apply_trim(base, cut)
+                    .join(texts, "doc_id")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(out_root, f"epoch={int(epoch_id)}")),
+                    lambda: dels.coalesce(1).write.mode("overwrite").parquet(
+                        os.path.join(del_root, f"epoch={int(epoch_id)}")
+                    ),
+                ]
                 if rec_wins is not None:
                     # refresh the exhausted digests' retained rows so
                     # later reads see their live min-k again (the
@@ -923,20 +984,24 @@ def _exsub_rt_delete_epoch(
                         F.lit(-2).cast("int").alias("pos"),
                         "h",
                     )
-                    _occ_delta(rec_wins, occ_k).unionByName(
-                        bound_rows
-                    ).coalesce(1).write.mode("overwrite").parquet(
-                        os.path.join(occ_root, f"epoch={int(epoch_id)}")
+                    writes.append(
+                        lambda: _occ_delta(rec_wins, occ_k)
+                        .unionByName(bound_rows)
+                        .coalesce(1)
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(occ_root, f"epoch={int(epoch_id)}"))
                     )
+                _par_writes(*writes)
             finally:
                 g.unpersist()
                 if rec_wins is not None:
                     rec_wins.unpersist()
                 if exhausted is not None:
                     exhausted.unpersist()
-        dels.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(del_root, f"epoch={int(epoch_id)}")
-        )
+        else:
+            dels.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(del_root, f"epoch={int(epoch_id)}")
+            )
     finally:
         dels.unpersist()
 
@@ -962,7 +1027,9 @@ def stream_exact_substring_apply_with_deletes(
     from pyspark.sql import Window
 
     raw = spark.read.parquet(docs_path)
-    stage_dir = _stage_ops_with_deletes(spark, raw, del_mod, del_rem, n_splits)
+    stage_dir, ops = _stage_ops_with_deletes(
+        spark, raw, del_mod, del_rem, n_splits
+    )
     occ_root = _scratch(prefix="exrt_occ_")
     out_root = _scratch(prefix="exrt_out_")
     del_root = _scratch(prefix="exrt_deleted_")
@@ -977,6 +1044,7 @@ def stream_exact_substring_apply_with_deletes(
             del_fn=lambda d, e: _exsub_rt_delete_epoch(
                 d, e, occ_root, out_root, del_root, min_len, occ_k=occ_k
             ),
+            ops=ops,
         )
 
     schema = spark.read.parquet(stage_dir + "/slice=0").schema
@@ -1159,11 +1227,16 @@ def _exsub_uo_epoch(
                 _apply_trim(base_d, cut_d).join(texts, "doc_id")
             )
 
-        rows.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_root, f"epoch={int(epoch_id)}")
-        )
-        _occ_delta(wins, occ_k).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(occ_root, f"epoch={int(epoch_id)}")
+        # emitted-rows delta and occurrence delta both hang off pinned
+        # inputs — overlap their write jobs (_par_writes)
+        _par_writes(
+            lambda: rows.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out_root, f"epoch={int(epoch_id)}")
+            ),
+            lambda: _occ_delta(wins, occ_k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(occ_root, f"epoch={int(epoch_id)}")),
         )
     finally:
         g.unpersist()
@@ -1243,7 +1316,7 @@ def stream_exact_substring_apply_unordered_with_deletes(
     from pyspark.sql import Window
 
     raw = spark.read.parquet(docs_path)
-    stage_dir = _stage_ops_with_deletes(
+    stage_dir, ops = _stage_ops_with_deletes(
         spark, raw, del_mod, del_rem, n_splits, reverse=True
     )
     occ_root = _scratch(prefix="exuod_occ_")
@@ -1261,6 +1334,7 @@ def stream_exact_substring_apply_unordered_with_deletes(
             del_fn=lambda d, e: _exsub_rt_delete_epoch(
                 d, e, occ_root, out_root, del_root, min_len, occ_k=occ_k
             ),
+            ops=ops,
         )
 
     schema = spark.read.parquet(stage_dir + "/slice=0").schema
@@ -1516,9 +1590,17 @@ def _nd_rt_delete_epoch(
                     F.coalesce("k2", F.lit(False)).alias("kept"),
                     "arrival",
                 )
-                delta.coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(band_root, f"epoch={int(epoch_id)}")
+                # decision delta and tombstone writes are independent —
+                # overlap their jobs (_par_writes)
+                _par_writes(
+                    lambda: delta.coalesce(1).write.mode("overwrite").parquet(
+                        os.path.join(band_root, f"epoch={int(epoch_id)}")
+                    ),
+                    lambda: dels.coalesce(1).write.mode("overwrite").parquet(
+                        os.path.join(del_root, f"epoch={int(epoch_id)}")
+                    ),
                 )
+                return
         dels.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(del_root, f"epoch={int(epoch_id)}")
         )
@@ -1665,7 +1747,9 @@ def stream_neardup_with_deletes(
     two-phase greedy relation on the live corpus.  Returns the kept
     docs as (doc_id, lang, source), like stream_neardup_dedup."""
     raw = spark.read.parquet(docs_path)
-    stage_dir = _stage_ops_with_deletes(spark, raw, del_mod, del_rem, n_splits)
+    stage_dir, ops = _stage_ops_with_deletes(
+        spark, raw, del_mod, del_rem, n_splits
+    )
     band_root = _scratch(prefix="ndrt_bands_")
     del_root = _scratch(prefix="ndrt_deleted_")
 
@@ -1679,6 +1763,7 @@ def stream_neardup_with_deletes(
             del_fn=lambda d, e: _nd_rt_delete_epoch(
                 d, e, band_root, del_root, threshold
             ),
+            ops=ops,
         )
 
     schema = spark.read.parquet(stage_dir + "/slice=0").schema
@@ -1840,7 +1925,6 @@ def _c2s_rt_insert_epoch(
         out_epoch = os.path.join(out_root, f"epoch={int(epoch_id)}")
         packed = _pack_tail(gated, prev, source_cap, budget).persist()
         local_pins.append(packed)
-        packed.coalesce(1).write.mode("overwrite").parquet(out_epoch)
         bsum = packed.groupBy("source").agg(
             F.sum("n_toks").alias("b_toks"), F.count("*").alias("b_kept")
         )
@@ -1857,8 +1941,15 @@ def _c2s_rt_insert_epoch(
             F.coalesce(F.col("rebuilt_epoch"), F.lit(-1))
             .cast("long").alias("rebuilt_epoch"),
         )
-        totals.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(totals_root, f"epoch={int(epoch_id)}")
+        # shard write and totals snapshot both consume pinned `packed`
+        # — overlap their write jobs (_par_writes)
+        _par_writes(
+            lambda: packed.coalesce(1).write.mode("overwrite").parquet(
+                out_epoch
+            ),
+            lambda: totals.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(totals_root, f"epoch={int(epoch_id)}")
+            ),
         )
     finally:
         bands_arr.unpersist()
@@ -1937,6 +2028,7 @@ def _c2s_rt_delete_epoch(
                 # live-view patch feeding the pack rebuild) — unpinned
                 # it re-ran per consumer (r14 sub-phase profile)
                 kept_all = pin(kept_all)
+            writes = []
             if comp is not None:
                 delta = comp.join(
                     kept_all.withColumn("k2", F.lit(True)), "id", "left"
@@ -1945,8 +2037,14 @@ def _c2s_rt_delete_epoch(
                     F.coalesce("k2", F.lit(False)).alias("kept"),
                     "arrival", "source", "n_toks",
                 )
-                delta.coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(band_root, f"epoch={int(epoch_id)}")
+                # deferred into the epoch-tail _par_writes batch: the
+                # decision delta is independent of the pack rebuild and
+                # the totals snapshot (all epoch-keyed overwrites; no
+                # reader sees this epoch until every write lands)
+                writes.append(
+                    lambda: delta.coalesce(1).write.mode("overwrite").parquet(
+                        os.path.join(band_root, f"epoch={int(epoch_id)}")
+                    )
                 )
                 upd = comp.select("id").join(
                     kept_all.withColumn("k2", F.lit(True)), "id", "left"
@@ -2020,7 +2118,6 @@ def _c2s_rt_delete_epoch(
                     )
                     est = max(0, int(est) - int(tomb_kept))
                 width = _write_width(est, rows_per_file)
-            _at_width(packed, width).write.mode("overwrite").parquet(out_epoch)
             # totals: affected sources from their rebuilt pack
             # (left join so a fully-emptied source resets to 0,0 —
             # its quota is fully released) with rebuilt_epoch
@@ -2040,12 +2137,25 @@ def _c2s_rt_delete_epoch(
             totals = prev.join(aff_src, "source", "left_anti").unionByName(
                 reb_tot
             )
-            totals.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(totals_root, f"epoch={int(epoch_id)}")
+            # pack rebuild, totals snapshot (both off pinned `packed`),
+            # the deferred decision delta and the tombstone write are
+            # mutually independent — overlap all of them (_par_writes)
+            writes += [
+                lambda: _at_width(packed, width)
+                .write.mode("overwrite")
+                .parquet(out_epoch),
+                lambda: totals.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(totals_root, f"epoch={int(epoch_id)}")
+                ),
+                lambda: dels.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(del_root, f"epoch={int(epoch_id)}")
+                ),
+            ]
+            _par_writes(*writes)
+        else:
+            dels.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(del_root, f"epoch={int(epoch_id)}")
             )
-        dels.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(del_root, f"epoch={int(epoch_id)}")
-        )
     finally:
         for df in pinned:
             df.unpersist()
@@ -2083,7 +2193,7 @@ def stream_pipeline_corpus_to_shards_with_deletes(
     artifact.  Returns (source, doc_id, n_toks, start_tok, first_chunk,
     last_chunk, n_chunks), like stream_pipeline_corpus_to_shards."""
     raw = spark.read.parquet(docs_path)
-    stage_dir = _stage_ops_with_deletes(
+    stage_dir, ops = _stage_ops_with_deletes(
         spark, raw, del_mod, del_rem, n_splits, extra_cols=("source",)
     )
     band_root = _scratch(prefix="c2srt_bands_")
@@ -2104,6 +2214,7 @@ def stream_pipeline_corpus_to_shards_with_deletes(
                 threshold, min_toks, budget, source_cap,
                 rows_per_file=rows_per_file,
             ),
+            ops=ops,
         )
 
     schema = spark.read.parquet(stage_dir + "/slice=0").schema
@@ -2216,25 +2327,32 @@ def _scd2_rt_insert_epoch(
         F.col("prev").isNull() | (F.col("status") != F.col("prev"))
     )
     marked = changes.withColumn("valid_to_us", F.lead("us").over(w))
-    marked.filter(F.col("valid_to_us").isNotNull()).select(
-        "user_id", "status",
-        F.col("us").alias("valid_from_us"), "valid_to_us",
-    ).write.mode("overwrite").parquet(
-        os.path.join(out_root, f"epoch={int(epoch_id)}")
-    )
     # snapshot width from the predecessor snapshot's footer row count
     # (driver-side, no job) — default rows_per_file=None keeps the
     # certified coalesce(1) and skips the footer probe entirely
     width = 1 if not rows_per_file else _write_width(
         _scd2_prev_rows_estimate(store_root, epoch_id), rows_per_file
     )
-    _at_width(
-        marked.filter(F.col("valid_to_us").isNull()).select(
-            "user_id", "status", "event_id", F.col("us").alias("valid_from_us")
-        ),
-        width,
-    ).write.mode("overwrite").parquet(
-        os.path.join(store_root, f"epoch={int(epoch_id)}")
+    # closed-interval delta and open-row snapshot are two independent
+    # filters of the same tiny `marked` plan (computed per action
+    # before AND after this change) — overlap their jobs (_par_writes)
+    _par_writes(
+        lambda: marked.filter(F.col("valid_to_us").isNotNull())
+        .select(
+            "user_id", "status",
+            F.col("us").alias("valid_from_us"), "valid_to_us",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_root, f"epoch={int(epoch_id)}")),
+        lambda: _at_width(
+            marked.filter(F.col("valid_to_us").isNull()).select(
+                "user_id", "status", "event_id",
+                F.col("us").alias("valid_from_us"),
+            ),
+            width,
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(store_root, f"epoch={int(epoch_id)}")),
     )
 
 
@@ -2262,11 +2380,15 @@ def _scd2_rt_delete_epoch(
         width = 1 if not rows_per_file else _write_width(
             _scd2_prev_rows_estimate(store_root, epoch_id), rows_per_file
         )
-        _at_width(prev.join(dels, "user_id", "left_anti"), width).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(store_root, f"epoch={int(epoch_id)}"))
-        dels.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(del_root, f"epoch={int(epoch_id)}")
+        # erased snapshot and tombstone writes are independent (both
+        # consume pinned `dels`) — overlap their jobs (_par_writes)
+        _par_writes(
+            lambda: _at_width(prev.join(dels, "user_id", "left_anti"), width)
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_root, f"epoch={int(epoch_id)}")),
+            lambda: dels.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(del_root, f"epoch={int(epoch_id)}")
+            ),
         )
     finally:
         dels.unpersist()
@@ -2311,6 +2433,7 @@ def stream_scd2_with_deletes(
     pred = (F.col("user_id") % int(del_mod)) == int(del_rem)
     stage_dir = _scratch(prefix="events_scd2rt_stream_")
     slices: list[DataFrame] = []
+    tags: list[str] = []
     for i in range(n_splits):
         hi_pad = (1 << 60) if i == n_splits - 1 else 0
         slices.append(
@@ -2320,6 +2443,7 @@ def stream_scd2_with_deletes(
             ).select("user_id", "status", "event_id", "us",
                      F.lit("i").alias("op"))
         )
+        tags.append("i")
         if i == 0:
             slices.append(
                 narrow.filter(pred & (F.col("us") < mid_us))
@@ -2333,7 +2457,9 @@ def stream_scd2_with_deletes(
                     F.lit("d").alias("op"),
                 )
             )
+            tags.append("d")
     _write_slices(stage_dir, slices, sort_cols=("user_id", "us", "event_id"))
+    ops = _staged_slice_ops(stage_dir, tags)
     store_root = _scratch(prefix="scd2rt_store_")
     out_root = _scratch(prefix="scd2rt_out_")
     del_root = _scratch(prefix="scd2rt_deleted_")
@@ -2349,6 +2475,7 @@ def stream_scd2_with_deletes(
                 d, e, store_root, del_root, rows_per_file=rows_per_file
             ),
             key_col="user_id",
+            ops=ops,
         )
 
     schema = spark.read.parquet(stage_dir + "/slice=0").schema

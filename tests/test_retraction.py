@@ -396,6 +396,94 @@ def test_route_op_batch_rejects_mixed(spark):
         _route_op_batch(bdf, 0, lambda b, e: None, lambda d, e: None)
 
 
+def test_route_op_batch_ops_map_skips_probe(spark):
+    """r15: with the stager's per-epoch op map supplied, dispatch is
+    driver-side — authoritative over the batch contents (no probe job
+    runs, so a mixed batch at a mapped epoch would not even be
+    scanned) — and an epoch beyond the map falls back to the probe."""
+    from qaapi_spark.streaming.retraction import _route_op_batch
+
+    calls = []
+    ins = spark.createDataFrame(
+        [(1, "t", "i")], "doc_id long, text string, op string"
+    )
+    dele = spark.createDataFrame(
+        [(2, "", "d")], "doc_id long, text string, op string"
+    )
+    ops = ["i", "d", "i"]
+    _route_op_batch(
+        ins, 0,
+        lambda b, e: calls.append(("i", e, sorted(b.columns))),
+        lambda d, e: calls.append(("d", e, sorted(d.columns))),
+        ops=ops,
+    )
+    _route_op_batch(
+        dele, 1,
+        lambda b, e: calls.append(("i", e, sorted(b.columns))),
+        lambda d, e: calls.append(("d", e, sorted(d.columns))),
+        ops=ops,
+    )
+    # beyond the map: falls back to the probe (still dispatches right)
+    _route_op_batch(
+        ins, 99,
+        lambda b, e: calls.append(("i", e, sorted(b.columns))),
+        lambda d, e: calls.append(("d", e, sorted(d.columns))),
+        ops=ops,
+    )
+    assert calls == [
+        ("i", 0, ["doc_id", "text"]),
+        ("d", 1, ["doc_id"]),
+        ("i", 99, ["doc_id", "text"]),
+    ]
+
+
+def test_staged_slice_ops_indexes_existing_dirs(tmp_path):
+    """Empty slices stage no directory, so the per-epoch op list must
+    be indexed by the slice dirs that EXIST, in slice-index order."""
+    from qaapi_spark.streaming.retraction import _staged_slice_ops
+
+    for j in (0, 1, 3):  # slice 2 was empty -> no dir
+        os.makedirs(tmp_path / f"slice={j}")
+    assert _staged_slice_ops(str(tmp_path), ["i", "d", "i", "i"]) == [
+        "i", "d", "i",
+    ]
+
+
+def test_stage_ops_with_deletes_returns_delivery_ops(spark):
+    """The stager's returned op list matches the staged files' op
+    column in mtime (delivery) order — the contract the probe-free
+    routing relies on."""
+    from qaapi_spark.streaming.retraction import _stage_ops_with_deletes
+
+    raw = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    stage, ops = _stage_ops_with_deletes(spark, raw, 3, 1, 2)
+    staged = spark.read.parquet(stage)
+    by_slice = {
+        r["slice"]: r["op"]
+        for r in staged.select("slice", "op").distinct().collect()
+    }
+    assert ops == [by_slice[j] for j in sorted(by_slice)]
+
+
+def test_par_writes_runs_all_and_propagates():
+    from qaapi_spark.streaming.incremental import _par_writes
+
+    hits = []
+    _par_writes(lambda: hits.append(1), lambda: hits.append(2))
+    assert sorted(hits) == [1, 2]
+    _par_writes(lambda: hits.append(3))
+    assert hits[-1] == 3
+
+    def boom():
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        _par_writes(lambda: hits.append(4), boom)
+    assert 4 in hits  # sibling writes still ran (idempotent overwrites)
+
+
 def test_delete_oracle_lift_is_well_defined():
     """The textual 'FROM documents -> FROM documents WHERE live'
     lift behind the *_with_deletes oracles is sound only while the
@@ -1207,7 +1295,9 @@ def test_stage_ops_reverse_odd_splits_tombstones_only_ingested(spark):
         [(i, f"doc {i}") for i in range(30)], "doc_id long, text string"
     )
     for n_splits in (2, 3, 5):
-        stage = _stage_ops_with_deletes(spark, raw, 3, 1, n_splits, reverse=True)
+        stage, _ops = _stage_ops_with_deletes(
+            spark, raw, 3, 1, n_splits, reverse=True
+        )
         staged = spark.read.parquet(stage)
         slices = sorted(
             r["slice"] for r in staged.select("slice").distinct().collect()
