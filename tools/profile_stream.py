@@ -72,7 +72,7 @@ def main() -> None:
     # (its first agg/collect) separately from the routed epoch fn
     rt_route = rt._route_op_batch
 
-    def route_timed(bdf, epoch_id, ins_fn, del_fn, key_col="doc_id"):
+    def route_timed(bdf, epoch_id, ins_fn, del_fn, key_col="doc_id", ops=None):
         def ins_t(b, e):
             t0 = time.time()
             try:
@@ -89,7 +89,7 @@ def main() -> None:
 
         t0 = time.time()
         try:
-            return rt_route(bdf, epoch_id, ins_t, del_t, key_col)
+            return rt_route(bdf, epoch_id, ins_t, del_t, key_col, ops=ops)
         finally:
             phases.append((f"route[{epoch_id}]", time.time() - t0))
 
