@@ -96,6 +96,52 @@ def _store_recover(store_dir: str) -> bool:
     return os.path.isdir(store_dir)
 
 
+def _footer_min_max(path: str, col: str):
+    """(min, max) of an integer column from parquet FOOTER statistics
+    — driver-side pyarrow, no Spark job (the round-9 sentinel trick,
+    generalized for the stagers' lo/hi probes: every ordered-ingest
+    stager pays one full-scan min/max aggregate job just to derive its
+    slice boundaries).
+
+    Exactness: parquet min/max statistics are EXACT for fixed-width
+    physical types (truncation applies only to BYTE_ARRAY/FLBA per the
+    format spec), and both the stats and Spark's F.min/F.max ignore
+    nulls — so when stats are present for every row group the result
+    is bit-identical to the aggregate.  Returns None (caller falls
+    back to the one-job Spark aggregate) when the path has no files,
+    any row group lacks stats for ``col`` (a writer may disable
+    statistics — ADVICE r9 #4), or the column is not fixed-width."""
+    import glob as _g
+
+    import pyarrow.parquet as _pq
+
+    files = (
+        sorted(_g.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        return None
+    lo = hi = None
+    try:
+        for f in files:
+            pf = _pq.ParquetFile(f)
+            idx = pf.schema_arrow.get_field_index(col)
+            if idx < 0 or not str(pf.schema_arrow.field(idx).type).startswith(
+                ("int", "uint")
+            ):
+                return None
+            for g in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    except Exception:
+        return None
+    return None if lo is None else (lo, hi)
+
+
 def _par_writes(*thunks) -> None:
     """Run an epoch's INDEPENDENT write jobs concurrently from driver
     threads (optimization guide §2.6 — overlap jobs so one job's
@@ -843,7 +889,8 @@ def stream_hll_running(
 
     raw_schema, normalize_ts = events_stream_spec(spark, events_path)
     raw = spark.read.schema(raw_schema).parquet(events_path)
-    lo, hi = raw.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    mm = _footer_min_max(events_path, "event_id")  # no-job lo/hi (exact)
+    lo, hi = mm if mm else raw.agg(F.min("event_id"), F.max("event_id")).collect()[0]
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
     stage_dir = _scratch(prefix="events_hll_stream_")
     for i in range(n_splits):
@@ -1228,7 +1275,8 @@ def stream_weighted_sample(
 
     raw = spark.read.parquet(docs_path)
     raw_schema = raw.schema
-    lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mm = _footer_min_max(docs_path, "doc_id")  # no-job lo/hi (exact)
+    lo, hi = mm if mm else raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
     stage_dir = _scratch(prefix="docs_wrs_stream_")
     for i in range(n_splits):
@@ -1307,7 +1355,8 @@ def stream_running_distinct(
 
     raw_schema, normalize_ts = events_stream_spec(spark, events_path)
     raw = spark.read.schema(raw_schema).parquet(events_path)
-    lo, hi = raw.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    mm = _footer_min_max(events_path, "event_id")  # no-job lo/hi (exact)
+    lo, hi = mm if mm else raw.agg(F.min("event_id"), F.max("event_id")).collect()[0]
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
     stage_dir = _scratch(prefix="events_rdist_stream_")
     for i in range(n_splits):
@@ -1411,7 +1460,8 @@ def stream_pack_chunks(
     narrow = raw.select(
         "source", "doc_id", F.size(ws_tokens(F.col("text"))).alias("n_toks")
     )
-    lo, hi = narrow.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mm = _footer_min_max(docs_path, "doc_id")  # projection keeps doc_id intact
+    lo, hi = mm if mm else narrow.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
     stage_dir = _scratch(prefix="docs_pack_stream_")
     for i in range(n_splits):
@@ -1898,7 +1948,8 @@ def stream_pipeline_corpus_to_shards(
     candidates only) plus two per-source windows over the batch — no
     stage rescans history."""
     raw = spark.read.parquet(docs_path)
-    lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mm = _footer_min_max(docs_path, "doc_id")  # no-job lo/hi (exact)
+    lo, hi = mm if mm else raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
     stage_dir = _scratch(prefix="docs_c2s_stream_")
     for i in range(n_splits):
@@ -2363,7 +2414,8 @@ def stream_cc_labels_incremental(
     write — no stage recomputes standing components from scratch.
     """
     raw = spark.read.parquet(docs_path)
-    lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mm = _footer_min_max(docs_path, "doc_id")  # no-job lo/hi (exact)
+    lo, hi = mm if mm else raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
     stage_dir = _scratch(prefix="docs_cc_stream_")
     for i in range(n_splits):
@@ -2557,7 +2609,8 @@ def stream_exact_substring_apply(
     ordered ingest — no LSH, no probabilistic caveat — and shares its
     oracle."""
     raw = spark.read.parquet(docs_path)
-    lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mm = _footer_min_max(docs_path, "doc_id")  # no-job lo/hi (exact)
+    lo, hi = mm if mm else raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
     stage_dir = _scratch(prefix="docs_exsub_stream_")
     for i in range(n_splits):

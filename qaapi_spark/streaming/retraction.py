@@ -67,6 +67,7 @@ from pyspark.sql import functions as F
 
 from qaapi_spark.streaming.incremental import (
     _cc_labels_epoch,
+    _footer_min_max,
     _frontier_max_doc_id,
     _has_epochs,
     _par_writes,
@@ -89,6 +90,7 @@ def _stage_ops_with_deletes(
     n_splits: int = 2,
     extra_cols: tuple = (),
     reverse: bool = False,
+    src_path: str | None = None,
 ) -> tuple:
     """Stage the corpus as an op-tagged ordered ingest with an
     INTERLEAVED retraction batch: insert slices 0..mid-1 (low doc_id
@@ -124,7 +126,11 @@ def _stage_ops_with_deletes(
     even n_splits that bound IS mid_bound (the oracle lift flips the
     comparison), and for odd n_splits it is one slice higher — the
     ingested boundary, not the midpoint (ADVICE r13 #2)."""
-    lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    # slice boundaries from parquet footer stats when the caller can
+    # name the source file (exact for int64, no Spark job —
+    # incremental._footer_min_max); the one-job aggregate otherwise
+    mm = _footer_min_max(src_path, "doc_id") if src_path else None
+    lo, hi = mm if mm else raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
     mid_i = max(1, n_splits // 2)
     mid_bound = int(lo) + mid_i * step
@@ -437,7 +443,7 @@ def stream_cc_labels_with_deletes(
 
     raw = spark.read.parquet(docs_path)
     stage_dir, ops = _stage_ops_with_deletes(
-        spark, raw, del_mod, del_rem, n_splits
+        spark, raw, del_mod, del_rem, n_splits, src_path=docs_path
     )
     store_dir = _scratch(prefix="ccrt_store_")
     label_root = _scratch(prefix="ccrt_labels_")
@@ -1028,7 +1034,7 @@ def stream_exact_substring_apply_with_deletes(
 
     raw = spark.read.parquet(docs_path)
     stage_dir, ops = _stage_ops_with_deletes(
-        spark, raw, del_mod, del_rem, n_splits
+        spark, raw, del_mod, del_rem, n_splits, src_path=docs_path
     )
     occ_root = _scratch(prefix="exrt_occ_")
     out_root = _scratch(prefix="exrt_out_")
@@ -1067,14 +1073,16 @@ def stream_exact_substring_apply_with_deletes(
 
 
 def _stage_reversed_slices(
-    spark: SparkSession, raw: DataFrame, n_splits: int
+    spark: SparkSession, raw: DataFrame, n_splits: int,
+    src_path: str | None = None,
 ) -> str:
     """Stage doc_id-range slices in REVERSE id order — the adversarial
     arrival order for canonical election: every epoch after the first
     brings occurrences EARLIER than everything standing, so each
     duplicated window's canonical is demoted as often as the data
     allows."""
-    lo, hi = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mm = _footer_min_max(src_path, "doc_id") if src_path else None
+    lo, hi = mm if mm else raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
     stage_dir = _scratch(prefix="docs_uo_stream_")
     slices = []
@@ -1266,7 +1274,7 @@ def stream_exact_substring_apply_unordered(
     from pyspark.sql import Window
 
     raw = spark.read.parquet(docs_path)
-    stage_dir = _stage_reversed_slices(spark, raw, n_splits)
+    stage_dir = _stage_reversed_slices(spark, raw, n_splits, src_path=docs_path)
     occ_root = _scratch(prefix="exuo_occ_")
     out_root = _scratch(prefix="exuo_out_")
 
@@ -1317,7 +1325,7 @@ def stream_exact_substring_apply_unordered_with_deletes(
 
     raw = spark.read.parquet(docs_path)
     stage_dir, ops = _stage_ops_with_deletes(
-        spark, raw, del_mod, del_rem, n_splits, reverse=True
+        spark, raw, del_mod, del_rem, n_splits, reverse=True, src_path=docs_path
     )
     occ_root = _scratch(prefix="exuod_occ_")
     out_root = _scratch(prefix="exuod_out_")
@@ -1748,7 +1756,7 @@ def stream_neardup_with_deletes(
     docs as (doc_id, lang, source), like stream_neardup_dedup."""
     raw = spark.read.parquet(docs_path)
     stage_dir, ops = _stage_ops_with_deletes(
-        spark, raw, del_mod, del_rem, n_splits
+        spark, raw, del_mod, del_rem, n_splits, src_path=docs_path
     )
     band_root = _scratch(prefix="ndrt_bands_")
     del_root = _scratch(prefix="ndrt_deleted_")
@@ -2194,7 +2202,8 @@ def stream_pipeline_corpus_to_shards_with_deletes(
     last_chunk, n_chunks), like stream_pipeline_corpus_to_shards."""
     raw = spark.read.parquet(docs_path)
     stage_dir, ops = _stage_ops_with_deletes(
-        spark, raw, del_mod, del_rem, n_splits, extra_cols=("source",)
+        spark, raw, del_mod, del_rem, n_splits, extra_cols=("source",),
+        src_path=docs_path,
     )
     band_root = _scratch(prefix="c2srt_bands_")
     del_root = _scratch(prefix="c2srt_deleted_")

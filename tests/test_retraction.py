@@ -1745,3 +1745,72 @@ def test_c2s_pack_rebuild_write_width_gt1(spark, tmp_path):
     assert rows_w == rows_1
     assert nf_1 == 1
     assert nf_w == 3  # ceil(3 kept docs / 1 row per file)
+
+
+def test_footer_min_max_matches_aggregate(spark, tmp_path):
+    """_footer_min_max must be BIT-IDENTICAL to the Spark min/max
+    aggregate wherever it answers (the stagers' slice boundaries, and
+    through them the catalog oracles' lifted mid_bound predicates,
+    depend on exact equality), and must decline (None) rather than
+    guess when statistics are absent or the column is not integer."""
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.streaming.incremental import _footer_min_max
+
+    # real corpus file (single file path)
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    got = _footer_min_max(docs, "doc_id")
+    exp = tuple(
+        spark.read.parquet(docs)
+        .agg(F.min("doc_id"), F.max("doc_id"))
+        .collect()[0]
+    )
+    assert got == exp
+
+    # directory of parts (multi-file union of row-group stats)
+    d = str(tmp_path / "multi")
+    spark.createDataFrame(
+        [(i,) for i in (7, -3, 42, 0)], "doc_id long"
+    ).repartition(2).write.mode("overwrite").parquet(d)
+    assert _footer_min_max(d, "doc_id") == (-3, 42)
+
+    # non-integer column and missing column -> None (caller falls back)
+    assert _footer_min_max(docs, "text") is None
+    assert _footer_min_max(docs, "no_such_col") is None
+
+    # stats-less file -> None: write without statistics via pyarrow
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nostats = str(tmp_path / "nostats.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())}),
+        nostats,
+        write_statistics=False,
+    )
+    assert _footer_min_max(nostats, "doc_id") is None
+
+
+def test_stage_ops_footer_path_equals_aggregate_path(spark, tmp_path):
+    """Staging with src_path (footer-stat boundaries) must produce the
+    same slices and op order as the aggregate path."""
+    from qaapi_spark.streaming.retraction import _stage_ops_with_deletes
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    raw = spark.read.parquet(src)
+
+    stage_a, ops_a = _stage_ops_with_deletes(spark, raw, 3, 1, 2)
+    stage_f, ops_f = _stage_ops_with_deletes(
+        spark, raw, 3, 1, 2, src_path=src
+    )
+    assert ops_a == ops_f
+    rows_a = sorted(
+        spark.read.parquet(stage_a).select("slice", "op", "doc_id").collect()
+    )
+    rows_f = sorted(
+        spark.read.parquet(stage_f).select("slice", "op", "doc_id").collect()
+    )
+    assert rows_a == rows_f
