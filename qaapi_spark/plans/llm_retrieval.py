@@ -1088,6 +1088,29 @@ def _mine_pool_hard_ctes() -> str:
     )"""
 
 
+def _corpus_rows(sf_dir, e):
+    """Exact embeddings-corpus row count from parquet footer metadata
+    (driver-side, no Spark job — num_rows is mandatory file metadata,
+    unlike column stats, so no exactness caveat); falls back to the
+    one-job count() when the path is unreadable.  Four miner sites
+    paid a count() job each just to derive routing/IVF parameters."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    try:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return e.count()
+
+
 def _mine_anchor_inputs(spark, sf_dir):
     """(pos, embeddings, anchor-queries, partners) shared by the miner
     and its recall eval."""
@@ -1201,7 +1224,7 @@ def _mine_ivf_codebook_kernel(spark, sf_dir):
 
     def build():
         e = t(spark, sf_dir, "embeddings")
-        n = e.count()
+        n = _corpus_rows(sf_dir, e)
         k, _nprobe, stride = _mine_ivf_params(n)
         stripe = e.filter(F.col("vec_id") % stride == 0) if stride > 1 else e
         return lloyd_centroids_distributed(
@@ -1230,7 +1253,7 @@ def _mine_pool_routed(spark, sf_dir, e, qs) -> tuple["DataFrame", str]:
     cosine) cut to _MINE_POOL per anchor."""
     from qaapi_spark.operators.similarity import cosine_topk_ivf
 
-    n = e.count()
+    n = _corpus_rows(sf_dir, e)
     route = _mine_pool_regime(n)
     if route == "srp":
         pool = srp_lsh_topk(
@@ -1549,7 +1572,7 @@ def pairs_mine_recall_eval(spark, sf_dir):
     from qaapi_spark.operators.similarity import cosine_topk_bruteforce
 
     _pos, e, qs, partners = _mine_anchor_inputs(spark, sf_dir)
-    n_corpus = e.count()
+    n_corpus = _corpus_rows(sf_dir, e)
     grid = cosine_topk_bruteforce(qs, e, int(n_corpus))
     ehard = topk_per_group(
         grid.join(partners, ["query_id", "cand_id"], "left_anti"),
@@ -1613,7 +1636,7 @@ def pairs_mine_contrastive_ivf(spark, sf_dir):
     from qaapi_spark.operators.similarity import cosine_topk_ivf
 
     pos, e, qs, partners = _mine_anchor_inputs(spark, sf_dir)
-    _k, nprobe, _stride = _mine_ivf_params(e.count())
+    _k, nprobe, _stride = _mine_ivf_params(_corpus_rows(sf_dir, e))
     cents = _mine_ivf_codebook_kernel(spark, sf_dir).select(
         F.col("cid").cast("long").alias("centroid_id"), F.col("c").alias("cvec")
     )

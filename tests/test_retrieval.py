@@ -229,3 +229,17 @@ def test_srp_lsh_default_recall_meets_serving_bar(spark):
         CATALOG["ann_recall_eval_srp"].fn(spark, "/root/testdata/sf0.1").collect()[0]
     )
     assert row["recall_at_k"] >= 0.8, row
+
+
+def test_corpus_rows_footer_matches_count(spark):
+    """_corpus_rows (footer num_rows, no job) must equal the Spark
+    count on the real corpus, and fall back to count() when the path
+    does not exist."""
+    from qaapi_spark.plans.llm_retrieval import _corpus_rows
+    from qaapi_spark.sources.tables import read_table
+
+    sf = "/root/testdata/sf0.001"
+    e = read_table(spark, sf, "embeddings")
+    assert _corpus_rows(sf, e) == e.count()
+    # missing path -> fallback consumes the passed relation
+    assert _corpus_rows("/no/such/dir", e.limit(7)) == 7
