@@ -48,14 +48,18 @@ def term_frequencies(
 
 
 def tf_idf(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(id, term, tf, df_count, tfidf): tfidf = tf * ln(N / df).
 
     N (corpus size) is a driver-side scalar; the doc-frequency relation
-    broadcasts into the corpus-sized tf side.
+    broadcasts into the corpus-sized tf side.  Callers that read the
+    raw corpus can pass ``n_docs`` from parquet footer metadata
+    (sources.tables.footer_rows) and skip the count() job.
     """
-    n_docs = df.count()
+    if n_docs is None:
+        n_docs = df.count()
     tf = term_frequencies(df, text_col, id_col)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_count"))
     return tf.join(F.broadcast(dfreq), "term").select(
@@ -806,6 +810,7 @@ def tfidf_cosine_topk_dense(
     quant: int = 1000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(qid, did, ls): top ``k_pool`` lexical tf-idf-cosine candidates
     per query doc (``id % query_mod == 0``), scored by a DENSE
@@ -835,7 +840,7 @@ def tfidf_cosine_topk_dense(
     import pandas as pd
 
     spark = df.sparkSession
-    w = tf_idf(df, text_col, id_col).select(
+    w = tf_idf(df, text_col, id_col, n_docs=n_docs).select(
         "id", "term", F.round("tfidf", 6).alias("w")
     )
     vocab_rows = w.groupBy("term").agg(F.max(F.abs(F.col("w"))).alias("wmax")).collect()

@@ -18,6 +18,7 @@ from qaapi_spark.plans.catalog import query, t
 from qaapi_spark.plans.llm_dedup import _DD_JACCARD_PAIRS, _JACCARD_THRESHOLD
 from qaapi_spark.plans.llm_similarity import _K, _QUERY_MOD
 from qaapi_spark.plans.llm_text import _DD_TOKS
+from qaapi_spark.sources.tables import footer_rows
 
 _TOP_TERMS = 3
 _BM25_TERMS = ["vector", "hash", "stream"]
@@ -54,7 +55,7 @@ _DD_TF = f"""
 )
 def tfidf_top_terms(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    scored = tf_idf(d).select(
+    scored = tf_idf(d, n_docs=footer_rows(f"{sf_dir}/documents.parquet")).select(
         F.col("id").alias("doc_id"), "term", F.round("tfidf", 4).alias("tfidf")
     )
     top = topk_per_group(
@@ -797,7 +798,10 @@ def hybrid_search_rrf(spark, sf_dir):
     # jaccard dense-regime argument applied to weighted vectors).
     lwin = Window.partitionBy("qid").orderBy(F.desc("ls"), F.asc("did"))
     lexr = (
-        tfidf_cosine_topk_dense(d, _QUERY_MOD, _HYB_POOL)
+        tfidf_cosine_topk_dense(
+            d, _QUERY_MOD, _HYB_POOL,
+            n_docs=footer_rows(f"{sf_dir}/documents.parquet"),
+        )
         .withColumn("lr", F.row_number().over(lwin))
         .select("qid", "did", "lr")
     )
@@ -1094,21 +1098,10 @@ def _corpus_rows(sf_dir, e):
     unlike column stats, so no exactness caveat); falls back to the
     one-job count() when the path is unreadable.  Four miner sites
     paid a count() job each just to derive routing/IVF parameters."""
-    import glob
     import os
 
-    import pyarrow.parquet as pq
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    files = (
-        sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if os.path.isdir(path)
-        else [path]
-    )
-    try:
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    except Exception:
-        return e.count()
+    n = footer_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    return n if n is not None else e.count()
 
 
 def _mine_anchor_inputs(spark, sf_dir):

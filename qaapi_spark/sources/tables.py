@@ -27,6 +27,26 @@ TABLES = [
 BROADCAST_TABLES = {"region", "nation"}
 
 
+def footer_rows(path: str):
+    """Exact row count of a parquet file/dir from footer metadata —
+    driver-side, no Spark job (num_rows is mandatory file metadata);
+    None when the path is unreadable so callers fall back to count()."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    try:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
