@@ -76,28 +76,38 @@ def _driver_state() -> tuple[set[str], set[str], int, dict[str, int]]:
 # passthrough), and the Hamming screen's query collect (limit + bound),
 # so their r7 rows certify retired code.  All four re-verified locally
 # (check_oracle sf0.001 + sf0.01); the force makes the driver confirm.
-_FORCE_RECHECK_ROUND = 14
+_FORCE_RECHECK_ROUND = 15
 _FORCE_RECHECK = frozenset(
     {
-        # Round 15 (VERDICT r14 next #1): the r14 scale-safety valves
-        # are now CERTIFIED DEFAULTS, so the five queries whose
-        # executed kernels changed must re-earn their hash rows on
-        # the new paths.  The three retraction-capable ExactSubstr
-        # streams run occ_k=8 (min-k bounded occurrence state, with
-        # the r15 per-(h,epoch) exhaustion trigger — ADVICE r14 high);
-        # the shard pipeline and SCD2 run rows_per_file (multi-task
-        # epoch-store writes; SCD2 snapshots land 3 files at sf0.01,
-        # the shards rebuild correctly sizes to 1 because the staged
-        # takedown empties both affected sources).  The remaining 45
-        # slots carry the LRU rotation: timeseries_gapfill_hourly
-        # (r9, displaced by the r14 window — VERDICT r14 next #2
-        # rotates it FIRST) + the 42 r10-stale + 2 r11 by catalog
-        # order.
-        "stream_exsub_apply_with_deletes",
-        "stream_exsub_apply_unordered",
-        "stream_exsub_unordered_with_deletes",
-        "stream_pipeline_shards_with_deletes",
-        "stream_scd2_with_deletes",
+        # Round 16 (VERDICT r15 next #1a / what's-wrong #1): every
+        # query whose EXECUTED kernel changed in the r15 optimization
+        # round but whose existing green row predates that change —
+        # the r15 correctness window certified five exsub/SCD2 twins
+        # on the new paths, but these 16 also route through the new
+        # code (trim restructure b341f99, Arrow simhash kernel,
+        # epoch-write overlap + op routing a213771, footer-stat
+        # boundaries 57bdb20, footer counts 041c00c/f36b823) and their
+        # rows certify retired code.  All re-verified locally
+        # (check_oracle sf0.01, full catalog); the pins make the
+        # driver confirm on the current kernels.  Queries whose
+        # kernels change again in r16 keep qualifying (last green
+        # row <= round 15 by construction).
+        "dedup_exact_substring_apply",
+        "dedup_exact_substring_attribution",
+        "pipeline_corpus_to_shards_exactsubstr",
+        "dedup_simhash_portable",
+        "tfidf_top_terms",
+        "hybrid_search_rrf",
+        "pairs_mine_contrastive",
+        "pairs_mine_contrastive_ivf",
+        "ann_recall_eval_srp",
+        "stream_neardup_dedup_docs",
+        "stream_neardup_with_deletes",
+        "stream_cc_labels_incremental",
+        "stream_cc_labels_with_deletes",
+        "stream_exact_substring_apply",
+        "stream_pipeline_corpus_to_shards",
+        "mv_incremental_join_enrichment_with_deletes",
     }
 )
 

@@ -67,11 +67,21 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # renames task output straight into the destination (one rename per
     # task instead of task->job-temp->dest, i.e. half the metadata ops)
     # and _SUCCESS markers are pure overhead here (no reader consumes
-    # them — grep-verified).  Both are standard production settings;
-    # correctness is unaffected for our writes (epoch-keyed overwrite
-    # dirs, retry-idempotent; no speculative execution in local mode).
+    # them — grep-verified).  Both are standard production settings.
+    # v2's constraint (VERDICT r15 #4): task commit is not atomic under
+    # concurrent attempts, so it is only safe while speculative
+    # execution is OFF (our writes are epoch-keyed overwrite dirs and
+    # retry-idempotent, which covers task RETRY, but speculation runs
+    # two attempts of one task concurrently).  Enforce the constraint
+    # in code rather than prose: a session with speculation enabled
+    # keeps the v1 committer.  SCALE.md "Committer" section documents
+    # the deployment rule.
     hc = spark.sparkContext._jsc.hadoopConfiguration()
-    hc.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+    speculation = (
+        spark.sparkContext.getConf().get("spark.speculation", "false").lower()
+    )
+    if speculation != "true":
+        hc.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
     hc.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     return spark
 

@@ -27,20 +27,35 @@ TABLES = [
 BROADCAST_TABLES = {"region", "nation"}
 
 
-def footer_rows(path: str):
-    """Exact row count of a parquet file/dir from footer metadata —
-    driver-side, no Spark job (num_rows is mandatory file metadata);
-    None when the path is unreadable so callers fall back to count()."""
+def parquet_files(path: str) -> list[str]:
+    """Every parquet data file under ``path`` (a single file, a flat
+    dir, or a partitioned dir — ADVICE r15: the footer readers' flat
+    ``*.parquet`` glob silently missed partitioned layouts), matching
+    Spark's reader semantics: recursive, skipping ``_``/``.``-prefixed
+    metadata files (which Spark's scans ignore)."""
     import glob
     import os
 
+    if not os.path.isdir(path):
+        return [path]
+    return sorted(
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not os.path.basename(f).startswith(("_", "."))
+    )
+
+
+def footer_rows(path: str):
+    """Exact row count of a parquet file/dir from footer metadata —
+    driver-side, no Spark job (num_rows is mandatory file metadata);
+    None when the path is unreadable OR holds no parquet files (ADVICE
+    r15: an empty/partitionless dir must fall back to count(), not
+    report 0) so callers fall back to count()."""
     import pyarrow.parquet as pq
 
-    files = (
-        sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if os.path.isdir(path)
-        else [path]
-    )
+    files = parquet_files(path)
+    if not files:
+        return None
     try:
         return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     except Exception:

@@ -110,16 +110,15 @@ def _footer_min_max(path: str, col: str):
     is bit-identical to the aggregate.  Returns None (caller falls
     back to the one-job Spark aggregate) when the path has no files,
     any row group lacks stats for ``col`` (a writer may disable
-    statistics — ADVICE r9 #4), or the column is not fixed-width."""
-    import glob as _g
-
+    statistics — ADVICE r9 #4), or the column is not fixed-width.
+    File discovery is the shared recursive helper (VERDICT r15 next
+    #7 / ADVICE r15: the flat glob silently forfeited the optimization
+    on partitioned stage dirs)."""
     import pyarrow.parquet as _pq
 
-    files = (
-        sorted(_g.glob(os.path.join(path, "*.parquet")))
-        if os.path.isdir(path)
-        else [path]
-    )
+    from qaapi_spark.sources.tables import parquet_files
+
+    files = parquet_files(path)
     if not files:
         return None
     lo = hi = None

@@ -1791,6 +1791,37 @@ def test_footer_min_max_matches_aggregate(spark, tmp_path):
     assert _footer_min_max(nostats, "doc_id") is None
 
 
+def test_footer_readers_partitioned_and_empty_dirs(spark, tmp_path):
+    """VERDICT r15 next #7 + ADVICE r15: the footer readers must (a)
+    find data files inside PARTITIONED layouts (the flat glob silently
+    fell back / under-counted), (b) return None — never 0 — for a dir
+    with no parquet files, and (c) stay bit-identical to the Spark
+    aggregate on what they report."""
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.sources.tables import footer_rows, parquet_files
+    from qaapi_spark.streaming.incremental import _footer_min_max
+
+    part = str(tmp_path / "part_dir")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(11, 31)], "doc_id long, epoch int"
+    ).write.mode("overwrite").partitionBy("epoch").parquet(part)
+
+    df = spark.read.parquet(part)
+    assert footer_rows(part) == df.count() == 20
+    assert _footer_min_max(part, "doc_id") == tuple(
+        df.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    )
+    # partition markers are not data files
+    assert all("_SUCCESS" not in f for f in parquet_files(part))
+
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    assert footer_rows(str(empty)) is None
+    assert _footer_min_max(str(empty), "doc_id") is None
+    assert parquet_files(str(empty)) == []
+
+
 def test_stage_ops_footer_path_equals_aggregate_path(spark, tmp_path):
     """Staging with src_path (footer-stat boundaries) must produce the
     same slices and op order as the aggregate path."""

@@ -278,3 +278,57 @@ def test_containment_regime_crossover():
         _containment_regime(5000, 931, int(SPARSE_MAX_JOINED_ROWS), **budgets)
         == "sparse"
     )
+
+
+def test_committer_v2_scoped_to_no_speculation(spark):
+    """VERDICT r15 next #6: committer v2's task commit is non-atomic
+    under concurrent attempts, so the tuned session may only apply it
+    while speculative execution is off — enforced in code, with the
+    deployment rule in SCALE.md ("Committer" section)."""
+    from qaapi_spark.session import tune_session
+
+    # the real tuned session: speculation off => v2 + no _SUCCESS
+    assert (
+        spark.sparkContext.getConf().get("spark.speculation", "false").lower()
+        == "false"
+    )
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hc.get("mapreduce.fileoutputcommitter.algorithm.version") == "2"
+    assert hc.get("mapreduce.fileoutputcommitter.marksuccessfuljobs") == "false"
+
+    # guard branch: a speculating session must keep the v1 committer
+    class _Rec(dict):
+        def set(self, k, v):
+            self[k] = v
+
+    class _FakeSpark:
+        def __init__(self, speculation):
+            self.conf = _Rec()
+            self.hc = _Rec()
+            fake = self
+
+            class _SC:
+                class _jsc:  # noqa: N801 - mimic py4j attribute shape
+                    @staticmethod
+                    def hadoopConfiguration():
+                        return fake.hc
+
+                @staticmethod
+                def getConf():
+                    class _C:
+                        @staticmethod
+                        def get(key, default=None):
+                            return speculation if key == "spark.speculation" else default
+
+                    return _C()
+
+            self.sparkContext = _SC()
+
+    on = _FakeSpark("true")
+    tune_session(on)
+    assert "mapreduce.fileoutputcommitter.algorithm.version" not in on.hc
+    assert on.hc["mapreduce.fileoutputcommitter.marksuccessfuljobs"] == "false"
+
+    off = _FakeSpark("false")
+    tune_session(off)
+    assert off.hc["mapreduce.fileoutputcommitter.algorithm.version"] == "2"
