@@ -93,6 +93,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
 # executor storage memory is not leaked across a long-lived session.
 _KERNEL_CACHES: list = []
 
+# Ephemeral metadata caches (e.g. the streaming stores' remembered
+# parquet schemas) that must not outlive one harness query: cleared by
+# release_kernel_caches alongside the persisted frames.
+_EPHEMERAL_CACHES: list = []
+
+
+def register_ephemeral_cache(cache) -> None:
+    """Track a dict-like cache to be .clear()ed between harness
+    queries; returns nothing (register once at module import)."""
+    _EPHEMERAL_CACHES.append(cache)
+
 
 def register_kernel_cache(df):
     """Track a persisted DataFrame for later bulk release; returns df."""
@@ -126,6 +137,11 @@ def release_kernel_caches(include_shared: bool = False) -> int:
     """Unpersist every registered scratch kernel cache; with
     ``include_shared`` also drop the cross-query shared memos.
     Returns how many caches were released."""
+    for cache in _EPHEMERAL_CACHES:
+        try:
+            cache.clear()
+        except Exception:
+            pass
     n = 0
     while _KERNEL_CACHES:
         df = _KERNEL_CACHES.pop()

@@ -141,6 +141,97 @@ def _footer_min_max(path: str, col: str):
     return None if lo is None else (lo, hi)
 
 
+_PQ_SCHEMAS: dict = {}
+
+try:  # clear between harness queries (no cross-query metadata reuse)
+    from qaapi_spark.session import register_ephemeral_cache
+
+    register_ephemeral_cache(_PQ_SCHEMAS)
+except Exception:  # pragma: no cover - session module always importable
+    pass
+
+
+def _read_pq(spark, path: str, key: str | None = None):
+    """``spark.read.parquet`` with the inferred schema remembered per
+    store root (optimization guide §5 — the driver should do no data
+    work it doesn't need): every un-schema'd parquet read costs a
+    1-task Spark job just to read one footer for schema inference, and
+    the per-epoch callbacks issue 2-5 such reads per epoch over stores
+    whose schema never changes within a stream (r16 job profile: about
+    half the insert epoch's job count was these).  First read infers and
+    caches; later reads of the same ``key`` pass the schema explicitly
+    (zero jobs).
+
+    ``key`` defaults to the literal path — safe because scratch roots
+    are mkdtemp-unique per query.  Callers reading per-epoch SUBDIRS of
+    one root pass ``key=root + "#e"`` so all snapshots share one entry;
+    the root itself (partitioned read, schema includes ``epoch``) keys
+    separately.  The cache is cleared between harness queries."""
+    k = key or path
+    sch = _PQ_SCHEMAS.get(k)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _PQ_SCHEMAS[k] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
+def _footer_ts_min_max_us(path: str, col: str = "ts"):
+    """(min, max) of ``unix_micros(cast(col as timestamp))`` from
+    parquet FOOTER statistics — the SCD2 stagers' boundary probe
+    (VERDICT r15 next #8: the one remaining per-stream aggregate job;
+    ``us`` is derived from ts so `_footer_min_max` can't answer it).
+
+    Exactness argument, per physical type (raw int64 stats via
+    ``min_raw``/``max_raw`` — never the lossy logical accessors):
+    - timestamp[us] (NTZ): the engine pins session tz UTC, so the
+      NTZ->TIMESTAMP cast is value-preserving and unix_micros == raw.
+    - timestamp[us, tz=UTC]: isAdjustedToUTC micros ARE unix micros.
+    - timestamp[ns]: read via nanosAsLong + ``timestamp_micros(ts div
+      1000)`` (events_stream_spec), so us == raw div 1000; ``div``
+      truncates toward zero while ``//`` floors — identical only for
+      raw >= 0, so negative raws decline.
+    min/max COMMUTE with these strictly monotonic conversions, and
+    both footer stats and F.min/F.max ignore nulls.  Returns None
+    (caller falls back to the one-job aggregate) on any other type,
+    missing stats, non-UTC tz, or no files."""
+    import pyarrow.parquet as _pq
+
+    from qaapi_spark.sources.tables import parquet_files
+
+    files = parquet_files(path)
+    if not files:
+        return None
+    lo = hi = None
+    try:
+        for f in files:
+            pf = _pq.ParquetFile(f)
+            idx = pf.schema_arrow.get_field_index(col)
+            if idx < 0:
+                return None
+            t = str(pf.schema_arrow.field(idx).type)
+            if t in ("timestamp[us]", "timestamp[us, tz=UTC]"):
+                div = 1
+            elif t in ("timestamp[ns]", "timestamp[ns, tz=UTC]"):
+                div = 1000
+            else:
+                return None
+            for g in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                rmin, rmax = st.min_raw, st.max_raw
+                if not isinstance(rmin, int) or not isinstance(rmax, int):
+                    return None
+                if rmin < 0:
+                    return None
+                lo = rmin // div if lo is None else min(lo, rmin // div)
+                hi = rmax // div if hi is None else max(hi, rmax // div)
+    except Exception:
+        return None
+    return None if lo is None else (lo, hi)
+
+
 def _par_writes(*thunks) -> None:
     """Run an epoch's INDEPENDENT write jobs concurrently from driver
     threads (optimization guide §2.6 — overlap jobs so one job's
@@ -482,7 +573,7 @@ def stream_neardup_dedup(
         # legitimate cross-batch state (round-10 fix; partition pruning
         # skips the excluded directory entirely).
         if _store_recover(store_dir + "/data"):
-            rec = spark.read.parquet(store_dir + "/data").filter(
+            rec = _read_pq(spark, store_dir + "/data").filter(
                 F.col("epoch") < int(epoch_id)
             )
             store = rec.select(
@@ -921,7 +1012,7 @@ def stream_hll_running(
         # read; any other error must propagate, and a crash-stranded
         # store is restored before the decision.
         if _store_recover(store_dir):
-            prev = bdf.sparkSession.read.parquet(store_dir)
+            prev = _read_pq(bdf.sparkSession, store_dir)
             regs = (
                 regs.unionByName(prev)
                 .groupBy("event_type", "bucket")
@@ -1224,7 +1315,7 @@ def _merge_weighted_sample_batch(bdf, store_dir: str, k: int, seed: str) -> None
     # would silently discard all accumulated state (ADVICE r8 #2), and
     # a swap-crash-stranded store is restored first (ADVICE r9 #2).
     if _store_recover(store_dir):
-        batch_top = batch_top.unionByName(bdf.sparkSession.read.parquet(store_dir))
+        batch_top = batch_top.unionByName(_read_pq(bdf.sparkSession, store_dir))
     # Retry-idempotence: if foreachBatch replays a batch whose rows
     # already merged into the store, the union holds exact duplicate
     # (grp, id, es_key) rows; both copies would count toward the k
@@ -1381,7 +1472,7 @@ def stream_running_distinct(
         # error must propagate rather than silently dropping all state.
         if _store_recover(store_dir):
             seen = (
-                seen.unionByName(bdf.sparkSession.read.parquet(store_dir))
+                seen.unionByName(_read_pq(bdf.sparkSession, store_dir))
                 .groupBy("user_id")
                 .agg(F.min("day_s").alias("day_s"))
             )
@@ -1489,7 +1580,7 @@ def stream_pack_chunks(
         ss = bdf.sparkSession
         prev_dir = os.path.join(store_root, f"epoch={int(epoch_id) - 1}")
         if int(epoch_id) > 0 and os.path.isdir(prev_dir):
-            prev = ss.read.parquet(prev_dir)
+            prev = _read_pq(ss, prev_dir, key=store_root + "#e")
         else:
             prev = ss.createDataFrame([], "source string, total_toks long")
         b = bdf.filter(F.col("n_toks") > 0)
@@ -1603,7 +1694,10 @@ def stream_scd2_history(
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
-    lo, hi = narrow.agg(F.min("us"), F.max("us")).collect()[0]
+    bounds = _footer_ts_min_max_us(events_path) or tuple(
+        narrow.agg(F.min("us"), F.max("us")).collect()[0]
+    )
+    lo, hi = bounds
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
     stage_dir = _scratch(prefix="events_scd2_stream_")
     for i in range(n_splits):
@@ -1629,7 +1723,7 @@ def stream_scd2_history(
         ss = bdf.sparkSession
         prev_dir = os.path.join(store_root, f"epoch={int(epoch_id) - 1}")
         if int(epoch_id) > 0 and os.path.isdir(prev_dir):
-            prev = ss.read.parquet(prev_dir)
+            prev = _read_pq(ss, prev_dir, key=store_root + "#e")
         else:
             prev = ss.createDataFrame([], state_schema)
         combined = prev.select(
@@ -1792,7 +1886,7 @@ def _pipeline_shards_epoch(
         return j.filter(F.col("j") >= threshold)
 
     if os.path.isdir(store_dir + "/data"):
-        rec = spark.read.parquet(store_dir + "/data").filter(
+        rec = _read_pq(spark, store_dir + "/data").filter(
             F.col("epoch") < int(epoch_id)
         )
         store = rec.select(
@@ -1830,7 +1924,7 @@ def _pipeline_shards_epoch(
     )
     prev_dir = os.path.join(totals_root, f"epoch={int(epoch_id) - 1}")
     if int(epoch_id) > 0 and os.path.isdir(prev_dir):
-        prev = spark.read.parquet(prev_dir)
+        prev = _read_pq(spark, prev_dir, key=totals_root + "#e")
     else:
         prev = spark.createDataFrame(
             [], "source string, total_toks long, n_kept long"
@@ -1870,28 +1964,19 @@ def _pipeline_shards_epoch(
         .cast("long")
         .alias("last_chunk"),
     ).withColumn("n_chunks", F.col("last_chunk") - F.col("first_chunk") + 1)
+    # pin the SKINNY pack rows so the totals snapshot aggregates the
+    # same materialization the shard write emits (r16, guide §2.6):
+    # the snapshot previously waited for the shard write and re-read
+    # the just-written file, serializing its job behind the write —
+    # pinned, all three epoch writes are independent and overlap in
+    # ONE _par_writes batch (3 serialized jobs -> max of 3).  Unlike
+    # the fat sh/bands delta the r14 A/B rejected persisting, `out` is
+    # 7 narrow columns of this epoch's survivors.
+    out = out.persist()
     try:
         epoch_out = os.path.join(out_root, f"epoch={int(epoch_id)}")
-        # the shard write and the band-store write are independent —
-        # overlap them (_par_writes); the totals snapshot must wait for
-        # the shard write (it re-reads the just-written single file)
-        _par_writes(
-            lambda: out.coalesce(1).write.mode("overwrite").parquet(epoch_out),
-            lambda: bands_arr.join(kept_ids, "id", "left_semi")
-            .join(sets, "id")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{store_dir}/data/epoch={int(epoch_id)}"),
-        )
-        # totals derive from the epoch output JUST WRITTEN (one small
-        # single-file scan) instead of re-deriving `placed` — the
-        # unpersisted screen->gate->cap->pack chain used to run twice
-        # per epoch, once for the shard write and once for this
-        # snapshot (~1.5 s/epoch of pure recompute at sf0.1).
-        bsum = (
-            spark.read.parquet(epoch_out)
-            .groupBy("source")
-            .agg(F.sum("n_toks").alias("b_toks"), F.count("*").alias("b_kept"))
+        bsum = out.groupBy("source").agg(
+            F.sum("n_toks").alias("b_toks"), F.count("*").alias("b_kept")
         )
         totals = prev.join(bsum, "source", "full_outer").select(
             "source",
@@ -1904,10 +1989,19 @@ def _pipeline_shards_epoch(
                 + F.coalesce(F.col("b_kept"), F.lit(0))
             ).cast("long").alias("n_kept"),
         )
-        totals.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(totals_root, f"epoch={int(epoch_id)}")
+        _par_writes(
+            lambda: out.coalesce(1).write.mode("overwrite").parquet(epoch_out),
+            lambda: bands_arr.join(kept_ids, "id", "left_semi")
+            .join(sets, "id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{store_dir}/data/epoch={int(epoch_id)}"),
+            lambda: totals.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(totals_root, f"epoch={int(epoch_id)}")
+            ),
         )
     finally:
+        out.unpersist()
         kept_ids.unpersist()
         bands_arr.unpersist()
         sets.unpersist()
@@ -2147,10 +2241,37 @@ def _read_deleted(
     compactable epoch store like the others (ADVICE r11 #1)."""
     if not _store_recover(del_root) or not _has_epochs(del_root):
         return None
-    df = spark.read.parquet(del_root)
+    df = _read_pq(spark, del_root)
     if epoch_id is not None:
         df = df.filter(F.col("epoch") < int(epoch_id))
     return df.select(key_col)
+
+
+def _ordered_frontier_check_async(bdf, prev_max, msg_fn):
+    """Async form of the ordered-ingest guard (guide §2.6): the batch
+    min(doc_id) agg — the guard's only Spark job — runs on a driver
+    thread and the returned ``check()`` raises at the END of the epoch,
+    overlapping the probe with the epoch's real work.  Deferral is safe
+    for the same reason as the reinsert guard: the batch still fails
+    inside foreachBatch with the identical exception, and the epoch's
+    interim writes are epoch-keyed overwrites no reader consumes after
+    a failed query."""
+    if prev_max is None:
+        return lambda: None
+    from concurrent.futures import ThreadPoolExecutor
+
+    agg = bdf.agg(F.min("doc_id"))
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(agg.collect)
+    pool.shutdown(wait=False)
+
+    def check() -> None:
+        batch_min = fut.result()[0][0]
+        if batch_min is not None and int(batch_min) <= int(prev_max):
+            raise ValueError(msg_fn(batch_min))
+
+    return check
+
 
 
 def _reject_tombstoned_reinsert(bdf, del_root: str | None, epoch_id: int) -> None:
@@ -2166,25 +2287,49 @@ def _reject_tombstoned_reinsert(bdf, del_root: str | None, epoch_id: int) -> Non
     this explicit semi-join guard.  Retry-idempotent: the tombstone
     read filters ``epoch < epoch_id``, so a replayed insert epoch never
     trips on tombstones written after it."""
+    _reject_tombstoned_reinsert_async(bdf, del_root, epoch_id)()
+
+
+def _reject_tombstoned_reinsert_async(bdf, del_root: str | None, epoch_id: int):
+    """Async form of the guard (optimization guide §2.6 — overlap
+    independent jobs): starts the tombstone semi-join probe on a
+    driver thread and returns ``check()``, which the epoch calls AFTER
+    its main chain so the probe's ~0.1-0.5 s job overlaps the epoch's
+    real work instead of serializing in front of it.  Deferring the
+    raise is safe: the batch still fails inside foreachBatch (identical
+    exception, identical stream failure), and everything the epoch
+    wrote meanwhile is an epoch-keyed overwrite no reader consumes
+    because the failed query's final relation is never built."""
     if del_root is None:
-        return
+        return lambda: None
     tomb = _read_deleted(bdf.sparkSession, del_root, epoch_id)
     if tomb is None:
-        return
-    hits = (
-        bdf.select("doc_id")
-        .join(F.broadcast(tomb), "doc_id", "left_semi")
-        .limit(3)
-        .collect()
+        return lambda: None
+    from concurrent.futures import ThreadPoolExecutor
+
+    probe = (
+        bdf.select("doc_id").join(F.broadcast(tomb), "doc_id", "left_semi").limit(3)
     )
-    if hits:
-        raise ValueError(
-            "re-insert of tombstoned doc_id(s) "
-            f"{sorted(r[0] for r in hits)}: retracted ids are permanent "
-            "(GDPR-shaped) — tombstones filter standing-store reads, so "
-            "a re-inserted doc would silently corrupt the maintained "
-            "relation instead of erroring"
-        )
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(probe.collect)
+    pool.shutdown(wait=False)
+
+    def check() -> None:
+        hits = fut.result()
+        if hits:
+            _raise_tombstoned(hits)
+
+    return check
+
+
+def _raise_tombstoned(hits) -> None:
+    raise ValueError(
+        "re-insert of tombstoned doc_id(s) "
+        f"{sorted(r[0] for r in hits)}: retracted ids are permanent "
+        "(GDPR-shaped) — tombstones filter standing-store reads, so "
+        "a re-inserted doc would silently corrupt the maintained "
+        "relation instead of erroring"
+    )
 
 
 def _cc_labels_epoch(
@@ -2241,7 +2386,9 @@ def _cc_labels_epoch(
     )
 
     spark = bdf.sparkSession
-    _reject_tombstoned_reinsert(bdf, del_root, epoch_id)
+    # tombstone-reinsert guard overlapped with the epoch chain (§2.6);
+    # checked after the writes settle, before the batch commits
+    chk_reinsert = _reject_tombstoned_reinsert_async(bdf, del_root, epoch_id)
     bdf = bdf.repartition(8)
     sets = (
         _hashed_shingle_sets(bdf, 2, "text", "doc_id")
@@ -2287,7 +2434,7 @@ def _cc_labels_epoch(
     have_labels = _store_recover(label_root)
     have_state = have_bands and have_labels
     if have_state:
-        rec = spark.read.parquet(store_dir + "/data").filter(
+        rec = _read_pq(spark, store_dir + "/data").filter(
             F.col("epoch") < int(epoch_id)
         )
         # retraction support: tombstoned docs leave the standing corpus
@@ -2381,6 +2528,7 @@ def _cc_labels_epoch(
             labels_now.unpersist()
         bands_arr.unpersist()
         sets.unpersist()
+    chk_reinsert()
 
 
 def stream_cc_labels_incremental(
@@ -2527,19 +2675,21 @@ def _exsub_epoch(
     # emitted rows' parquet footer stats (driver-side, no job; at
     # 100 TB a counter in the commit log), the batch min is one tiny
     # agg.
+    chk_order = lambda: None  # noqa: E731 - trivial no-op default
     if _has_epochs(out_root):
         prev_max = _frontier_max_doc_id(spark, out_root, epoch_id)
-        if prev_max is not None:
-            batch_min = bdf.agg(F.min("doc_id")).collect()[0][0]
-            if batch_min is not None and int(batch_min) <= int(prev_max):
-                raise ValueError(
-                    "out-of-order ingest: batch min doc_id "
-                    f"{batch_min} <= standing frontier {prev_max}; "
-                    "stream_exact_substring_apply requires doc_id-"
-                    "ordered arrival (its canonical picks are "
-                    "irrevocable) — re-stage the corpus in order or "
-                    "use the retraction-capable variant to repair"
-                )
+        chk_order = _ordered_frontier_check_async(
+            bdf,
+            prev_max,
+            lambda batch_min: (
+                "out-of-order ingest: batch min doc_id "
+                f"{batch_min} <= standing frontier {prev_max}; "
+                "stream_exact_substring_apply requires doc_id-"
+                "ordered arrival (its canonical picks are "
+                "irrevocable) — re-stage the corpus in order or "
+                "use the retraction-capable variant to repair"
+            ),
+        )
 
     wins = _all_window_positions(bdf, min_len, "text", "doc_id").persist()
 
@@ -2589,6 +2739,7 @@ def _exsub_epoch(
         )
     finally:
         wins.unpersist()
+    chk_order()
 
 
 def stream_exact_substring_apply(

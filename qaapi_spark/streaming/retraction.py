@@ -68,12 +68,15 @@ from pyspark.sql import functions as F
 from qaapi_spark.streaming.incremental import (
     _cc_labels_epoch,
     _footer_min_max,
+    _footer_ts_min_max_us,
     _frontier_max_doc_id,
     _has_epochs,
+    _ordered_frontier_check_async,
     _par_writes,
     _propagate_min_labels,
     _read_deleted,
-    _reject_tombstoned_reinsert,
+    _read_pq,
+    _reject_tombstoned_reinsert_async,
     _scratch,
     _stage_monotonic_mtimes,
     _store_recover,
@@ -333,7 +336,7 @@ def _cc_rt_delete_epoch(
             prior = _read_deleted(spark, del_root, epoch_id)
             lab_w = Window.partitionBy("doc_id").orderBy(F.desc("epoch"))
             labels_now = (
-                spark.read.parquet(label_root)
+                _read_pq(spark, label_root)
                 .filter(F.col("epoch") < int(epoch_id))
                 .withColumn("rn", F.row_number().over(lab_w))
                 .filter(F.col("rn") == 1)
@@ -356,7 +359,7 @@ def _cc_rt_delete_epoch(
             # on survivors subsumes the tombstone filters: prior
             # deletions and this batch are never survivors)
             rec = (
-                spark.read.parquet(store_dir + "/data")
+                _read_pq(spark, store_dir + "/data")
                 .filter(F.col("epoch") < int(epoch_id))
                 .join(
                     survivors.select(F.col("doc_id").alias("id")),
@@ -634,6 +637,7 @@ def _exsub_rt_insert_epoch(
     # covers every ingested doc, and del_root is consulted TOO so the
     # frontier survives purge_tombstoned physically erasing the max-id
     # doc's rows from the out store.
+    chk_order = lambda: None  # noqa: E731 - trivial no-op default
     if _has_epochs(out_root) or _has_epochs(del_root):
         cands = [
             _frontier_max_doc_id(spark, out_root, epoch_id),
@@ -641,22 +645,24 @@ def _exsub_rt_insert_epoch(
         ]
         vals = [c for c in cands if c is not None]
         prev_max = max(vals) if vals else None
-        if prev_max is not None:
-            batch_min = bdf.agg(F.min("doc_id")).collect()[0][0]
-            if batch_min is not None and int(batch_min) <= int(prev_max):
-                raise ValueError(
-                    "out-of-order ingest: batch min doc_id "
-                    f"{batch_min} <= standing frontier {prev_max} "
-                    "(tombstoned ids included — retracted doc_ids are "
-                    "permanent); inserts must arrive doc_id-ordered"
-                )
+        # guard's one Spark job overlapped with the epoch chain (§2.6)
+        chk_order = _ordered_frontier_check_async(
+            bdf,
+            prev_max,
+            lambda batch_min: (
+                "out-of-order ingest: batch min doc_id "
+                f"{batch_min} <= standing frontier {prev_max} "
+                "(tombstoned ids included — retracted doc_ids are "
+                "permanent); inserts must arrive doc_id-ordered"
+            ),
+        )
 
     wins = _all_window_positions(bdf, min_len, "text", "doc_id").persist()
 
     seen = None
     if _store_recover(occ_root) and _has_epochs(occ_root):
         occ = _occ_real(
-            spark.read.parquet(occ_root).filter(F.col("epoch") < int(epoch_id)),
+            _read_pq(spark, occ_root).filter(F.col("epoch") < int(epoch_id)),
             occ_k,
         )
         prior = _read_deleted(spark, del_root, epoch_id)
@@ -696,6 +702,7 @@ def _exsub_rt_insert_epoch(
         )
     finally:
         wins.unpersist()
+    chk_order()
 
 
 def _exsub_rt_delete_epoch(
@@ -770,7 +777,7 @@ def _exsub_rt_delete_epoch(
         if _store_recover(occ_root) and _has_epochs(occ_root):
             prior = _read_deleted(spark, del_root, epoch_id)
             occ_store = (
-                spark.read.parquet(occ_root)
+                _read_pq(spark, occ_root)
                 .filter(F.col("epoch") < int(epoch_id))
                 .select("doc_id", "pos", "h", "epoch")
             )
@@ -865,7 +872,7 @@ def _exsub_rt_delete_epoch(
                     exhausted = None
             if exhausted is not None:
                 live_texts = (
-                    spark.read.parquet(out_root)
+                    _read_pq(spark, out_root)
                     .filter(F.col("epoch") < int(epoch_id))
                     .groupBy("doc_id")
                     .agg(F.max("text").alias("text"))
@@ -892,7 +899,7 @@ def _exsub_rt_delete_epoch(
                 # re-emissions) but they all carry the IDENTICAL
                 # original text, so max() is a deterministic dedupe
                 texts = (
-                    spark.read.parquet(out_root)
+                    _read_pq(spark, out_root)
                     .filter(F.col("epoch") < int(epoch_id))
                     .join(affected_docs, "doc_id", "left_semi")
                     .groupBy("doc_id")
@@ -1145,8 +1152,9 @@ def _exsub_uo_epoch(
     from qaapi_spark.operators.textstats import ws_tokens
 
     spark = bdf.sparkSession
-    if del_root is not None:
-        _reject_tombstoned_reinsert(bdf, del_root, epoch_id)
+    # tombstone-reinsert guard overlapped with the epoch chain (§2.6);
+    # checked after the writes settle, before the batch commits
+    chk_reinsert = _reject_tombstoned_reinsert_async(bdf, del_root, epoch_id)
     bdf = bdf.repartition(8)
     wins = _all_window_positions(bdf, min_len, "text", "doc_id").persist()
     g_b = wins.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("fb"))
@@ -1154,7 +1162,7 @@ def _exsub_uo_epoch(
     have = _store_recover(occ_root) and _has_epochs(occ_root)
     if have:
         occ_old = _occ_real(
-            spark.read.parquet(occ_root)
+            _read_pq(spark, occ_root)
             .filter(F.col("epoch") < int(epoch_id))
             .select("doc_id", "pos", "h"),
             occ_k,
@@ -1201,7 +1209,7 @@ def _exsub_uo_epoch(
                 .distinct()
             )
             texts = (
-                spark.read.parquet(out_root)
+                _read_pq(spark, out_root)
                 .filter(F.col("epoch") < int(epoch_id))
                 .join(aff, "doc_id", "left_semi")
                 .groupBy("doc_id")
@@ -1249,6 +1257,7 @@ def _exsub_uo_epoch(
     finally:
         g.unpersist()
         wins.unpersist()
+    chk_reinsert()
 
 
 def stream_exact_substring_apply_unordered(
@@ -1388,6 +1397,9 @@ def _nd_rt_insert_epoch(
 
     Retry-idempotent: reads filter epoch < N, writes epoch-keyed
     overwrite."""
+    # tombstone-reinsert guard overlapped with the epoch chain (§2.6);
+    # checked after the writes settle, before the batch commits
+    chk_reinsert = _reject_tombstoned_reinsert_async(bdf, del_root, epoch_id)
     sets, bands_arr, dropped = _nd_rt_decide(
         bdf, epoch_id, band_root, del_root, threshold, num_hashes, n_bands
     )
@@ -1407,6 +1419,7 @@ def _nd_rt_insert_epoch(
     finally:
         bands_arr.unpersist()
         sets.unpersist()
+    chk_reinsert()
 
 
 def _nd_rt_decide(
@@ -1432,7 +1445,6 @@ def _nd_rt_decide(
     )
 
     spark = bdf.sparkSession
-    _reject_tombstoned_reinsert(bdf, del_root, epoch_id)
     bdf = bdf.repartition(8)
     sets = (
         _hashed_shingle_sets(bdf, 2, "text", "doc_id")
@@ -1531,7 +1543,7 @@ def _nd_live_rows(
     from pyspark.sql import Window
 
     dels = _read_deleted(spark, del_root, epoch_id)
-    live = spark.read.parquet(band_root).filter(F.col("epoch") < int(epoch_id))
+    live = _read_pq(spark, band_root).filter(F.col("epoch") < int(epoch_id))
     if dels is None and unique_when_undeleted:
         return live.drop("epoch")
     w = Window.partitionBy("id").orderBy(F.desc("epoch"))
@@ -1814,7 +1826,9 @@ def _totals_before(spark, totals_root: str, epoch_id: int | None = None):
         return spark.createDataFrame(
             [], "source string, total_toks long, n_kept long, rebuilt_epoch long"
         )
-    return spark.read.parquet(os.path.join(totals_root, f"epoch={max(es)}"))
+    return _read_pq(
+        spark, os.path.join(totals_root, f"epoch={max(es)}"), key=totals_root + "#e"
+    )
 
 
 def _pack_tail(gated, prev, source_cap, budget: int):
@@ -1890,20 +1904,35 @@ def _c2s_rt_insert_epoch(
     from qaapi_spark.operators.textstats import ws_tokens
 
     spark = bdf.sparkSession
+    # tombstone-reinsert guard overlapped with the epoch chain (§2.6);
+    # checked after the writes settle, before the batch commits
+    chk_reinsert = _reject_tombstoned_reinsert_async(bdf, del_root, epoch_id)
     sets, bands_arr, dropped = _nd_rt_decide(
         bdf, epoch_id, band_root, del_root, threshold, num_hashes, n_bands,
         unique_when_undeleted=True,
     )
     local_pins = []
     try:
+        # meta and the decision ids are SKINNY — pin them so the store
+        # delta and the pipeline tail hang off one materialization
+        # (r16, guide §2.6).  r14 rejected persisting the FAT
+        # sh/bands delta and re-read the written file instead, which
+        # serialized the tail behind the store write; pinning only
+        # (id, source, n_toks) + the dropped ids keeps that A/B's
+        # rationale while making all three epoch writes independent —
+        # the ~2.7 s delta write now overlaps the pack+totals legs in
+        # ONE _par_writes batch.
         meta = bdf.select(
             F.col("doc_id").alias("id"),
             "source",
             F.size(ws_tokens(F.lower(F.col("text")))).cast("long")
             .alias("n_toks"),
-        )
+        ).persist()
+        local_pins.append(meta)
+        dropped = dropped.persist()
+        local_pins.append(dropped)
         store_epoch = os.path.join(band_root, f"epoch={int(epoch_id)}")
-        (
+        delta = (
             bands_arr.join(sets, "id")
             .join(dropped.withColumn("kept", F.lit(False)), "id", "left")
             .select(
@@ -1912,21 +1941,16 @@ def _c2s_rt_insert_epoch(
                 F.lit(int(epoch_id)).alias("arrival"),
             )
             .join(meta, "id")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(store_epoch)
         )
-        # pipeline tail over this epoch's kept+gated docs, derived from
-        # the store delta JUST written (one small single-file scan, the
-        # _pipeline_shards_epoch r11 shave) — never recomputes the
-        # screen chain.  Deliberately NOT persisted-instead-of-re-read:
-        # the delta carries the fat sh/bands arrays, and caching them
-        # costs more than the column-pruned re-read of (kept, n_toks,
-        # source, id) from the single file (r14 A/B: delta.persist
-        # regressed the warm line ~2s)
+        # pipeline tail over this epoch's kept+gated docs, from the
+        # same pinned relations the delta write consumes: store rows
+        # are the sets-screened batch docs (size(sh) > 0), kept means
+        # not-dropped — so (meta semi-join sets) anti-join dropped is
+        # EXACTLY the written delta filtered kept, without reading it
         gated = (
-            spark.read.parquet(store_epoch)
-            .filter(F.col("kept") & (F.col("n_toks") >= int(min_toks)))
+            meta.join(sets.select("id"), "id", "left_semi")
+            .join(dropped, "id", "left_anti")
+            .filter(F.col("n_toks") >= int(min_toks))
             .select("source", F.col("id").alias("doc_id"), "n_toks")
         )
         prev = _totals_before(spark, totals_root, epoch_id)
@@ -1949,9 +1973,12 @@ def _c2s_rt_insert_epoch(
             F.coalesce(F.col("rebuilt_epoch"), F.lit(-1))
             .cast("long").alias("rebuilt_epoch"),
         )
-        # shard write and totals snapshot both consume pinned `packed`
-        # — overlap their write jobs (_par_writes)
+        # store delta, shard write and totals snapshot are mutually
+        # independent off the pinned relations — overlap all three
         _par_writes(
+            lambda: delta.coalesce(1).write.mode("overwrite").parquet(
+                store_epoch
+            ),
             lambda: packed.coalesce(1).write.mode("overwrite").parquet(
                 out_epoch
             ),
@@ -1964,6 +1991,7 @@ def _c2s_rt_insert_epoch(
         sets.unpersist()
         for df in local_pins:
             df.unpersist()
+    chk_reinsert()
 
 
 def _c2s_rt_delete_epoch(
@@ -2101,30 +2129,33 @@ def _c2s_rt_delete_epoch(
             # sources' kept counts ARE the rebuild's row count)
             width = 1
             if rows_per_file:
-                est = (
+                # the snapshot is PRE-delete: a mass takedown that
+                # empties hot sources would otherwise repartition
+                # the now-small rebuild to the old width (ADVICE
+                # r14 low #4) — subtract the tombstoned kept rows
+                # (component flips and resurrections keep it a
+                # heuristic, which sizing tolerates).  Both scalar
+                # probes ride ONE job (guide §2.4: the cross join of
+                # two single-row aggregates runs their stages inside
+                # one action instead of two serialized driver
+                # round-trips; values unchanged).
+                est_row = (
                     prev.join(aff_src, "source", "left_semi")
-                    .agg(F.sum("n_kept"))
-                    .collect()[0][0]
-                )
-                if est is not None:
-                    # the snapshot is PRE-delete: a mass takedown that
-                    # empties hot sources would otherwise repartition
-                    # the now-small rebuild to the old width (ADVICE
-                    # r14 low #4) — subtract the tombstoned kept rows
-                    # (one count over the pinned store rows, paid only
-                    # on this opt-in path; component flips and
-                    # resurrections keep it a heuristic, which sizing
-                    # tolerates)
-                    tomb_kept = (
+                    .agg(F.sum("n_kept").alias("s"))
+                    .crossJoin(
                         rows.join(
                             dels.select(F.col("doc_id").alias("id")),
                             "id",
                             "left_semi",
                         )
                         .filter(F.col("kept"))
-                        .count()
+                        .agg(F.count("*").alias("tk"))
                     )
-                    est = max(0, int(est) - int(tomb_kept))
+                    .collect()[0]
+                )
+                est = est_row["s"]
+                if est is not None:
+                    est = max(0, int(est) - int(est_row["tk"]))
                 width = _write_width(est, rows_per_file)
             # totals: affected sources from their rebuilt pack
             # (left join so a fully-emptied source resets to 0,0 —
@@ -2280,7 +2311,9 @@ def _scd2_state_before(spark, store_root: str, epoch_id: int | None = None):
                     es.append(e)
     if not es:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(os.path.join(store_root, f"epoch={max(es)}"))
+    return _read_pq(
+        spark, os.path.join(store_root, f"epoch={max(es)}"), key=store_root + "#e"
+    )
 
 
 def _scd2_prev_rows_estimate(store_root: str, epoch_id: int) -> int | None:
@@ -2436,7 +2469,10 @@ def stream_scd2_with_deletes(
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
-    lo, hi = narrow.agg(F.min("us"), F.max("us")).collect()[0]
+    bounds = _footer_ts_min_max_us(events_path) or tuple(
+        narrow.agg(F.min("us"), F.max("us")).collect()[0]
+    )
+    lo, hi = bounds
     step = max(1, (int(hi) - int(lo) + n_splits) // n_splits)
     mid_us = int(lo) + step
     pred = (F.col("user_id") % int(del_mod)) == int(del_rem)

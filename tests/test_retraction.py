@@ -1845,3 +1845,51 @@ def test_stage_ops_footer_path_equals_aggregate_path(spark, tmp_path):
         spark.read.parquet(stage_f).select("slice", "op", "doc_id").collect()
     )
     assert rows_a == rows_f
+
+
+def test_footer_ts_min_max_us_matches_aggregate(spark, tmp_path):
+    """VERDICT r15 next #8: the SCD2 stagers' (lo, hi) boundary must be
+    BIT-IDENTICAL whether read from footer raw stats or the Spark
+    unix_micros aggregate, across the ts vintages the testdata has
+    shipped; unprovable cases decline (None -> caller aggregates)."""
+    from pyspark.sql import functions as F
+
+    from qaapi_spark.sources.tables import events_stream_spec
+    from qaapi_spark.streaming.incremental import _footer_ts_min_max_us
+
+    # real events table (timestamp[us] vintage in current testdata)
+    events = "/root/testdata/sf0.001/events.parquet"
+    raw_schema, normalize_ts = events_stream_spec(spark, events)
+    narrow = normalize_ts(spark.read.schema(raw_schema).parquet(events)).select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    exp = tuple(narrow.agg(F.min("us"), F.max("us")).collect()[0])
+    assert _footer_ts_min_max_us(events) == exp
+
+    # timestamp[ns] vintage: write with pyarrow, read through the same
+    # nanosAsLong + div-1000 normalize path the stagers use
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns_file = str(tmp_path / "events_ns.parquet")
+    ns_vals = [1704067798778549123, 1704067200000000000, 1704070000123456789]
+    pq.write_table(
+        pa.table({"ts": pa.array(ns_vals, pa.timestamp("ns")),
+                  "user_id": pa.array([1, 2, 3], pa.int64())}),
+        ns_file,
+    )
+    raw_schema2, normalize_ts2 = events_stream_spec(spark, ns_file)
+    narrow2 = normalize_ts2(
+        spark.read.schema(raw_schema2).parquet(ns_file)
+    ).select(F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    exp2 = tuple(narrow2.agg(F.min("us"), F.max("us")).collect()[0])
+    assert _footer_ts_min_max_us(ns_file) == exp2 == (
+        min(ns_vals) // 1000, max(ns_vals) // 1000
+    )
+
+    # decline cases: missing column, non-timestamp column, empty dir
+    assert _footer_ts_min_max_us(ns_file, "no_such") is None
+    assert _footer_ts_min_max_us(ns_file, "user_id") is None
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert _footer_ts_min_max_us(str(empty)) is None
