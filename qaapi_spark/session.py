@@ -163,8 +163,19 @@ def release_kernel_caches(include_shared: bool = False) -> int:
 
 def get_spark(app_name: str = "qaapi-spark") -> SparkSession:
     n = cpu_count()
+    builder = SparkSession.builder
+    # Conf A/B hooks (r16, guide §1.2 — configuration last, measured):
+    # both are evaluated by interleaved same-host A/B runs before any
+    # default flips; env-gated so the A/B toggles ONLY the conf under
+    # test in otherwise identical processes.
+    io_codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
+    if io_codec:
+        builder = builder.config("spark.io.compression.codec", io_codec)
+    prefer_smj = os.environ.get("SPARK_GRAFT_PREFER_SMJ")
+    if prefer_smj:
+        builder = builder.config("spark.sql.join.preferSortMergeJoin", prefer_smj)
     spark = (
-        SparkSession.builder.master(f"local[{n}]")
+        builder.master(f"local[{n}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.session.timeZone", "UTC")

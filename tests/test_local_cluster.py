@@ -9,6 +9,8 @@ with the suite's shared local[*] session fixture.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import subprocess
 import sys
@@ -92,6 +94,7 @@ spark.stop()
 """
 
 
+@pytest.mark.slow  # 229 s multi-JVM cross-section
 def test_catalog_cross_section_on_local_cluster():
     import duckdb
 

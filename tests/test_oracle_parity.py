@@ -16,6 +16,7 @@ def duck():
     return duck_connection(SF_SMOKE)
 
 
+@pytest.mark.slow  # full driver-gate replica (~20 min); check_oracle.py covers it
 @pytest.mark.parametrize("name", sorted(CATALOG))
 def test_query_matches_oracle(spark, duck, name):
     spec = CATALOG[name]
@@ -95,6 +96,7 @@ _GREEN_TYPE_PAIRINGS = {
 }
 
 
+@pytest.mark.slow  # 147 s full-catalog type sweep
 def test_oracle_spark_type_pairings_are_driver_proven(spark, duck):
     """Every (DuckDB oracle type, Spark dtype) column pair in the
     catalog must be one the driver hash has already passed — a new

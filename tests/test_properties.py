@@ -10,6 +10,8 @@ utilities get their algebraic laws (idempotence, target precedence).
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -139,6 +141,7 @@ _vec_lists = st.lists(
 
 @given(vecs=_vec_lists, split=st.integers(min_value=1, max_value=11))
 @_SETTINGS
+@pytest.mark.slow  # 208 s exhaustive property replay
 def test_gram_partials_merge_invariance(spark, vecs, split):
     """Round-6 covariance contract: integer moment partials are
     addition-mergeable, so covariance computed over ANY partitioning of
@@ -241,6 +244,7 @@ def test_containment_regime_laws(nd, nv, sum_df2):
     )
 )
 @_SETTINGS
+@pytest.mark.slow  # 65 s reference replay
 def test_hamming_topk_matches_python_reference(spark, data):
     """The per-batch partial-top-pool screen must lose nothing: for
     arbitrary small corpora the end-to-end result equals a python
@@ -295,6 +299,7 @@ _rj_gaps = st.sampled_from([7, 10, 30])
 
 @given(lsecs=_rj_offsets, rsecs=_rj_offsets, gap=_rj_gaps)
 @_SETTINGS
+@pytest.mark.slow  # 225 s exhaustive property replay
 def test_banded_range_join_equals_naive_property(spark, lsecs, rsecs, gap):
     import datetime
 

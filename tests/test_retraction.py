@@ -553,6 +553,7 @@ def test_unordered_late_canonical_demotes(spark, tmp_path):
     assert got == batch
 
 
+@pytest.mark.slow  # 63 s all-permutation replay
 def test_unordered_equals_batch_for_every_permutation(spark, tmp_path):
     """Three batches carrying interlocking duplicates, driven through
     the epoch function directly in ALL SIX arrival permutations: every
